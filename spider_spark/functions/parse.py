@@ -1,0 +1,174 @@
+"""Vectorized HTML parse kernel (hard item H2).
+
+Reproduces the reference's parse semantics (crawler.py:157-172) without
+bs4/lxml (absent offline): for each page we extract
+
+* ``title`` — text of the **first** ``<title>`` element (``soup.title``),
+  then ``.replace('\\n', '').strip()`` applied only when truthy
+  (crawler.py:165-168); pages without a title yield NULL, mirroring
+  ``getattr(title_html, 'text', None)``.
+* ``hrefs`` — the ``href`` attribute of every ``<a>`` tag in document order
+  (``soup.findAll('a')``, crawler.py:117); anchors without ``href`` are
+  skipped (KeyError → continue, crawler.py:154-155).
+* ``text`` — deterministic text extraction (all character data outside
+  ``script``/``style``, segments stripped, joined with ``\\n``). The pages
+  generator writes its ``text`` column with this same kernel, so the
+  per-row invariant "byte-identical extracted text per url" is directly
+  testable.
+
+The per-row work is plain Python but runs inside Arrow-batched pandas UDFs
+(``input_hint``: no per-row Python at the DataFrame API level); the parse is
+CPU-bound string work that distributes linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from spider_spark.functions.urlkit import CanonURL, generate_refs
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("title", StringType(), True),
+        StructField("links", ArrayType(StringType()), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+_SKIP_TEXT_TAGS = frozenset({"script", "style"})
+_VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+
+class _PageParser(HTMLParser):
+    """One-pass extraction of (first-title, hrefs-in-order, text)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] | None = None
+        self._in_first_title = False
+        self._title_done = False
+        self.hrefs: list[str] = []
+        self.text_parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]):
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href":
+                    self.hrefs.append(value or "")
+                    break
+        elif tag == "title" and not self._title_done:
+            self._in_first_title = True
+            self.title_parts = []
+        elif tag in _SKIP_TEXT_TAGS:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs):
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href":
+                    self.hrefs.append(value or "")
+                    break
+
+    def handle_endtag(self, tag: str):
+        if tag == "title" and self._in_first_title:
+            self._in_first_title = False
+            self._title_done = True
+        elif tag in _SKIP_TEXT_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str):
+        if self._in_first_title:
+            self.title_parts.append(data)
+        if self._skip_depth == 0:
+            seg = data.strip()
+            if seg:
+                self.text_parts.append(seg)
+
+
+def parse_page(html: bytes | str) -> tuple[str | None, list[str], str]:
+    """Parse one page → (title, raw hrefs in document order, text)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _PageParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # malformed tail: keep what was extracted so far
+    title = "".join(p.title_parts) if p.title_parts is not None else None
+    if title:  # truthy-only transform, crawler.py:166-168
+        title = title.replace("\n", "").strip()
+    return title, p.hrefs, "\n".join(p.text_parts)
+
+
+def extract_text(html: bytes | str) -> str:
+    """The deterministic text kernel alone (pages-generator + invariant)."""
+    return parse_page(html)[2]
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched UDFs
+# ---------------------------------------------------------------------------
+
+
+def make_parse_udf(resolve_base: str = "seed"):
+    """Pandas UDF ``(html:binary, seed_url:string[, page_url:string]) ->
+    struct<title,links,text>`` with the link pipeline (query-string filter,
+    relative resolution, self-link drop — crawler.py:140-155) applied in
+    document order.
+
+    ``resolve_base='seed'`` replicates quirk Q1 (relative hrefs resolve
+    against the crawl seed, crawler.py:150-151 — ``self.url`` is the seed,
+    set once at crawler.py:53); ``'page'`` is the corrected mode and takes
+    the page's own URL as a third column. The seed travels as a column so
+    one crawl run can serve a multi-seed frontier; parsed seeds are memoized
+    per Arrow batch (a batch typically holds one or a handful of seeds).
+    """
+
+    def _run(html: pd.Series, seed_url: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+        memo: dict[str, CanonURL] = {}
+
+        def cu(s: str) -> CanonURL:
+            got = memo.get(s)
+            if got is None:
+                got = memo[s] = CanonURL.parse(s)
+            return got
+
+        titles, links, texts = [], [], []
+        for h, su, bu in zip(html, seed_url, base_url):
+            t, hrefs, txt = parse_page(h)
+            titles.append(t)
+            links.append(generate_refs(hrefs, cu(su), resolve_base=cu(bu)))
+            texts.append(txt)
+        return pd.DataFrame({"title": titles, "links": links, "text": texts})
+
+    if resolve_base == "seed":
+
+        @pandas_udf(PARSED_SCHEMA)
+        def parse_html(html: pd.Series, seed_url: pd.Series) -> pd.DataFrame:
+            return _run(html, seed_url, seed_url)
+
+        return parse_html
+
+    @pandas_udf(PARSED_SCHEMA)
+    def parse_html_pagebase(
+        html: pd.Series, seed_url: pd.Series, page_url: pd.Series
+    ) -> pd.DataFrame:
+        return _run(html, seed_url, page_url)
+
+    return parse_html_pagebase
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)

@@ -1,0 +1,162 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+These extend the engine beyond the reference's operator set (the reference
+stores raw HTML and a title only) with the column-level text ops a 100 TB
+webtext pipeline needs: token counting, quality scoring, fingerprinting,
+language ID. Everything that can stay JVM-side (whole-stage codegen) is a
+Column expression built from ``pyspark.sql.functions``; only language ID —
+inherently a lookup-table kernel — drops to an Arrow-batched pandas UDF.
+
+Each Column-returning function documents its exact ANSI-SQL equivalent so
+`__spark_entry__.oracle_sql()` can mirror it in DuckDB verbatim.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# token counting (JVM)
+# ---------------------------------------------------------------------------
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count. SQL: ``CASE WHEN length(trim(x))=0 THEN 0
+    ELSE array_length(string_split_regex(trim(x), '\\s+')) END``."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("int")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count of word pieces + isolated punctuation
+    (regex ``\\w+|[^\\w\\s]``). SQL: ``length(regexp_extract_all(x,
+    '\\w+|[^\\w\\s]'))``."""
+    return F.regexp_count(col, F.lit(r"\w+|[^\w\s]")).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (JVM)
+# ---------------------------------------------------------------------------
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Share of alphabetic characters. SQL: ``length(regexp_replace(x,
+    '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(length(x), 1)``."""
+    return (
+        F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+        / F.greatest(F.length(col), F.lit(1))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Share of punctuation characters (.,;:!?). SQL analog with the same
+    character class."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?]", ""))
+    ) * 1.0 / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    """Mean whitespace-token length. SQL: ``length(regexp_replace(trim(x),
+    '\\s+', '', 'g')) * 1.0 / greatest(token_count, 1)``."""
+    t = F.trim(col)
+    return F.length(F.regexp_replace(t, r"\s+", "")) * 1.0 / F.greatest(
+        token_count(col), F.lit(1)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic combining length, alpha ratio
+    and mean word length — the standard cheap pre-filter shape used by
+    webtext pipelines (length cutoffs + symbol ratios). Fully JVM-side and
+    SQL-mirrorable:
+
+    ``least(1.0, token_count/100.0) * alpha_ratio *
+    (1.0 - least(1.0, abs(mean_word_len - 5.0) / 5.0))``
+    """
+    length_term = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+    word_term = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(mean_word_len(col) - F.lit(5.0)) / F.lit(5.0)
+    )
+    return length_term * alpha_ratio(col) * word_term
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting (JVM)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim. SQL:
+    ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup document fingerprint: md5 of normalized text (md5 exists
+    identically in DuckDB, so the oracle can reproduce byte-for-byte)."""
+    return F.md5(normalized_text(col))
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: minimum md5 over word ``window``-grams
+    of the normalized text — robust to local edits, still JVM-side.
+    SQL mirror uses the same transform/aggregate shape over
+    ``string_split``."""
+    words = F.split(normalized_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, window), " ")
+    )
+    return F.array_min(F.transform(grams, F.md5))
+
+
+# ---------------------------------------------------------------------------
+# language ID (Arrow UDF — lookup-table kernel)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language marker profiles: high-frequency function words. A real
+# deployment swaps in a trained n-gram model; the *Spark shape* (broadcast
+# profile + Arrow batch scoring) is the part that matters at scale.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if".split()),
+    "de": frozenset("der die das und ist ich nicht es sie du wir ihr ein eine zu von mit auf für als auch an werden sich des dem den einer über so zum war haben nur oder aber vor bei".split()),
+    "es": frozenset("el la los las de que y en un una es no por con para su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre también me hasta hay donde".split()),
+    "fr": frozenset("le la les de des et est un une du que qui dans en au pour pas sur ne se ce il elle nous vous ils par plus avec tout être avoir je tu son sa ses mais ou où".split()),
+    "uk": frozenset("і в на не з що до як це за від так але для або коли вже році був була було..".split()),
+}
+
+
+def make_lang_id_udf(default: str = "und"):
+    """Pandas UDF ``text -> lang``: scores whitespace tokens against the
+    broadcast marker profiles; ties and no-hit default to ``und``."""
+
+    @F.pandas_udf(StringType())
+    def lang_id(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not t:
+                out.append(default)
+                continue
+            toks = t.lower().split()
+            if not toks:
+                out.append(default)
+                continue
+            best, best_score = default, 0.0
+            for lang, markers in _LANG_MARKERS.items():
+                hits = sum(1 for w in toks if w in markers)
+                score = hits / math.sqrt(len(toks))
+                if score > best_score:
+                    best, best_score = lang, score
+            out.append(best if best_score > 0 else default)
+        return pd.Series(out)
+
+    return lang_id

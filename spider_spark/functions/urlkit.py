@@ -1,0 +1,194 @@
+"""Pure-Python URL kernel reproducing the yarl semantics the reference relies on.
+
+The reference keys its seen-set and results table on ``yarl.URL`` objects
+(use_cache.py:14,22-24; crawler.py:146-153) and stores two string forms:
+
+* ``str(URL(x))`` — the results-table ``url`` key (postgres_database.py:117,
+  confirmed by test_db_ops_controller.py:144-148: saving
+  ``URL('https://example.com')`` logs ``#1 https://example.com | ...``).
+* ``URL(x).human_repr()`` — the ``parent`` column (crawler.py:108,
+  db_ops_controller.py:59: ``parent=https://example.com/`` — note the
+  trailing slash that ``human_repr`` adds for an empty path).
+
+yarl is not installed in this sandbox, so this module re-implements the
+subset of its behavior the crawl semantics observe: parse, scheme default
+(crawler.py:51-52), ``query_string`` (crawler.py:148-149), ``is_absolute``
++ RFC-3986 ``join`` (crawler.py:150-151), equality against the seed
+(crawler.py:152-153), ``host`` (html_file_writer.py:58-62), and the two
+string forms above. Everything is plain-function + numpy/pandas friendly so
+the pandas UDFs in :mod:`spider_spark.functions.parse` can vectorize over it.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+from urllib.parse import quote, unquote, urljoin, urlsplit
+
+import pandas as pd
+
+# yarl percent-encodes a conservative set; our synthetic corpora are ASCII,
+# so we normalize with stdlib quote using yarl-compatible safe sets.
+_PATH_SAFE = "/@:!$&'()*+,;=~.-_"
+_QUERY_SAFE = "/@:!$&'()*+,;=~.-_?"
+
+
+@dataclass(frozen=True)
+class CanonURL:
+    """Parsed, normalized URL. Equality == normalized-string equality,
+    mirroring yarl URL equality (absolute URLs with distinct paths are
+    distinct: ``https://a.com`` != ``https://a.com/``)."""
+
+    scheme: str
+    host: str
+    port: int | None
+    path: str
+    query: str
+    fragment: str
+
+    # -- construction -------------------------------------------------
+
+    @staticmethod
+    def parse(raw: str) -> "CanonURL":
+        parts = urlsplit(raw.strip())
+        scheme = parts.scheme.lower()
+        host = (parts.hostname or "").lower()
+        port = parts.port
+        # drop default ports like yarl does
+        if (scheme == "http" and port == 80) or (scheme == "https" and port == 443):
+            port = None
+        path = quote(unquote(parts.path), safe=_PATH_SAFE)
+        query = quote(unquote(parts.query), safe=_QUERY_SAFE) if parts.query else ""
+        fragment = parts.fragment
+        return CanonURL(scheme, host, port, path, query, fragment)
+
+    @staticmethod
+    def seed(raw: str) -> "CanonURL":
+        """Seed normalization: prefix ``https://`` when no http(s) scheme,
+        exactly as crawler.py:51-52 (``if not start_url.startswith('http')``)."""
+        if not raw.startswith("http"):
+            raw = f"https://{raw}"
+        return CanonURL.parse(raw)
+
+    # -- predicates the crawl filters use ------------------------------
+
+    @property
+    def is_absolute(self) -> bool:
+        return bool(self.host)
+
+    @property
+    def query_string(self) -> str:
+        return self.query
+
+    def join(self, href: str) -> "CanonURL":
+        """RFC-3986 resolution (yarl ``URL.join`` delegates to the same
+        algorithm). The *caller* decides the base: the reference joins
+        against the **seed**, not the current page (quirk Q1,
+        crawler.py:150-151)."""
+        return CanonURL.parse(urljoin(str(self), href))
+
+    # -- string forms ---------------------------------------------------
+
+    def __str__(self) -> str:  # yarl str(): empty path stays empty
+        netloc = self.host if self.port is None else f"{self.host}:{self.port}"
+        s = f"{self.scheme}://{netloc}{self.path}"
+        if self.query:
+            s += f"?{self.query}"
+        if self.fragment:
+            s += f"#{self.fragment}"
+        return s
+
+    def human_repr(self) -> str:
+        """yarl ``human_repr``: percent-decoded, path defaults to ``/``
+        (db_ops_controller.py:59 + test_db_ops_controller.py:141 show
+        ``https://example.com`` → ``https://example.com/``)."""
+        netloc = self.host if self.port is None else f"{self.host}:{self.port}"
+        path = unquote(self.path) or "/"
+        s = f"{self.scheme}://{netloc}{path}"
+        if self.query:
+            s += f"?{unquote(self.query)}"
+        if self.fragment:
+            s += f"#{self.fragment}"
+        return s
+
+
+# ---------------------------------------------------------------------------
+# plain-function forms (what the pandas UDFs call in a tight loop)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize(raw: str) -> str:
+    """Normalized str-form of a URL — the engine's canonical key."""
+    return str(CanonURL.parse(raw))
+
+
+def seed_canonicalize(raw: str) -> str:
+    return str(CanonURL.seed(raw))
+
+
+def seed_human_repr(raw: str) -> str:
+    return CanonURL.seed(raw).human_repr()
+
+
+def url_host(canon: str) -> str:
+    return CanonURL.parse(canon).host
+
+
+def content_ref(canon_url: str) -> str:
+    """Deterministic blob name (deviation D1): the reference names files
+    ``{host with . → _}_{uuid4}.html`` (html_file_writer.py:58-62); uuid4
+    breaks reproducibility, so the engine uses uuid5(NAMESPACE_URL, url)."""
+    host = url_host(canon_url)
+    return f"{host.replace('.', '_')}_{uuid.uuid5(uuid.NAMESPACE_URL, canon_url)}.html"
+
+
+def make_host_udf():
+    """Arrow-batched ``canon_url -> host`` (vectorized; never row-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def host_udf(url: pd.Series) -> pd.Series:
+        return url.map(url_host)
+
+    return host_udf
+
+
+def make_content_ref_udf():
+    """Arrow-batched ``canon_url -> content_ref`` (deviation D1 naming)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def ref_udf(url: pd.Series) -> pd.Series:
+        return url.map(content_ref)
+
+    return ref_udf
+
+
+def generate_refs(
+    hrefs: list[str],
+    seed: CanonURL,
+    resolve_base: CanonURL | None = None,
+) -> list[str]:
+    """Reference link pipeline (crawler.py:140-155), in document order:
+
+    * missing href already dropped upstream (KeyError → continue, :154-155)
+    * drop links with a query string (:148-149)
+    * resolve relative hrefs against the **seed** (:150-151, quirk Q1) —
+      pass ``resolve_base`` to use the correct current-page base instead
+    * drop the link when it equals the seed (:152-153)
+
+    Returns canonical str-forms.
+    """
+    base = resolve_base if resolve_base is not None else seed
+    seed_s = str(seed)
+    out: list[str] = []
+    for href in hrefs:
+        u = CanonURL.parse(href)
+        if u.query_string:
+            continue
+        if not u.is_absolute:
+            u = base.join(href)
+        s = str(u)
+        if s != seed_s:
+            out.append(s)
+    return out

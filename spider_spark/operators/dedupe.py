@@ -1,0 +1,361 @@
+"""Document deduplication suite for training-data pipelines.
+
+Four dedup families over a ``documents(doc_id, text, ...)`` table, each
+expressed with JVM-side Column expressions (no Python in the hot path) and
+each paired with a DuckDB-SQL mirror built from the *same constants*, so
+the driver's oracle can verify them value-for-value:
+
+* exact dedup — md5 fingerprint of normalized text (hash-groupBy);
+* n-gram Jaccard — word-shingle explode + shingle-key join; exact
+  similarity, quadratic only within shingle buckets;
+* MinHash + LSH — 32 seeded linear permutations over a shared 60-bit md5
+  base hash, banded into buckets; candidate pairs = same (band, bucket).
+  The permutation constants live in this module and are embedded into both
+  the Spark plan and the oracle SQL;
+* SimHash — 60-bit sign-aggregated token hash; near-dup pairs via 15-bit
+  band buckets confirmed by hamming distance.
+
+Scale notes: every family is shuffle-bounded by its key (fingerprint,
+shingle, band-bucket), never all-pairs; the LSH band join is the standard
+10^9-document design (shingle→minhash→band→bucket-join). Skewed buckets
+(boilerplate shingles) are capped via a bucket-size limit before the
+pair-join, the same guard production near-dup pipelines use.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.functions.text import normalized_text
+
+# -- shared hashing (identical in Spark and DuckDB) --------------------------
+
+_P31 = 2147483647  # 2^31 - 1; keeps a*h+b inside signed 64-bit on both engines
+_K_PERMS = 32
+_N_BANDS = 8  # 4 rows/band → LSH threshold ≈ (1/8)^(1/4) ≈ 0.59 Jaccard
+_rng = random.Random(42)
+PERM_A = [_rng.randrange(1, _P31) for _ in range(_K_PERMS)]
+PERM_B = [_rng.randrange(0, _P31) for _ in range(_K_PERMS)]
+
+SIMHASH_BITS = 60
+
+
+def md5_60(col: Column) -> Column:
+    """60-bit integer hash both engines compute identically.
+    SQL: ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+NORM_SQL = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents: one row per
+    duplicated fingerprint with the group's member count and canonical
+    (minimum) id. Pure hash-groupBy — one shuffle on the fingerprint."""
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    return (
+        docs.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word ``n``-gram shingles per document, exploded to
+    ``(id, shingle)`` rows. Documents shorter than ``n`` words yield their
+    whole text as the single shingle."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def shingles_sql(n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                 table: str = "documents") -> str:
+    """DuckDB mirror of :func:`shingles` (same normalization, same grams)."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    SELECT {id_col}, unnest(list_distinct(sh)) AS shingle FROM (
+      SELECT {id_col},
+             [array_to_string(words[i:i+{n - 1}], ' ')
+              FOR i IN range(1, greatest(len(words) - {n - 1}, 1) + 1)] AS sh
+      FROM (SELECT {id_col}, string_split({norm}, ' ') AS words FROM {table})
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_bucket: int = 1000) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Plan shape: shingle explode → join on the shingle key (pairs only form
+    inside a shingle's bucket) → group by pair → exact ``|∩| / |A|+|B|-|∩|``.
+    ``max_bucket`` drops degenerate boilerplate shingles shared by more
+    than that many docs (skew guard: a shingle in B docs makes B² join
+    rows)."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("b")).filter(
+        F.col("b") > max_bucket
+    )
+    sh = sh.join(F.broadcast(hot.select("shingle")), on="shingle", how="left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+                   on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+              on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs_sql(threshold: float = 0.5, n: int = 3, table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int = 1000) -> str:
+    sh = shingles_sql(n=n, id_col=id_col, text_col=text_col, table=table)
+    return f"""
+    WITH sh AS ({sh}),
+    ok AS (SELECT * FROM sh WHERE shingle NOT IN (
+       SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {max_bucket})),
+    sizes AS (SELECT {id_col} AS id, count(*) AS sz FROM ok GROUP BY {id_col}),
+    inter AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS n_common
+      FROM ok a JOIN ok b USING (shingle)
+      WHERE a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document MinHash signature: for each of the 32 permutations
+    ``(a_i * h30(shingle) + b_i) mod (2^31-1)``, the minimum over the
+    document's shingles. 32 map-side-combinable ``min`` aggregates — one
+    shuffle keyed by document."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    h30 = (md5_60(F.col("shingle")) % _P31).alias("h30")
+    hashed = sh.select(F.col(id_col), h30)
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * F.col("h30") + F.lit(PERM_B[i])) % _P31).alias(f"mh{i}")
+        for i in range(_K_PERMS)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text", max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate *candidate* pairs: documents whose signatures collide
+    in at least one of the 8 bands (4 rows each). Buckets larger than
+    ``max_bucket`` are dropped (skew guard)."""
+    sig = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
+    rows_per = _K_PERMS // _N_BANDS
+    bands = []
+    for b in range(_N_BANDS):
+        cols = [f"mh{b * rows_per + j}" for j in range(rows_per)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    hot = banded.groupBy("band", "bucket").agg(F.count("*").alias("c")).filter(
+        F.col("c") > max_bucket
+    )
+    banded = banded.join(F.broadcast(hot.select("band", "bucket")),
+                         on=["band", "bucket"], how="left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(n: int = 3, table: str = "documents",
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_bucket: int = 200) -> str:
+    sh = shingles_sql(n=n, id_col=id_col, text_col=text_col, table=table)
+    mins = ",\n      ".join(
+        f"min(({PERM_A[i]}::BIGINT * h30 + {PERM_B[i]}) % {_P31}) AS mh{i}"
+        for i in range(_K_PERMS)
+    )
+    rows_per = _K_PERMS // _N_BANDS
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT {id}, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            id=id_col,
+            b=b,
+            cat="||','||".join(
+                f"mh{b * rows_per + j}::VARCHAR" for j in range(rows_per)
+            ),
+        )
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH sh AS ({sh}),
+    hashed AS (SELECT {id_col}, {md5_60_sql('shingle')} % {_P31} AS h30 FROM sh),
+    sig AS (SELECT {id_col},
+      {mins}
+      FROM hashed GROUP BY {id_col}),
+    banded_all AS (
+      {band_selects}
+    ),
+    banded AS (
+      SELECT * FROM banded_all WHERE (band, bucket) NOT IN (
+        SELECT (band, bucket) FROM banded_all GROUP BY band, bucket
+        HAVING count(*) > {max_bucket})
+    )
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+    FROM banded a JOIN banded b USING (band, bucket)
+    WHERE a.{id_col} < b.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document: each token occurrence votes ±1 on every
+    bit of its 60-bit hash; the sign of each bit's sum forms the
+    fingerprint. 60 conditional-sum aggregates, one doc-keyed shuffle."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", md5_60(F.col("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    summed = toks.groupBy(id_col).agg(*bit_aggs)
+    sh = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term
+    return summed.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    norm = NORM_SQL.format(x=text_col)
+    sums = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest(string_split({norm}, ' ')) AS tok FROM {table}
+    ),
+    hashed AS (SELECT {id_col}, {md5_60_sql('tok')} AS h FROM toks),
+    summed AS (SELECT {id_col}, {sums} FROM hashed GROUP BY {id_col})
+    SELECT {id_col}, {bits} AS simhash FROM summed
+    """
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: 15-bit band buckets (any pair within
+    hamming ≤ 3 of a 60-bit hash must agree on at least one of 4 bands),
+    confirmed with an exact ``bit_count(xor)`` check."""
+    sh = simhash(docs, id_col=id_col, text_col=text_col)
+    bands = None
+    for b in range(4):
+        part = sh.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 15).bitwiseAND(0x7FFF).alias("bucket"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

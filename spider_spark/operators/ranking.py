@@ -1,0 +1,67 @@
+"""Scalable deterministic ranking (L2 analog).
+
+The reference's only ordering is insertion order, presented as ``#N url |
+title`` (db_ops_controller.py:60-65, record.py:19-36). The engine needs a
+deterministic **total admission order** for parity (which URL was admitted
+first decides nothing in the reference only because its async timing is
+racy — quirk Q2; we pin BFS order: round, then (parent_rank, link_pos)).
+
+A naive ``row_number().over(Window.orderBy(...))`` collapses the whole
+frontier onto one task. This module ranks in two passes instead:
+
+1. range-repartition on the order key + sort within partitions,
+2. count rows per partition (one tiny job), broadcast the prefix offsets,
+   and add ``offset + local row_number`` with a per-partition window.
+
+Each partition ranks independently — no single-task global sort — which is
+what a 10^10-row frontier needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based global rank column ordered by ``order_cols``
+    (which must be a strict total order — no ties). ``start`` offsets the
+    rank (continuing a cross-round running counter)."""
+    sc = df.sparkSession.sparkContext
+    parts = num_partitions or sc.defaultParallelism
+    # Callers should pass a materialized (cached/checkpointed) df: this plan
+    # is evaluated twice (size-count job + final projection), and Spark's
+    # range partitioner is deterministic for identical input, so the two
+    # evaluations agree without persisting here.
+    parted = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offmap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        parted.withColumn(
+            rank_col,
+            (F.coalesce(offmap[F.col("__pid")], F.lit(0)) + F.row_number().over(w) - 1
+             ).cast("long"),
+        )
+        .drop("__pid")
+    )
+    return out

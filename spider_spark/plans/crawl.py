@@ -1,0 +1,416 @@
+"""The crawl plan: level-synchronous BFS frontier rounds (SURVEY I1/§3.1).
+
+The reference's flagship entry is ``crawl URL --depth N`` — a recursive
+asyncio expansion (``load(url, level)``, crawler.py:93-119) with a shared
+seen-set (use_cache.py:14), fire-and-forget persistence (crawler.py:106-112)
+and racy admission order (quirk Q2). This engine re-expresses it as a
+driver-side loop of DataFrame jobs, one **round** per BFS level:
+
+    frontier(r) ──schedule──▶ eligible ──fetch-join──▶ pages hit/miss
+       ▲                                     │ parse UDF (Arrow)
+       │                                     ▼
+    carryover ◀──────────── explode links ──▶ results(r)  (append)
+       │                         │
+       │              min-depth intra-round dedupe (Q2 pinned: BFS)
+       │                         │
+       │              bloom prefilter + exact anti-join vs seen  (D1/H3)
+       │                         │
+       └──────── union ◀── rank admissions (depth, parent_rank, link_pos)
+
+Scale notes (the parts that must survive 1000 executors × 100 TB):
+
+* **fetch-join direction** — the frontier round is small relative to the
+  pages table, so the engine broadcasts the *frontier* and streams the
+  pages scan map-side (inner broadcast join + broadcast anti-join for the
+  misses). The 100 TB side is never shuffled. Above a threshold it falls
+  back to a key-bucketed sort-merge join.
+* **no global sorts** — admission ranks come from the two-phase range
+  ranking in :mod:`spider_spark.operators.ranking`.
+* **lineage is cut every round** — either a durable TableIO snapshot commit
+  (atomic, resumable: E6 analog) or an eager ``localCheckpoint``.
+* **counters** — reference counters (crawler.py:61-62,87-90) map to per
+  round metrics rows: ``total_calls`` ≡ admitted URLs (the cache admits
+  before the fetch, use_cache.py:22-24, so failures still count —
+  crawler.py:98), ``successful_crawls`` ≡ fetch-join hits (crawler.py:101).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spider_spark.functions.parse import make_parse_udf
+from spider_spark.functions.urlkit import CanonURL, make_content_ref_udf, make_host_udf
+from spider_spark.operators.bloom import BloomFilter, build_bloom, filter_unseen
+from spider_spark.operators.politeness import RobotsRules, schedule
+from spider_spark.operators.ranking import with_global_rank
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("seed", T.StringType(), False),
+        T.StructField("parent", T.StringType(), False),
+        T.StructField("admission_rank", T.LongType(), False),
+        T.StructField("round_admitted", T.IntegerType(), False),
+    ]
+)
+
+RESULTS_COLUMNS = [
+    "url", "title", "parent", "content_ref", "depth", "crawl_round",
+    "admission_rank", "fetched",
+]
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Engine knobs (reference CLI surface: cli.py:62-98 + config.ini)."""
+
+    depth: int = 1                  # --depth (cli.py:64-66)
+    budget: int | None = None       # per-host per-round; None ≡ reference Q4 no-op
+    overwrite: bool = True          # --no-overwrite → False (cli.py:84-88)
+    resolve_base: str = "seed"      # Q1 parity; "page" = corrected base
+    use_bloom: bool = True
+    bloom_fpp: float = 0.01
+    bloom_capacity: int = 1_000_000  # total expected seen URLs (fixed bit width)
+    salt: int = 8                   # politeness salting factor (H4)
+    broadcast_threshold: int = 2_000_000  # frontier rows; above → SMJ fetch-join
+    durable: bool = False           # checkpoint rounds via TableIO (resume)
+    max_rounds: int | None = None
+    verify_text: bool = True        # enforce byte-identical text invariant
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    admitted: int       # total_calls delta (crawler.py:98)
+    fetched: int        # successful_crawls delta (crawler.py:101)
+    new_links: int
+    carryover: int
+    blocked: int
+    elapsed_sec: float
+
+
+@dataclass
+class CrawlResult:
+    results: DataFrame
+    seen: DataFrame
+    metrics: list[RoundMetrics] = field(default_factory=list)
+
+    @property
+    def total_calls(self) -> int:
+        return sum(m.admitted for m in self.metrics)
+
+    @property
+    def successful_crawls(self) -> int:
+        return sum(m.fetched for m in self.metrics)
+
+    def catch(self, parent_url: str, limit: int = 10) -> DataFrame:
+        """P1: ``SELECT url,title WHERE parent=? LIMIT n``
+        (postgres_database.py:144-160; parent key is the seed's human_repr,
+        db_ops_controller.py:59), presented in admission order (L2)."""
+        parent = CanonURL.seed(parent_url).human_repr()
+        return (
+            self.results.filter(F.col("fetched") & (F.col("parent") == F.lit(parent)))
+            .orderBy("admission_rank")
+            .select("url", "title")
+            .limit(limit)
+        )
+
+    def count_all(self) -> int:
+        """A1 (postgres_database.py:184-200): saved rows = fetched pages
+        (failed downloads are never saved, crawler.py:102-104)."""
+        return self.results.filter(F.col("fetched")).count()
+
+
+class CrawlEngine:
+    """Iterative frontier crawler over a pages table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        config: CrawlConfig | None = None,
+        io=None,  # TableIO; required when config.durable
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.config = config or CrawlConfig()
+        self.io = io
+        self.rules = RobotsRules.from_df(robots)
+        if self.config.durable and io is None:
+            raise ValueError("durable crawl requires a TableIO")
+
+    # -- frontier bootstrap -------------------------------------------------
+
+    def _seed_frontier(self, seeds: list[str]) -> DataFrame:
+        rows = []
+        for rank, raw in enumerate(seeds):
+            cu = CanonURL.seed(raw)  # scheme default, crawler.py:51-52
+            rows.append(
+                (str(cu), cu.host, 0, str(cu), cu.human_repr(), rank, 0)
+            )
+        return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+    # -- the round loop -------------------------------------------------------
+
+    def crawl(self, seeds: str | list[str]) -> CrawlResult:
+        if isinstance(seeds, str):
+            seeds = [seeds]
+        frontier = self._seed_frontier(seeds).localCheckpoint(eager=True)
+        seen = frontier.select("canon_url", "depth", "admission_rank").localCheckpoint(
+            eager=True
+        )
+        next_rank = len(seeds)
+        results_parts: list[DataFrame] = []
+        metrics: list[RoundMetrics] = []
+        bloom = (
+            BloomFilter(*BloomFilter.sized_for(self.config.bloom_capacity, self.config.bloom_fpp))
+            if self.config.use_bloom
+            else None
+        )
+        if bloom is not None:
+            self._bloom_add(bloom, seen)
+
+        r = 0
+        state = _RoundState(frontier, seen, next_rank, r)
+        while True:
+            state, round_results, m = self._run_round(state, bloom)
+            results_parts.append(round_results)
+            metrics.append(m)
+            if self.config.durable:
+                self._checkpoint(state, round_results, m)
+            if state.frontier_count == 0:
+                break
+            if self.config.max_rounds is not None and state.round >= self.config.max_rounds:
+                break
+
+        results = results_parts[0]
+        for p in results_parts[1:]:
+            results = results.unionByName(p)
+        results = results.localCheckpoint(eager=True)
+        return CrawlResult(results=results, seen=state.seen, metrics=metrics)
+
+    # -- internals -------------------------------------------------------------
+
+    def _bloom_add(self, bloom: BloomFilter, df: DataFrame) -> None:
+        partial = build_bloom(df, "canon_url", expected=self.config.bloom_capacity,
+                              fpp=self.config.bloom_fpp)
+        bloom.union_inplace(partial)
+
+    def _run_round(self, state: "_RoundState", bloom: BloomFilter | None):
+        t0 = time.perf_counter()
+        cfg = self.config
+        r = state.round
+
+        eligible, carryover, blocked = schedule(
+            state.frontier, cfg.budget, self.rules, salt=cfg.salt
+        )
+        eligible = eligible.localCheckpoint(eager=True)
+        n_eligible = eligible.count()
+        n_blocked = blocked.count()
+
+        # ---- fetch-join (S2): frontier ⋈ pages; miss ≡ failed download ----
+        pages_cols = self.pages.select(
+            F.col("url").alias("canon_url"), "html",
+            *(["text"] if cfg.verify_text else []),
+        )
+        if n_eligible <= cfg.broadcast_threshold:
+            # broadcast the small frontier; the pages scan is map-side only
+            hits = pages_cols.join(F.broadcast(eligible), on="canon_url", how="inner")
+            misses = eligible.join(
+                F.broadcast(hits.select("canon_url")), on="canon_url", how="left_anti"
+            )
+        else:
+            joined = eligible.join(pages_cols, on="canon_url", how="left")
+            hits = joined.filter(F.col("html").isNotNull())
+            misses = joined.filter(F.col("html").isNull()).drop(
+                "html", *( ["text"] if cfg.verify_text else [])
+            )
+
+        parse_udf = make_parse_udf(cfg.resolve_base)
+        parse_args = (
+            (F.col("html"), F.col("seed"))
+            if cfg.resolve_base == "seed"
+            else (F.col("html"), F.col("seed"), F.col("canon_url"))
+        )
+        parsed = hits.withColumn("p", parse_udf(*parse_args)).localCheckpoint(eager=True)
+        n_fetched = parsed.count()
+
+        if cfg.verify_text and n_fetched:
+            bad = parsed.filter(F.col("p.text") != F.col("text")).count()
+            if bad:
+                raise AssertionError(
+                    f"text invariant violated on {bad} rows in round {r}: "
+                    "parsed text != pages.text"
+                )
+
+        # ---- results batch (S3 analog; reference saves only successes) ----
+        ref_udf = make_content_ref_udf()
+        fetched_rows = parsed.select(
+            F.col("canon_url").alias("url"),
+            F.col("p.title").alias("title"),
+            F.col("parent"),
+            ref_udf(F.col("canon_url")).alias("content_ref"),
+            F.col("depth"),
+            F.lit(r).alias("crawl_round"),
+            F.col("admission_rank"),
+            F.lit(True).alias("fetched"),
+        )
+        miss_rows = misses.select(
+            F.col("canon_url").alias("url"),
+            F.lit(None).cast("string").alias("title"),
+            F.col("parent"),
+            F.lit(None).cast("string").alias("content_ref"),
+            F.col("depth"),
+            F.lit(r).alias("crawl_round"),
+            F.col("admission_rank"),
+            F.lit(False).alias("fetched"),
+        )
+        round_results = fetched_rows.unionByName(miss_rows).localCheckpoint(eager=True)
+
+        # ---- expansion (X2/I1): pages below the depth bound emit links ----
+        expanding = parsed.filter(F.col("depth") < cfg.depth)
+        links = expanding.select(
+            F.col("seed"),
+            F.col("parent"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("admission_rank").alias("parent_rank"),
+            F.posexplode(F.col("p.links")).alias("link_pos", "canon_url"),
+        )
+        # intra-round min-depth dedupe (Q2 pinned deterministic)
+        candidates = links.groupBy("canon_url").agg(
+            F.min(F.struct("depth", "parent_rank", "link_pos", "seed", "parent")).alias("m")
+        ).select(
+            "canon_url",
+            F.col("m.depth").alias("depth"),
+            F.col("m.parent_rank").alias("parent_rank"),
+            F.col("m.link_pos").alias("link_pos"),
+            F.col("m.seed").alias("seed"),
+            F.col("m.parent").alias("parent"),
+        )
+
+        # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
+        new = filter_unseen(candidates, "canon_url", state.seen, bloom)
+        new = new.localCheckpoint(eager=True)
+        n_new = new.count()
+
+        if n_new:
+            ranked = with_global_rank(
+                new, ["depth", "parent_rank", "link_pos"], "admission_rank",
+                start=state.next_rank,
+            )
+            host_udf = make_host_udf()
+            admitted = ranked.select(
+                "canon_url",
+                host_udf(F.col("canon_url")).alias("host"),
+                "depth",
+                "seed",
+                "parent",
+                "admission_rank",
+                F.lit(r + 1).alias("round_admitted"),
+            ).localCheckpoint(eager=True)
+            seen = state.seen.unionByName(
+                admitted.select("canon_url", "depth", "admission_rank")
+            ).localCheckpoint(eager=True)
+            if bloom is not None:
+                self._bloom_add(bloom, admitted.select("canon_url"))
+            frontier = admitted.unionByName(carryover).localCheckpoint(eager=True)
+        else:
+            seen = state.seen
+            frontier = carryover.localCheckpoint(eager=True)
+
+        n_carry = frontier.count() - n_new
+        # admitted: URLs newly entered into the seen set this round — the
+        # cache admits before the fetch (use_cache.py:22-24), so failures
+        # and carryover never re-count (crawler.py:98 fires once per URL).
+        # Round 0 additionally accounts for the seeds admitted at bootstrap.
+        m = RoundMetrics(
+            round=r,
+            admitted=(state.next_rank if r == 0 else 0) + n_new,
+            fetched=n_fetched,
+            new_links=n_new,
+            carryover=n_carry,
+            blocked=n_blocked,
+            elapsed_sec=time.perf_counter() - t0,
+        )
+        new_state = _RoundState(
+            frontier=frontier,
+            seen=seen,
+            next_rank=state.next_rank + n_new,
+            round=r + 1,
+            frontier_count=n_new + n_carry,
+        )
+        return new_state, round_results, m
+
+    # -- durable checkpointing (E6 analog) -----------------------------------
+
+    def _checkpoint(self, state: "_RoundState", round_results: DataFrame,
+                    m: RoundMetrics) -> None:
+        io = self.io
+        io.commit_overwrite("frontier", state.frontier, bucket_by="canon_url")
+        io.commit_overwrite("seen", state.seen, bucket_by="canon_url")
+        if io.exists("results"):
+            io.append("results", round_results)
+        else:
+            io.create("results", round_results)
+        mrow = self.spark.createDataFrame(
+            [(m.round, m.admitted, m.fetched, m.new_links, m.carryover, m.blocked,
+              m.elapsed_sec)],
+            "round int, admitted long, fetched long, new_links long, carryover long, "
+            "blocked long, elapsed_sec double",
+        )
+        io.append(
+            "metrics", mrow,
+            meta={"round": m.round, "next_rank": state.next_rank,
+                  "done": state.frontier_count == 0},
+        )
+
+    def resume(self) -> CrawlResult:
+        """Continue a killed durable crawl from its last committed round.
+        The metrics commit is the round's atomic completion marker; a kill
+        between table commits within a round just replays that round."""
+        io = self.io
+        meta = io.latest_meta("metrics")
+        if not meta:
+            raise ValueError("nothing to resume: no committed rounds")
+        frontier = io.read("frontier").localCheckpoint(eager=True)
+        seen = io.read("seen").localCheckpoint(eager=True)
+        bloom = None
+        if self.config.use_bloom:
+            bloom = BloomFilter(
+                *BloomFilter.sized_for(self.config.bloom_capacity, self.config.bloom_fpp)
+            )
+            self._bloom_add(bloom, seen)
+        state = _RoundState(
+            frontier=frontier, seen=seen, next_rank=meta["next_rank"],
+            round=meta["round"] + 1, frontier_count=frontier.count(),
+        )
+        metrics: list[RoundMetrics] = [
+            RoundMetrics(**{k: row[k] for k in (
+                "round", "admitted", "fetched", "new_links", "carryover", "blocked",
+                "elapsed_sec")})
+            for row in io.read("metrics").orderBy("round").collect()
+        ]
+        while state.frontier_count > 0 and not meta.get("done"):
+            state, round_results, m = self._run_round(state, bloom)
+            metrics.append(m)
+            self._checkpoint(state, round_results, m)
+            if self.config.max_rounds is not None and state.round >= self.config.max_rounds:
+                break
+        return CrawlResult(results=io.read("results"), seen=state.seen, metrics=metrics)
+
+
+@dataclass
+class _RoundState:
+    frontier: DataFrame
+    seen: DataFrame
+    next_rank: int
+    round: int
+    frontier_count: int = -1

@@ -1,0 +1,331 @@
+"""TableIO — the engine's table/catalog layer (SURVEY.md E1/E4, hard item H1).
+
+The reference's persistence surface is an abstract DAO
+(base_database.py:11-90: connect/save/get/count_all/update/drop_table/
+create_table) with a Postgres ``INSERT … ON CONFLICT DO UPDATE`` upsert
+keyed on the unique ``url`` column (postgres_database.py:104-142, constraint
+schema.py:21). Here that surface becomes a table-format interface with two
+backends:
+
+* :class:`IcebergTableIO` — used when an Iceberg catalog is configured on
+  the session (``spark.sql.catalog.*``); upsert is a real ``MERGE INTO``
+  and commits/snapshots/time-travel come from Iceberg itself. This is the
+  100 TB path: hidden-partitioned ``bucket(N, url)`` tables, partition-level
+  rewrite on merge.
+* :class:`ParquetManifestIO` — offline fallback (no Iceberg jar ships with
+  local PySpark and this sandbox has no network): versioned parquet
+  directories plus a JSON manifest committed by atomic ``os.replace``. It
+  provides the same properties the engine needs — atomic per-round commit,
+  snapshot lineage, kill-anywhere resume (E6 analog: the reference wraps
+  the crawl in ``DelayedKeyboardInterrupt``, delayed_kb_interrupt.py:9-28;
+  we instead make every round commit atomic so interruption is safe at any
+  point).
+
+Merge semantics replicate U1 (postgres_database.py:162-182): ``title`` and
+``parent`` always update on conflict; ``content_ref`` (the blob pointer) is
+replaced only when ``overwrite=True``, else the old pointer is kept
+(``--no-overwrite``, cli.py:84-88).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_spark.errors import TableAlreadyExistsError, TableNotFoundError
+
+
+class TableIO(ABC):
+    """Catalog-agnostic table operations the engine plans against."""
+
+    @abstractmethod
+    def exists(self, name: str) -> bool: ...
+
+    @abstractmethod
+    def read(self, name: str) -> DataFrame: ...
+
+    @abstractmethod
+    def commit_overwrite(self, name: str, df: DataFrame, *, bucket_by: str | None = None,
+                         buckets: int = 32, meta: dict | None = None) -> None: ...
+
+    @abstractmethod
+    def append(self, name: str, df: DataFrame, *, meta: dict | None = None) -> None: ...
+
+    @abstractmethod
+    def merge_upsert(self, name: str, batch: DataFrame, *, key: str = "url",
+                     overwrite: bool = True, keep_on_match: tuple[str, ...] = ("content_ref",),
+                     ) -> None: ...
+
+    @abstractmethod
+    def count(self, name: str) -> int: ...
+
+    @abstractmethod
+    def drop(self, name: str, *, check_first: bool = True) -> None: ...
+
+    @abstractmethod
+    def create(self, name: str, df: DataFrame, *, check_first: bool = True) -> None: ...
+
+
+class ParquetManifestIO(TableIO):
+    """Versioned-parquet tables with an atomically swapped JSON manifest.
+
+    Layout::
+
+        root/<table>/v_<NNNNNN>/  part-*.parquet      (immutable snapshot)
+        root/<table>/_manifest.json                    (current pointer + lineage)
+
+    A writer prepares the next version directory fully, then atomically
+    replaces the manifest; readers only ever follow the manifest, so a
+    killed run leaves either the old or the new snapshot — never a torn
+    table. ``meta`` carried on each commit is the per-round lineage the
+    north rule requires (round number, per-partition row counts, counters).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest helpers ------------------------------------------------
+
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_manifest.json")
+
+    def _load_manifest(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, name: str, manifest: dict) -> None:
+        p = self._manifest_path(name)
+        tmp = f"{p}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, p)  # atomic on POSIX
+
+    def _write_version(self, name: str, df: DataFrame, *, bucket_by: str | None,
+                       buckets: int, mode: str, meta: dict | None) -> None:
+        man = self._load_manifest(name) or {"table": name, "current": None, "history": []}
+        next_v = (man["current"] or 0) + 1
+        vdir = os.path.join(self._tdir(name), f"v_{next_v:06d}")
+        if bucket_by is not None:
+            # co-locate by key hash so downstream key joins/anti-joins reuse
+            # the layout (Iceberg analog: bucket(N, key) hidden partitioning)
+            df = df.repartition(buckets, F.xxhash64(F.col(bucket_by)))
+        df.write.mode("overwrite").parquet(vdir)
+        entry = {
+            "version": next_v,
+            "mode": mode,
+            "committed_at": time.time(),
+            "meta": meta or {},
+        }
+        man["current"] = next_v
+        man["history"].append(entry)
+        self._commit_manifest(name, man)
+
+    # -- TableIO surface ---------------------------------------------------
+
+    def exists(self, name: str) -> bool:
+        return self._load_manifest(name) is not None
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        man = self._load_manifest(name)
+        if man is None or man["current"] is None:
+            raise TableNotFoundError(name)
+        v = version or man["current"]
+        return self.spark.read.parquet(os.path.join(self._tdir(name), f"v_{v:06d}"))
+
+    def create(self, name: str, df: DataFrame, *, check_first: bool = True) -> None:
+        """DDL create (S9). ``check_first`` ≡ IF NOT EXISTS
+        (postgres_database.py:202-212); without it, creating an existing
+        table raises TableAlreadyExistsError (same taxonomy, exceptions.py)."""
+        if self.exists(name):
+            if check_first:
+                return
+            raise TableAlreadyExistsError(name)
+        self._write_version(name, df, bucket_by=None, buckets=1, mode="create", meta=None)
+
+    def commit_overwrite(self, name: str, df: DataFrame, *, bucket_by: str | None = None,
+                         buckets: int = 32, meta: dict | None = None) -> None:
+        self._write_version(name, df, bucket_by=bucket_by, buckets=buckets,
+                            mode="overwrite", meta=meta)
+
+    def append(self, name: str, df: DataFrame, *, meta: dict | None = None) -> None:
+        if self.exists(name):
+            df = self.read(name).unionByName(df)
+        self._write_version(name, df, bucket_by=None, buckets=1, mode="append", meta=meta)
+
+    def merge_upsert(self, name: str, batch: DataFrame, *, key: str = "url",
+                     overwrite: bool = True, keep_on_match: tuple[str, ...] = ("content_ref",),
+                     ) -> None:
+        """MERGE INTO <name> USING batch ON key — fallback implementation.
+
+        WHEN MATCHED: update all columns; when ``overwrite`` is False the
+        ``keep_on_match`` columns keep their existing values (U1 semantics,
+        postgres_database.py:162-182). WHEN NOT MATCHED: insert.
+
+        The fallback rewrites the table snapshot (correct + atomic; fine at
+        sandbox scale). The Iceberg backend replaces this with a true
+        partition-pruned MERGE — see :class:`IcebergTableIO`.
+        """
+        batch = batch.dropDuplicates([key])
+        if not self.exists(name):
+            self._write_version(name, batch, bucket_by=key, buckets=32,
+                                mode="merge-create", meta=None)
+            return
+        existing = self.read(name)
+        untouched = existing.join(batch.select(key), on=key, how="left_anti")
+        if overwrite:
+            merged = batch
+        else:
+            keep = [f"e_{c}" for c in keep_on_match]
+            e = existing.select(key, *[F.col(c).alias(f"e_{c}") for c in keep_on_match])
+            merged = (
+                batch.join(e, on=key, how="left")
+                .select(
+                    *[
+                        F.coalesce(F.col(f"e_{c}"), F.col(c)).alias(c)
+                        if c in keep_on_match
+                        else F.col(c)
+                        for c in batch.columns
+                    ]
+                )
+            )
+        out = untouched.unionByName(merged)
+        self._write_version(name, out, bucket_by=key, buckets=32, mode="merge", meta=None)
+
+    def count(self, name: str) -> int:
+        """A1: ``SELECT count(*)`` (postgres_database.py:184-200)."""
+        return self.read(name).count()
+
+    def drop(self, name: str, *, check_first: bool = True) -> None:
+        """DDL drop + blob purge (S8/S9: drop also purges stored content,
+        db_ops_controller.py:71-83)."""
+        if not self.exists(name):
+            if check_first:
+                return
+            raise TableNotFoundError(name)
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    # -- lineage / resume ---------------------------------------------------
+
+    def history(self, name: str) -> list[dict]:
+        man = self._load_manifest(name)
+        return man["history"] if man else []
+
+    def current_version(self, name: str) -> int | None:
+        man = self._load_manifest(name)
+        return man["current"] if man else None
+
+    def latest_meta(self, name: str) -> dict:
+        h = self.history(name)
+        return h[-1]["meta"] if h else {}
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll the manifest pointer back to an earlier snapshot."""
+        man = self._load_manifest(name)
+        if man is None:
+            raise TableNotFoundError(name)
+        if not any(e["version"] == version for e in man["history"]):
+            raise TableNotFoundError(f"{name}@v{version}")
+        man["current"] = version
+        man["history"].append(
+            {"version": version, "mode": "restore", "committed_at": time.time(), "meta": {}}
+        )
+        self._commit_manifest(name, man)
+
+
+class IcebergTableIO(TableIO):
+    """Iceberg-backed TableIO — active when the session has an Iceberg
+    catalog configured (``spark.sql.catalog.<name>``). Not exercisable in
+    this sandbox (no iceberg-spark-runtime jar, no network) but kept as the
+    production path: ``MERGE INTO`` upsert, ``bucket(N, url)`` hidden
+    partitioning, snapshot time-travel, branch-per-crawl."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "crawl"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _qn(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._qn(name))
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise TableNotFoundError(name)
+        return self.spark.table(self._qn(name))
+
+    def create(self, name: str, df: DataFrame, *, check_first: bool = True) -> None:
+        if self.exists(name) and not check_first:
+            raise TableAlreadyExistsError(name)
+        df.writeTo(self._qn(name)).using("iceberg").createOrReplace()
+
+    def commit_overwrite(self, name: str, df: DataFrame, *, bucket_by: str | None = None,
+                         buckets: int = 32, meta: dict | None = None) -> None:
+        w = df.writeTo(self._qn(name)).using("iceberg")
+        if bucket_by:
+            w = w.partitionedBy(F.bucket(buckets, bucket_by))
+        w.createOrReplace()
+
+    def append(self, name: str, df: DataFrame, *, meta: dict | None = None) -> None:
+        df.writeTo(self._qn(name)).append()
+
+    def merge_upsert(self, name: str, batch: DataFrame, *, key: str = "url",
+                     overwrite: bool = True, keep_on_match: tuple[str, ...] = ("content_ref",),
+                     ) -> None:
+        if not self.exists(name):
+            self.create(name, batch)
+            return
+        batch.createOrReplaceTempView("_merge_batch")
+        cols = batch.columns
+        if overwrite:
+            sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+        else:
+            sets = ", ".join(
+                f"t.{c} = s.{c}" for c in cols if c != key and c not in keep_on_match
+            )
+        self.spark.sql(
+            f"""
+            MERGE INTO {self._qn(name)} t
+            USING _merge_batch s ON t.{key} = s.{key}
+            WHEN MATCHED THEN UPDATE SET {sets}
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+
+    def count(self, name: str) -> int:
+        return self.read(name).count()
+
+    def drop(self, name: str, *, check_first: bool = True) -> None:
+        if not self.exists(name) and not check_first:
+            raise TableNotFoundError(name)
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._qn(name)} PURGE")
+
+
+def open_tableio(spark: SparkSession, root: str) -> TableIO:
+    """Backend registry (E1 analog): the reference auto-registers DAO
+    implementations keyed by a ``verbose`` name with a warn-and-default
+    fallback (implementation_injector.py:9-31, manager.py:15-45). Here the
+    choice is driven by session state: an Iceberg catalog if one is
+    configured, else the parquet-manifest fallback."""
+    for k in spark.sparkContext.getConf().getAll():
+        if k[0].startswith("spark.sql.catalog.") and "iceberg" in k[1].lower():
+            catalog = k[0].split(".")[3]
+            return IcebergTableIO(spark, catalog)
+    return ParquetManifestIO(spark, root)

@@ -1,0 +1,123 @@
+"""End-to-end crawl tests against an independent DuckDB oracle (SURVEY §5b).
+
+The pages table's link graph is defined arithmetically
+(spider_spark/sources/pages.py), so a DuckDB recursive CTE can compute the
+expected URL-seen set, min-depths, titles and fetch outcomes without
+parsing any HTML. The engine must reproduce that exactly through its real
+pipeline: fetch-join → Arrow parse UDF → explode → dedupe → bloom+anti-join.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+from spider_spark.sources.pages import (
+    oracle_results_sql,
+    pages_from_documents,
+    seed_url_for,
+)
+
+N_DOCS = 500
+
+
+def oracle_rows(sf_dir: str, seed_id: int, depth: int):
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from '{sf_dir}/documents.parquet'"
+    )
+    df = con.sql(
+        oracle_results_sql(seed_id=seed_id, depth=depth) + " ORDER BY url"
+    ).df()
+    return {
+        (r.url, r.title if r.title == r.title else None, int(r.depth), bool(r.fetched))
+        for r in df.itertuples()
+    }
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    return pages_from_documents(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def engine_rows(result):
+    return {
+        (r["url"], r["title"], r["depth"], r["fetched"])
+        for r in result.results.select("url", "title", "depth", "fetched").collect()
+    }
+
+
+class TestCrawlOracle:
+    def test_depth3_matches_oracle(self, spark, sf_dir, pages):
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=3))
+        res = eng.crawl(seed_url_for(0, N_DOCS))
+        assert engine_rows(res) == oracle_rows(sf_dir, 0, 3)
+
+    def test_depth6_other_seed(self, spark, sf_dir, pages):
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=6))
+        res = eng.crawl(seed_url_for(7, N_DOCS))
+        assert engine_rows(res) == oracle_rows(sf_dir, 7, 6)
+
+    def test_counters(self, spark, sf_dir, pages):
+        # total_calls == |seen|; successful == fetched rows (crawler.py:61-62)
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=3))
+        res = eng.crawl(seed_url_for(0, N_DOCS))
+        oracle = oracle_rows(sf_dir, 0, 3)
+        assert res.total_calls == len(oracle)
+        assert res.successful_crawls == sum(1 for r in oracle if r[3])
+        assert res.count_all() == res.successful_crawls
+
+    def test_budget_preserves_seen_set(self, spark, sf_dir, pages):
+        # politeness changes scheduling, never membership (SURVEY I2/Q4)
+        free = CrawlEngine(spark, pages, CrawlConfig(depth=3))
+        tight = CrawlEngine(spark, pages, CrawlConfig(depth=3, budget=2, salt=4))
+        seed = seed_url_for(0, N_DOCS)
+        res_free = free.crawl(seed)
+        res_tight = tight.crawl(seed)
+        a = {r["canon_url"] for r in res_free.seen.collect()}
+        b = {r["canon_url"] for r in res_tight.seen.collect()}
+        assert a == b
+        # budget forces carryover → strictly more rounds than depth+1
+        assert len(res_tight.metrics) > len(res_free.metrics)
+        assert engine_rows(res_tight) == oracle_rows(sf_dir, 0, 3)
+
+    def test_no_bloom_same_result(self, spark, sf_dir, pages):
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=3, use_bloom=False))
+        res = eng.crawl(seed_url_for(0, N_DOCS))
+        assert engine_rows(res) == oracle_rows(sf_dir, 0, 3)
+
+    def test_catch_and_ordering(self, spark, sf_dir, pages):
+        # P1 + L2: catch returns fetched rows for the seed parent in
+        # admission order, numbered from the seed itself
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=2))
+        seed = seed_url_for(0, N_DOCS)
+        res = eng.crawl(seed)
+        rows = res.catch(seed, limit=3).collect()
+        assert rows[0]["url"] == seed  # the seed is crawled first
+        ranks = (
+            res.results.filter(F.col("fetched"))
+            .orderBy("admission_rank")
+            .select("admission_rank")
+            .collect()
+        )
+        vals = [r[0] for r in ranks]
+        assert vals == sorted(vals)
+
+    def test_seed_scheme_prefix(self, spark, pages):
+        # crawler.py:51-52: schemeless seed gets https://
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=0))
+        res = eng.crawl("h0.example/d/0")
+        rows = res.results.collect()
+        assert len(rows) == 1 and rows[0]["url"] == "https://h0.example/d/0"
+        assert rows[0]["fetched"]
+        assert rows[0]["parent"] == "https://h0.example/d/0"
+
+    def test_dead_seed(self, spark, pages):
+        # failed download: admitted (seen) but not saved (crawler.py:102-104)
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=2))
+        res = eng.crawl("https://nowhere.example/x")
+        assert res.total_calls == 1
+        assert res.successful_crawls == 0
+        assert res.count_all() == 0
+        rows = res.results.collect()
+        assert len(rows) == 1 and not rows[0]["fetched"]
