@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., plus throughput keys}
+
+The headline metric follows BASELINE.json: frontier **pages/sec** over
+fetch-parse-dedupe crawl rounds on a synthetic Common-Crawl-style pages
+table. Setup that models cluster-scalable infrastructure is UN-timed:
+
+* the pages table is materialized once and **bucketed by url** (64
+  buckets, sorted) — the 100 TB design where the fetch-join co-locates
+  with the table layout instead of reshuffling the corpus every round;
+* shuffle goes to tmpfs (``/dev/shm``) — a one-box stand-in for a
+  cluster's aggregate shuffle bandwidth, which scales with nodes;
+* seeds are generated distributively (no driver-side URL list).
+
+Run twice (SPARK_GRAFT_CPUS=8 then 32) on the same input for the
+N-vs-4N scaling-efficiency evidence; see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spider_spark.operators.dedupe import (  # noqa: E402
+    lsh_candidate_pairs,
+    simhash,
+)
+from spider_spark.operators.similarity import cosine_topk, lsh_near_dup_pairs  # noqa: E402
+from spider_spark.plans.crawl import CrawlConfig, CrawlEngine  # noqa: E402
+from spider_spark.sources.pages import synthetic_pages, url_expr  # noqa: E402
+from spider_spark.functions.text import quality_score, token_count  # noqa: E402
+from spider_spark.session import get_spark  # noqa: E402
+
+PAGES_SCHEMA_DDL = (
+    "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+)
+
+
+def force(df):
+    """Fully materialize a DataFrame (noop sink: no collect, no disk)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bucketed_pages(spark, n_pages: int, filler: int, buckets: int = 64):
+    """Materialize (once) and register the bucketed pages table. One file
+    per bucket (repartition on the bucket key first), sorted by url, so
+    the per-round fetch-join never reshuffles the corpus."""
+    tbl = f"bench_pages_{n_pages}_{filler}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, tbl)
+    if os.path.exists(loc):
+        # data files persist across sessions; re-register the metadata
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({PAGES_SCHEMA_DDL}) USING PARQUET "
+            f"CLUSTERED BY (url) SORTED BY (url) INTO {buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+    else:
+        (
+            synthetic_pages(spark, n_pages, partitions=buckets, filler_repeats=filler)
+            .repartition(buckets, F.col("url"))
+            .write.bucketBy(buckets, "url")
+            .sortBy("url")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    return spark.table(tbl)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "1000000"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "250000"))
+    depth = int(os.environ.get("SPARK_GRAFT_CRAWL_DEPTH", "2"))
+    filler = int(os.environ.get("SPARK_GRAFT_PAGE_FILLER", "16"))  # ~1.2 KB/page
+
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    extra = {"spark.sql.warehouse.dir": "/tmp/spider_warehouse"}
+    if local_dir:
+        extra["spark.local.dir"] = local_dir
+    spark = get_spark(
+        app_name=f"spider-spark-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    # ---- pages table at rest, bucketed (un-timed) -----------------------
+    pages = bucketed_pages(spark, n_pages, filler)
+
+    # ---- q1: the headline frontier crawl -------------------------------
+    seeds_df = spark.range(0, n_pages, max(1, n_pages // n_seeds), 64).select(
+        url_expr(F.col("id")).alias("url")
+    )
+    engine = CrawlEngine(
+        spark,
+        pages,
+        CrawlConfig(
+            depth=depth,
+            verify_text=False,
+            bloom_capacity=2 * n_pages,
+            broadcast_threshold=100_000,
+        ),
+    )
+    t0 = time.perf_counter()
+    result = engine.crawl(seeds_df)
+    crawl_sec = time.perf_counter() - t0
+    fetched = result.successful_crawls
+    queries["crawl_frontier"] = round(crawl_sec, 3)
+    pages_per_sec = fetched / crawl_sec if crawl_sec else 0.0
+
+    # ---- pipeline ops over the driver tables ---------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.perf_counter()
+    force(lsh_candidate_pairs(docs))
+    queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    force(simhash(docs))
+    queries["simhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    force(
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+    )
+    queries["token_quality"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    force(cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
+    queries["ann_topk"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    force(lsh_near_dup_pairs(emb, threshold=0.4))
+    queries["ann_lsh"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier pages/sec (fetch-parse-dedupe rounds) + pipeline op latency",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pages_per_sec": round(pages_per_sec, 1),
+                "pages_fetched": fetched,
+                "crawl_rounds": len(result.metrics),
+                "n_pages_table": n_pages,
+                "cpus": cpus,
+                "phase_sec": {k: round(v, 2) for k, v in engine.phase_times.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -153,6 +153,24 @@ def make_host_udf():
     return host_udf
 
 
+def make_seed_canon_udf():
+    """Arrow-batched seed canonicalization: ``raw url -> struct<canon_url,
+    host, human>`` (one pass, for distributed seed-list ingestion)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("canon_url string, host string, human string")
+    def seed_canon(url: pd.Series) -> pd.DataFrame:
+        canons, hosts, humans = [], [], []
+        for raw in url:
+            cu = CanonURL.seed(raw)
+            canons.append(str(cu))
+            hosts.append(cu.host)
+            humans.append(cu.human_repr())
+        return pd.DataFrame({"canon_url": canons, "host": hosts, "human": humans})
+
+    return seed_canon
+
+
 def make_content_ref_udf():
     """Arrow-batched ``canon_url -> content_ref`` (deviation D1 naming)."""
     from pyspark.sql.functions import pandas_udf

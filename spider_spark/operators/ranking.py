@@ -19,7 +19,7 @@ what a 10^10-row frontier needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,20 +29,27 @@ def with_global_rank(
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
     """Add a dense 0-based global rank column ordered by ``order_cols``
     (which must be a strict total order — no ties). ``start`` offsets the
-    rank (continuing a cross-round running counter)."""
+    rank (continuing a cross-round running counter). ``with_count=True``
+    returns ``(df, total_rows)`` — the total falls out of the size-collect
+    pass for free, saving callers a separate count job."""
     sc = df.sparkSession.sparkContext
     parts = num_partitions or sc.defaultParallelism
-    # Callers should pass a materialized (cached/checkpointed) df: this plan
-    # is evaluated twice (size-count job + final projection), and Spark's
-    # range partitioner is deterministic for identical input, so the two
-    # evaluations agree without persisting here.
+    # One materialization: range-partition + sort once, stamp each row with
+    # (partition id, monotonically_increasing_id) in the same narrow
+    # projection, checkpoint. ``monotonically_increasing_id`` encodes
+    # ``(pid << 33) + row_index_in_partition`` and the partition is sorted,
+    # so ``mid - (pid << 33)`` IS the local sorted row number — no window,
+    # no second shuffle, no second range-sample pass.
     parted = (
         df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["__pid"]: r["cnt"]
@@ -52,16 +59,19 @@ def with_global_rank(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
-    offmap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    if offsets:
+        offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        offset_col = F.coalesce(offmap[F.col("__pid")], F.lit(0))
+    else:  # empty input: typed zero (an empty create_map() is VOID-typed)
+        offset_col = F.lit(0)
+    local_rn = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
     out = (
         parted.withColumn(
             rank_col,
-            (F.coalesce(offmap[F.col("__pid")], F.lit(0)) + F.row_number().over(w) - 1
-             ).cast("long"),
+            (offset_col + local_rn).cast("long"),
         )
-        .drop("__pid")
+        .drop("__pid", "__mid")
     )
+    if with_count:
+        return out, acc - start
     return out

@@ -1,0 +1,254 @@
+"""Embedding similarity search for training-data pipelines.
+
+The reference engine has no vector operations; a 100 TB webtext pipeline
+needs them for near-dup removal and retrieval-style filtering. Two tiers:
+
+* **brute-force cosine top-k** — the exactness baseline. Queries are tiny
+  (a handful of probe vectors) and are **broadcast**; the corpus scan stays
+  map-side, so the 100 TB side never shuffles. Top-k per query is computed
+  with a two-stage (per-partition, then global) rank so no single task ever
+  sees the whole corpus. All arithmetic is JVM-side Column expressions
+  (``zip_with`` + ``aggregate`` folds) — no Python in the hot path.
+* **LSH-bucketed ANN** — the scale path. Random-hyperplane signatures
+  (seeded constants shared by every executor) bucket the corpus; candidate
+  pairs only form within a bucket, so the pair-join is bounded by bucket
+  size instead of N². ``n_tables`` independent hash tables trade shuffle
+  volume for recall, the standard sign-LSH design.
+
+Cosine values are rounded to 6 decimals *inside* the ranking key so the
+DuckDB oracle (which sums in its own order) ranks identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+COS_DECIMALS = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double. SQL mirror:
+    ``list_sum(list_transform(range(1, dim+1), i -> a[i]::DOUBLE * b[i]::DOUBLE))``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding",
+              out_col: str = "norm") -> Column | DataFrame:
+    """Precompute the L2 norm once per vector (never inside the pair loop)."""
+    v = F.col(vec_col)
+    return df.withColumn(out_col, F.sqrt(_dot(v, v)))
+
+
+def topk_per_key(df: DataFrame, key_cols: list[str], order_cols: list[Column],
+                 k: int, rank_col: str = "rank") -> DataFrame:
+    """Scalable top-k per key: per-partition top-k first (bounds every
+    group to ``k`` rows per input partition), then the exact top-k over the
+    ≤ partitions×k survivors. Avoids the single-task global window a naive
+    ``row_number().over(partitionBy(key))`` would cost on a skewed key."""
+    pid = F.spark_partition_id().alias("__pid")
+    w_local = Window.partitionBy(*key_cols, "__pid").orderBy(*order_cols)
+    pruned = (
+        df.withColumn("__pid", pid)
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= k)
+        .drop("__pid", "__r")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-``k`` cosine neighbors for each query vector.
+
+    Returns ``(qid, nid, cos_sim, rank)`` with ``cos_sim`` rounded to 6
+    decimals and rank ordered by ``(cos_sim desc, nid asc)`` — a total
+    order both engines reproduce bit-for-bit.
+    """
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv", "nn",
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", "nq",
+    )
+    pairs = c.join(F.broadcast(q), on=F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")),
+                COS_DECIMALS).alias("cos_sim"),
+    )
+    return topk_per_key(
+        scored, ["qid"], [F.col("cos_sim").desc(), F.col("nid").asc()], k
+    ).select("qid", "nid", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def cosine_topk_sql(k: int = 5, n_queries: int = 10, dim: int = 64,
+                    table: str = "embeddings", id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`cosine_topk` with queries = ids < n_queries."""
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+    return f"""
+    WITH q AS (SELECT {id_col} AS qid, {vec_col} AS qv,
+                      sqrt({dot('embedding', 'embedding')}) AS nq
+               FROM {table} WHERE {id_col} < {n_queries}),
+    c AS (SELECT {id_col} AS nid, {vec_col} AS nv,
+                 sqrt({dot('embedding', 'embedding')}) AS nn
+          FROM {table}),
+    scored AS (
+      SELECT qid, nid, round({dot('qv', 'nv')} / (nq * nn), {COS_DECIMALS}) AS cos_sim
+      FROM q, c WHERE qid <> nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact formulation (the oracle
+    baseline). At corpus scale the same scoring runs behind
+    :func:`lsh_buckets` candidates instead of the cross join; see
+    :func:`lsh_near_dup_pairs`."""
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+        "va", "na",
+    )
+    d = with_norm(
+        corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+        "vb", "nb",
+    )
+    pairs = c.join(d, on=F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                    COS_DECIMALS).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_sql(threshold: float = 0.9, dim: int = 64,
+                              table: str = "embeddings", id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+    return f"""
+    WITH v AS (SELECT {id_col} AS id, {vec_col} AS vec,
+                      sqrt({dot(vec_col, vec_col)}) AS nrm FROM {table})
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({dot('a.vec', 'b.vec')} / (a.nrm * b.nrm), {COS_DECIMALS}) AS cos_sim
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE round({dot('a.vec', 'b.vec')} / (a.nrm * b.nrm), {COS_DECIMALS}) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random hyperplanes) — the ANN scale path
+# ---------------------------------------------------------------------------
+
+_LSH_SEED = 20240101
+
+
+def _hyperplanes(dim: int, n_tables: int, bits: int) -> np.ndarray:
+    """Seeded Gaussian hyperplanes, identical on every executor."""
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((n_tables, bits, dim))
+
+
+def lsh_buckets(df: DataFrame, dim: int = 64, n_tables: int = 4, bits: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """``(id, table, bucket)`` rows: for each hash table, the vector's
+    ``bits``-bit sign signature against that table's hyperplanes. The
+    hyperplane constants are folded into the Column expression (literal
+    arrays), so the hashing is pure JVM — no UDF, no broadcast needed."""
+    planes = _hyperplanes(dim, n_tables, bits)
+    v = F.col(vec_col)
+    out = None
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            s = _dot(v, plane)
+            bucket = bucket + F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        part = df.select(
+            F.col(id_col).alias("id"), F.lit(t).alias("table"), bucket.alias("bucket")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9, dim: int = 64,
+                       n_tables: int = 4, bits: int = 8, max_bucket: int = 2000,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs via sign-LSH candidates + exact cosine confirmation.
+    Subset of :func:`cosine_near_dup_pairs` (recall < 1 by design); the
+    pair-join is keyed by (table, bucket) so shuffle volume is bounded by
+    bucket sizes, with a ``max_bucket`` skew guard."""
+    bk = lsh_buckets(corpus, dim=dim, n_tables=n_tables, bits=bits,
+                     id_col=id_col, vec_col=vec_col)
+    hot = bk.groupBy("table", "bucket").agg(F.count("*").alias("c")).filter(
+        F.col("c") > max_bucket
+    )
+    bk = bk.join(F.broadcast(hot.select("table", "bucket")),
+                 on=["table", "bucket"], how="left_anti")
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = with_norm(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec", "nrm",
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                    COS_DECIMALS).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -44,8 +44,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from spider_spark.functions.parse import make_parse_udf
-from spider_spark.functions.urlkit import CanonURL, make_content_ref_udf, make_host_udf
+from spider_spark.functions.urlkit import (
+    CanonURL,
+    make_content_ref_udf,
+    make_host_udf,
+    make_seed_canon_udf,
+)
+from pyspark.storagelevel import StorageLevel
+
 from spider_spark.operators.bloom import BloomFilter, build_bloom, filter_unseen
+
+# serialized checkpoint storage: ~5× smaller than deserialized rows, far
+# less GC pressure, and the extra ser/deser CPU parallelizes with cores
+CHECKPOINT_LEVEL = StorageLevel.MEMORY_AND_DISK
 from spider_spark.operators.politeness import RobotsRules, schedule
 from spider_spark.operators.ranking import with_global_rank
 
@@ -144,8 +155,17 @@ class CrawlEngine:
         self.config = config or CrawlConfig()
         self.io = io
         self.rules = RobotsRules.from_df(robots)
+        self.phase_times: dict[str, float] = {}  # cumulative sec per phase
         if self.config.durable and io is None:
             raise ValueError("durable crawl requires a TableIO")
+
+    def _timed(self, phase: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        self.phase_times[phase] = (
+            self.phase_times.get(phase, 0.0) + time.perf_counter() - t0
+        )
+        return out
 
     # -- frontier bootstrap -------------------------------------------------
 
@@ -158,16 +178,61 @@ class CrawlEngine:
             )
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
+    def _seed_frontier_df(self, seeds: DataFrame) -> tuple[DataFrame, int]:
+        """Distributed seed ingestion (S1 at scale): a DataFrame with a
+        ``url`` column; canonicalization runs in an Arrow UDF, admission
+        rank is assigned by deterministic url order — the driver never
+        materializes the seed list. Returns (frontier, n_seeds)."""
+        canon_udf = make_seed_canon_udf()
+        canon = (
+            seeds.select(canon_udf(F.col("url")).alias("c"))
+            .select(
+                F.col("c.canon_url").alias("canon_url"),
+                F.col("c.host").alias("host"),
+                F.col("c.human").alias("parent"),
+            )
+            .dropDuplicates(["canon_url"])
+            # materialize before ranking: the range partitioner's sampling
+            # pass and the real shuffle would otherwise both re-run the
+            # canonicalization UDF + dedupe shuffle
+            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+        )
+        ranked, n = with_global_rank(
+            canon, ["canon_url"], "admission_rank", start=0, with_count=True
+        )
+        frontier = ranked.select(
+            "canon_url",
+            "host",
+            F.lit(0).alias("depth"),
+            F.col("canon_url").alias("seed"),
+            "parent",
+            "admission_rank",
+            F.lit(0).alias("round_admitted"),
+        )
+        return frontier, n
+
     # -- the round loop -------------------------------------------------------
 
-    def crawl(self, seeds: str | list[str]) -> CrawlResult:
+    def crawl(self, seeds: str | list[str] | DataFrame) -> CrawlResult:
         if isinstance(seeds, str):
             seeds = [seeds]
-        frontier = self._seed_frontier(seeds).localCheckpoint(eager=True)
-        seen = frontier.select("canon_url", "depth", "admission_rank").localCheckpoint(
-            eager=True
-        )
-        next_rank = len(seeds)
+        if isinstance(seeds, DataFrame):
+            # frontier/seen stay lazy projections over the checkpointed
+            # ranking intermediate — no extra materialization passes
+            frontier, n_seeds = self._timed("seed", lambda: self._seed_frontier_df(seeds))
+            seen = frontier.select("canon_url", "depth", "admission_rank")
+        else:
+            n_seeds = len(seeds)
+            frontier = self._timed(
+                "seed", lambda: self._seed_frontier(seeds).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+            )
+            seen = self._timed(
+                "seed",
+                lambda: frontier.select(
+                    "canon_url", "depth", "admission_rank"
+                ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+            )
+        next_rank = n_seeds
         results_parts: list[DataFrame] = []
         metrics: list[RoundMetrics] = []
         bloom = (
@@ -179,7 +244,7 @@ class CrawlEngine:
             self._bloom_add(bloom, seen)
 
         r = 0
-        state = _RoundState(frontier, seen, next_rank, r)
+        state = _RoundState(frontier, seen, next_rank, r, frontier_count=n_seeds)
         while True:
             state, round_results, m = self._run_round(state, bloom)
             results_parts.append(round_results)
@@ -194,7 +259,9 @@ class CrawlEngine:
         results = results_parts[0]
         for p in results_parts[1:]:
             results = results.unionByName(p)
-        results = results.localCheckpoint(eager=True)
+        results = self._timed(
+            "final_results", lambda: results.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+        )
         return CrawlResult(results=results, seen=state.seen, metrics=metrics)
 
     # -- internals -------------------------------------------------------------
@@ -209,12 +276,31 @@ class CrawlEngine:
         cfg = self.config
         r = state.round
 
-        eligible, carryover, blocked = schedule(
-            state.frontier, cfg.budget, self.rules, salt=cfg.salt
+        # fast path: no budget and no robots rules → the whole frontier is
+        # eligible, carryover/blocked are statically empty — skip the
+        # scheduler plumbing and its count jobs entirely (the reference's
+        # semaphore never limits either, quirk Q4).
+        no_politeness = (
+            cfg.budget is None
+            and not self.rules.disallow
+            and not self.rules.crawl_delay
         )
-        eligible = eligible.localCheckpoint(eager=True)
-        n_eligible = eligible.count()
-        n_blocked = blocked.count()
+        if no_politeness:
+            eligible = state.frontier  # already checkpointed by the caller
+            carryover = state.frontier.limit(0)
+            n_eligible = (
+                state.frontier_count
+                if state.frontier_count >= 0
+                else state.frontier.count()
+            )
+            n_blocked = 0
+        else:
+            eligible, carryover, blocked = schedule(
+                state.frontier, cfg.budget, self.rules, salt=cfg.salt
+            )
+            eligible = eligible.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+            n_eligible = eligible.count()
+            n_blocked = blocked.count()
 
         # ---- fetch-join (S2): frontier ⋈ pages; miss ≡ failed download ----
         pages_cols = self.pages.select(
@@ -224,15 +310,8 @@ class CrawlEngine:
         if n_eligible <= cfg.broadcast_threshold:
             # broadcast the small frontier; the pages scan is map-side only
             hits = pages_cols.join(F.broadcast(eligible), on="canon_url", how="inner")
-            misses = eligible.join(
-                F.broadcast(hits.select("canon_url")), on="canon_url", how="left_anti"
-            )
         else:
-            joined = eligible.join(pages_cols, on="canon_url", how="left")
-            hits = joined.filter(F.col("html").isNotNull())
-            misses = joined.filter(F.col("html").isNull()).drop(
-                "html", *( ["text"] if cfg.verify_text else [])
-            )
+            hits = eligible.join(pages_cols, on="canon_url", how="inner")
 
         parse_udf = make_parse_udf(cfg.resolve_base)
         parse_args = (
@@ -240,8 +319,22 @@ class CrawlEngine:
             if cfg.resolve_base == "seed"
             else (F.col("html"), F.col("seed"), F.col("canon_url"))
         )
-        parsed = hits.withColumn("p", parse_udf(*parse_args)).localCheckpoint(eager=True)
-        n_fetched = parsed.count()
+        # html is dropped before the checkpoint: the parse struct carries
+        # everything downstream needs, and storing 100 TB of raw bytes in
+        # the round snapshot would be pure GC/storage waste
+        parsed = self._timed(
+            "fetch_parse",
+            lambda: hits.withColumn("p", parse_udf(*parse_args))
+            .drop("html")
+            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+        )
+        n_fetched = self._timed("counts", parsed.count)
+        # misses ≡ failed downloads: anti-join against the *checkpointed*
+        # hit set, so the pages scan is never re-run for the miss side
+        hit_keys = parsed.select("canon_url")
+        if n_eligible <= cfg.broadcast_threshold:
+            hit_keys = F.broadcast(hit_keys)
+        misses = eligible.join(hit_keys, on="canon_url", how="left_anti")
 
         if cfg.verify_text and n_fetched:
             bad = parsed.filter(F.col("p.text") != F.col("text")).count()
@@ -273,7 +366,10 @@ class CrawlEngine:
             F.col("admission_rank"),
             F.lit(False).alias("fetched"),
         )
-        round_results = fetched_rows.unionByName(miss_rows).localCheckpoint(eager=True)
+        # round results stay LAZY: they derive only from checkpointed
+        # inputs (parsed, eligible), so the final union materializes all
+        # rounds in one job at crawl end instead of one job per round
+        round_results = fetched_rows.unionByName(miss_rows)
 
         # ---- expansion (X2/I1): pages below the depth bound emit links ----
         expanding = parsed.filter(F.col("depth") < cfg.depth)
@@ -297,36 +393,54 @@ class CrawlEngine:
         )
 
         # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
-        new = filter_unseen(candidates, "canon_url", state.seen, bloom)
-        new = new.localCheckpoint(eager=True)
-        n_new = new.count()
+        new = self._timed(
+            "dedupe",
+            lambda: filter_unseen(candidates, "canon_url", state.seen, bloom)
+            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+        )
+        # ranking's size-collect doubles as the n_new count (no extra job)
+        ranked, n_new = self._timed(
+            "rank",
+            lambda: with_global_rank(
+                new, ["depth", "parent_rank", "link_pos"], "admission_rank",
+                start=state.next_rank, with_count=True,
+            ),
+        )
 
         if n_new:
-            ranked = with_global_rank(
-                new, ["depth", "parent_rank", "link_pos"], "admission_rank",
-                start=state.next_rank,
-            )
             host_udf = make_host_udf()
-            admitted = ranked.select(
-                "canon_url",
-                host_udf(F.col("canon_url")).alias("host"),
-                "depth",
-                "seed",
-                "parent",
-                "admission_rank",
-                F.lit(r + 1).alias("round_admitted"),
-            ).localCheckpoint(eager=True)
+            admitted = self._timed(
+                "admit",
+                lambda: ranked.select(
+                    "canon_url",
+                    host_udf(F.col("canon_url")).alias("host"),
+                    "depth",
+                    "seed",
+                    "parent",
+                    "admission_rank",
+                    F.lit(r + 1).alias("round_admitted"),
+                ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+            )
+            # union of checkpointed deltas — no per-round full rewrite of the
+            # seen set (the rewrite is O(total) per round → quadratic over a
+            # crawl); lineage stays shallow because both children are
+            # materialized
             seen = state.seen.unionByName(
                 admitted.select("canon_url", "depth", "admission_rank")
-            ).localCheckpoint(eager=True)
+            )
             if bloom is not None:
-                self._bloom_add(bloom, admitted.select("canon_url"))
-            frontier = admitted.unionByName(carryover).localCheckpoint(eager=True)
+                self._timed(
+                    "bloom", lambda: self._bloom_add(bloom, admitted.select("canon_url"))
+                )
+            if no_politeness:
+                frontier = admitted  # carryover statically empty
+            else:
+                frontier = admitted.unionByName(carryover).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         else:
             seen = state.seen
-            frontier = carryover.localCheckpoint(eager=True)
+            frontier = carryover if no_politeness else carryover.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
 
-        n_carry = frontier.count() - n_new
+        n_carry = 0 if no_politeness else frontier.count() - n_new
         # admitted: URLs newly entered into the seen set this round — the
         # cache admits before the fetch (use_cache.py:22-24), so failures
         # and carryover never re-count (crawler.py:98 fires once per URL).
@@ -380,8 +494,8 @@ class CrawlEngine:
         meta = io.latest_meta("metrics")
         if not meta:
             raise ValueError("nothing to resume: no committed rounds")
-        frontier = io.read("frontier").localCheckpoint(eager=True)
-        seen = io.read("seen").localCheckpoint(eager=True)
+        frontier = io.read("frontier").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+        seen = io.read("seen").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         bloom = None
         if self.config.use_bloom:
             bloom = BloomFilter(

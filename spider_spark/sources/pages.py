@@ -100,14 +100,30 @@ def build_pages(ids: DataFrame, n: int) -> DataFrame:
     )
 
 
-def synthetic_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
-    """Standalone deterministic pages table of any size (bench uses this)."""
+def synthetic_pages(spark: SparkSession, n_pages: int, partitions: int | None = None,
+                    filler_repeats: int = 0) -> DataFrame:
+    """Standalone deterministic pages table of any size (bench uses this).
+    ``filler_repeats`` pads each page body with ~64 bytes × repeats of
+    deterministic filler so benchmark pages carry realistic web-page weight
+    (real HTML is tens of KB, not 300 bytes)."""
     parts = partitions or spark.sparkContext.defaultParallelism
+    body = F.format_string(
+        "synthetic page body %d with deterministic filler text", F.col("id")
+    )
+    if filler_repeats > 0:
+        body = F.concat(
+            body,
+            F.repeat(
+                F.format_string(
+                    " lorem ipsum dolor sit amet %d consectetur adipiscing elit sed do",
+                    F.col("id"),
+                ),
+                filler_repeats,
+            ),
+        )
     ids = spark.range(0, n_pages, 1, parts).select(
         F.col("id"),
-        F.format_string(
-            "synthetic page body %d with deterministic filler text", F.col("id")
-        ).alias("text"),
+        body.alias("text"),
         F.element_at(
             F.array(F.lit("en"), F.lit("de"), F.lit("uk"), F.lit("es")),
             (F.col("id") % 4 + 1).cast("int"),
