@@ -85,6 +85,10 @@ class CrawlConfig:
     depth: int = 1                  # --depth (cli.py:64-66)
     budget: int | None = None       # per-host per-round; None ≡ reference Q4 no-op
     overwrite: bool = True          # --no-overwrite → False (cli.py:84-88)
+    use_cache: bool = True          # --no-cache → False (use_cache.py:19-28):
+                                    # seen-set gate off; links refetched each
+                                    # round they reappear (intra-round dedupe
+                                    # kept for determinism — documented dev.)
     resolve_base: str = "seed"      # Q1 parity; "page" = corrected base
     use_bloom: bool = True
     bloom_fpp: float = 0.01
@@ -395,8 +399,11 @@ class CrawlEngine:
         # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
         new = self._timed(
             "dedupe",
-            lambda: filter_unseen(candidates, "canon_url", state.seen, bloom)
-            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+            lambda: (
+                filter_unseen(candidates, "canon_url", state.seen, bloom)
+                if cfg.use_cache
+                else candidates
+            ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
         )
         # ranking's size-collect doubles as the n_new count (no extra job)
         ranked, n_new = self._timed(

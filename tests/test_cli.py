@@ -1,0 +1,83 @@
+"""CLI parity tests — mirror of the reference's controller tests
+(test_db_ops_controller.py / test_config_controller.py): create/count/drop
+round-trip, crawl→catch end-to-end asserting the logged record lines, and
+config-file lifecycle."""
+
+import logging
+
+import pytest
+
+from spider_spark import cli
+from spider_spark.config import ConfigController
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "store")
+
+
+@pytest.fixture()
+def run(store, monkeypatch, tmp_path, spark):
+    """Invoke the CLI with a temp store + temp config; reuse the session
+    SparkSession (get_spark returns the active one)."""
+    monkeypatch.setenv("SPIDER_SPARK_CONFIG", str(tmp_path / "cfg.ini"))
+
+    def _run(*argv):
+        return cli.main(["--store-root", store, *argv])
+
+    return _run
+
+
+class TestConfigController:
+    def test_defaults_and_update(self, tmp_path, monkeypatch):
+        path = str(tmp_path / "c.ini")
+        monkeypatch.setenv("SPIDER_SPARK_CONFIG", path)
+        c = ConfigController()
+        assert c.load().concurrency_limit == 5
+        c.set("INFRASTRUCTURE", "concurrency_limit", "9")
+        c.save()
+        assert ConfigController(path).load().concurrency_limit == 9
+
+
+class TestCobweb:
+    def test_create_count_drop(self, run, caplog):
+        with caplog.at_level(cli.DB_INFO, logger="spider_spark"):
+            assert run("cobweb", "create") == 0
+            assert run("cobweb", "count") == 0
+            assert run("cobweb", "drop") == 0
+            assert run("cobweb", "count") == 1  # dropped → not found
+        msgs = [r.getMessage() for r in caplog.records]
+        assert "table created" in msgs
+        assert "count: 0" in msgs
+        assert "table dropped" in msgs
+        assert any("does not exist" in m for m in msgs)
+
+
+class TestCrawlCatch:
+    def test_end_to_end(self, run, caplog):
+        with caplog.at_level(cli.DB_INFO, logger="spider_spark"):
+            rc = run(
+                "--pages", "synthetic:120",
+                "crawl", "https://h0.example/d/2", "--depth", "2", "--concur", "0",
+            )
+            assert rc == 0
+            rc = run("catch", "https://h0.example/d/2", "-n", "3")
+            assert rc == 0
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any(m.startswith("crawled: ") for m in msgs)
+        assert any(m.startswith("total calls: ") for m in msgs)
+        # numbered records, seed first (L2 ordering)
+        assert any(m.startswith("#1 https://h0.example/d/2 | ") for m in msgs)
+        assert sum(1 for m in msgs if m.startswith("#")) == 3
+
+    def test_no_overwrite_keeps_content(self, run, spark, store, caplog):
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        assert run("--pages", "synthetic:50", "crawl", "h1.example/d/1") == 0
+        io = ParquetManifestIO(spark, store)
+        before = {r["url"]: r["content_ref"] for r in io.read("results").collect()}
+        assert run(
+            "--pages", "synthetic:50", "crawl", "h1.example/d/1", "--no-overwrite"
+        ) == 0
+        after = {r["url"]: r["content_ref"] for r in io.read("results").collect()}
+        assert before == after

@@ -1,0 +1,85 @@
+"""Similarity-search operator tests: exactness of brute-force top-k vs a
+NumPy reference, LSH candidate soundness (subset + threshold) and recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_near_dup_pairs,
+    topk_per_key,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+class TestCosineTopK:
+    def test_matches_numpy_reference(self, emb, emb_np):
+        ids, mat = emb_np
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        k = 5
+        got = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=k).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["qid"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for q, rows_q in by_q.items():
+            rows_q.sort(key=lambda r: r["rank"])
+            qi = int(np.where(ids == q)[0][0])
+            s = np.round(sims[qi].copy(), 6)
+            s[qi] = -np.inf  # self excluded
+            # expected order: (sim desc, id asc)
+            expect = sorted(
+                ((s[i], ids[i]) for i in range(len(ids)) if i != qi),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            assert [r["nid"] for r in rows_q] == [int(e[1]) for e in expect]
+            np.testing.assert_allclose(
+                [r["cos_sim"] for r in rows_q], [e[0] for e in expect], atol=1e-6
+            )
+
+    def test_topk_per_key_exact(self, spark):
+        df = spark.createDataFrame(
+            [(k, v) for k in range(3) for v in range(20)], "k int, v int"
+        ).repartition(4)
+        got = topk_per_key(df, ["k"], [F.col("v").desc()], 3).collect()
+        by_k = {}
+        for r in got:
+            by_k.setdefault(r["k"], []).append((r["rank"], r["v"]))
+        for k in range(3):
+            assert sorted(by_k[k]) == [(1, 19), (2, 18), (3, 17)]
+
+
+class TestLSHNearDup:
+    def test_subset_of_exact_and_recall(self, emb):
+        threshold = 0.4
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(emb, threshold=threshold).collect()
+        }
+        approx_rows = lsh_near_dup_pairs(
+            emb, threshold=threshold, n_tables=16, bits=6
+        ).collect()
+        approx = {(r["id_a"], r["id_b"]) for r in approx_rows}
+        # soundness: every returned pair is confirmed above threshold
+        assert approx <= exact
+        for r in approx_rows:
+            assert r["cos_sim"] >= threshold
+        # recall: generous table count must recover a decent share
+        if exact:
+            assert len(approx) / len(exact) >= 0.3

@@ -1,0 +1,97 @@
+"""TableIO merge/DDL semantics (S3/U1/S9) and durable crawl kill/resume
+(E6 analog: per-round atomic commit makes interruption safe anywhere)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.errors import TableAlreadyExistsError, TableNotFoundError
+from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+from spider_spark.sources.pages import synthetic_pages
+from spider_spark.sources.tableio import ParquetManifestIO
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    return ParquetManifestIO(spark, str(tmp_path / "tables"))
+
+
+def rows_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, title string, parent string, content_ref string"
+    )
+
+
+class TestMergeUpsert:
+    def test_insert_then_update_overwrite(self, spark, io):
+        io.merge_upsert("t", rows_df(spark, [("u1", "A", "p", "f1")]))
+        io.merge_upsert(
+            "t", rows_df(spark, [("u1", "B", "p", "f2"), ("u2", "C", "p", "f3")])
+        )
+        got = {r["url"]: r for r in io.read("t").collect()}
+        assert got["u1"]["title"] == "B"
+        assert got["u1"]["content_ref"] == "f2"  # overwrite replaces blob ref
+        assert got["u2"]["title"] == "C"
+        assert io.count("t") == 2
+
+    def test_no_overwrite_keeps_content_ref(self, spark, io):
+        """U1 (postgres_database.py:162-182): title/parent always update on
+        conflict; content pointer kept when overwrite=False."""
+        io.merge_upsert("t", rows_df(spark, [("u1", "A", "p", "f1")]))
+        io.merge_upsert(
+            "t", rows_df(spark, [("u1", "B", "p2", "f2")]), overwrite=False
+        )
+        got = io.read("t").collect()[0]
+        assert got["title"] == "B"
+        assert got["parent"] == "p2"
+        assert got["content_ref"] == "f1"
+
+    def test_ddl_taxonomy(self, spark, io):
+        df = rows_df(spark, [("u1", "A", "p", "f1")])
+        io.create("t", df)
+        io.create("t", df, check_first=True)  # IF NOT EXISTS: no-op
+        with pytest.raises(TableAlreadyExistsError):
+            io.create("t", df, check_first=False)
+        io.drop("t")
+        with pytest.raises(TableNotFoundError):
+            io.read("t")
+        io.drop("t", check_first=True)  # idempotent
+        with pytest.raises(TableNotFoundError):
+            io.drop("t", check_first=False)
+
+    def test_snapshot_restore(self, spark, io):
+        io.create("t", rows_df(spark, [("u1", "A", "p", "f1")]))
+        v1 = io.current_version("t")
+        io.merge_upsert("t", rows_df(spark, [("u1", "B", "p", "f2")]))
+        assert io.read("t").collect()[0]["title"] == "B"
+        io.restore("t", v1)
+        assert io.read("t").collect()[0]["title"] == "A"
+
+
+class TestKillResume:
+    def test_resume_matches_uninterrupted(self, spark, tmp_path):
+        pages = synthetic_pages(spark, 300).localCheckpoint(eager=True)
+        seed = "https://h0.example/d/0"
+        cfg = CrawlConfig(depth=4, verify_text=False)
+
+        full = CrawlEngine(spark, pages, cfg).crawl(seed)
+        expect_results = {
+            (r["url"], r["title"], r["depth"], r["fetched"])
+            for r in full.results.collect()
+        }
+        expect_seen = {r["canon_url"] for r in full.seen.collect()}
+
+        # "killed" run: durable, stopped after 2 rounds
+        io = ParquetManifestIO(spark, str(tmp_path / "crawl"))
+        killed_cfg = CrawlConfig(depth=4, verify_text=False, durable=True, max_rounds=2)
+        CrawlEngine(spark, pages, killed_cfg, io=io).crawl(seed)
+        assert io.latest_meta("metrics")["round"] == 1  # only 2 rounds committed
+
+        resume_cfg = CrawlConfig(depth=4, verify_text=False, durable=True)
+        resumed = CrawlEngine(spark, pages, resume_cfg, io=io).resume()
+        got_results = {
+            (r["url"], r["title"], r["depth"], r["fetched"])
+            for r in resumed.results.collect()
+        }
+        got_seen = {r["canon_url"] for r in resumed.seen.collect()}
+        assert got_results == expect_results
+        assert got_seen == expect_seen
