@@ -65,13 +65,27 @@ N_MEDIA = 100
 # -- helpers ----------------------------------------------------------------
 
 _crawl_cache: dict[tuple, CrawlResult] = {}
+_shipped: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the spider_spark package to this session's Python workers
+    (the driver owns the SparkSession and may run from any cwd; without
+    this, unpickling our pandas UDFs on workers would fail)."""
+    if id(spark) not in _shipped:
+        from spider_spark.session import build_pyfiles_zip
+
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
+        _shipped.add(id(spark))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -83,6 +97,7 @@ def _crawl(spark: SparkSession, sf_dir: str,
     key = (id(spark), sf_dir, depth, seed_id)
     got = _crawl_cache.get(key)
     if got is None:
+        _ensure_shipped(spark)
         pages = pages_from_documents(spark, sf_dir)
         n = _docs(spark, sf_dir).count()
         seed = seed_url_for(seed_id, n)
@@ -302,6 +317,7 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     media = synth_media(spark, N_MEDIA)
     return extract_features(media, dim=8).select(
         "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "digest"
@@ -326,6 +342,7 @@ FROM p
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     media = synth_media(spark, N_MEDIA)
     return sample_frames(media, every=30).select(
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx")

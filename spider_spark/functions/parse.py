@@ -29,12 +29,23 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-from spider_spark.functions.urlkit import CanonURL, generate_refs
+from spider_spark.functions.urlkit import CanonURL, generate_refs_with_host
 
 PARSED_SCHEMA = StructType(
     [
         StructField("title", StringType(), True),
-        StructField("links", ArrayType(StringType()), False),
+        StructField(
+            "links",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("url", StringType(), False),
+                        StructField("host", StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
         StructField("text", StringType(), False),
     ]
 )
@@ -148,7 +159,7 @@ def make_parse_udf(resolve_base: str = "seed"):
         for h, su, bu in zip(html, seed_url, base_url):
             t, hrefs, txt = parse_page(h)
             titles.append(t)
-            links.append(generate_refs(hrefs, cu(su), resolve_base=cu(bu)))
+            links.append(generate_refs_with_host(hrefs, cu(su), resolve_base=cu(bu)))
             texts.append(txt)
         return pd.DataFrame({"title": titles, "links": links, "text": texts})
 

@@ -210,3 +210,27 @@ def generate_refs(
         if s != seed_s:
             out.append(s)
     return out
+
+
+def generate_refs_with_host(
+    hrefs: list[str],
+    seed: CanonURL,
+    resolve_base: CanonURL | None = None,
+) -> list[dict]:
+    """:func:`generate_refs` + the resolved host per link, harvested from
+    the CanonURL object the pipeline already built — so the engine never
+    needs a second URL-parse pass (or a separate host UDF stage) after the
+    dedupe shuffle."""
+    base = resolve_base if resolve_base is not None else seed
+    seed_s = str(seed)
+    out: list[dict] = []
+    for href in hrefs:
+        u = CanonURL.parse(href)
+        if u.query_string:
+            continue
+        if not u.is_absolute:
+            u = base.join(href)
+        s = str(u)
+        if s != seed_s:
+            out.append({"url": s, "host": u.host})
+    return out

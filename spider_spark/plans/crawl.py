@@ -47,7 +47,6 @@ from spider_spark.functions.parse import make_parse_udf
 from spider_spark.functions.urlkit import (
     CanonURL,
     make_content_ref_udf,
-    make_host_udf,
     make_seed_canon_udf,
 )
 from pyspark.storagelevel import StorageLevel
@@ -376,17 +375,26 @@ class CrawlEngine:
         round_results = fetched_rows.unionByName(miss_rows)
 
         # ---- expansion (X2/I1): pages below the depth bound emit links ----
+        # the link's host rides along from the parse kernel (the CanonURL
+        # object existed there anyway), so no second URL-parse pass / host
+        # UDF stage is ever needed downstream
         expanding = parsed.filter(F.col("depth") < cfg.depth)
         links = expanding.select(
             F.col("seed"),
             F.col("parent"),
             (F.col("depth") + 1).alias("depth"),
             F.col("admission_rank").alias("parent_rank"),
-            F.posexplode(F.col("p.links")).alias("link_pos", "canon_url"),
+            F.posexplode(F.col("p.links")).alias("link_pos", "link"),
+        ).select(
+            "seed", "parent", "depth", "parent_rank", "link_pos",
+            F.col("link.url").alias("canon_url"),
+            F.col("link.host").alias("host"),
         )
         # intra-round min-depth dedupe (Q2 pinned deterministic)
         candidates = links.groupBy("canon_url").agg(
-            F.min(F.struct("depth", "parent_rank", "link_pos", "seed", "parent")).alias("m")
+            F.min(
+                F.struct("depth", "parent_rank", "link_pos", "seed", "parent", "host")
+            ).alias("m")
         ).select(
             "canon_url",
             F.col("m.depth").alias("depth"),
@@ -394,6 +402,7 @@ class CrawlEngine:
             F.col("m.link_pos").alias("link_pos"),
             F.col("m.seed").alias("seed"),
             F.col("m.parent").alias("parent"),
+            F.col("m.host").alias("host"),
         )
 
         # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
@@ -415,29 +424,29 @@ class CrawlEngine:
         )
 
         if n_new:
-            host_udf = make_host_udf()
-            admitted = self._timed(
-                "admit",
-                lambda: ranked.select(
-                    "canon_url",
-                    host_udf(F.col("canon_url")).alias("host"),
-                    "depth",
-                    "seed",
-                    "parent",
-                    "admission_rank",
-                    F.lit(r + 1).alias("round_admitted"),
-                ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+            # pure-JVM projection over the ranking's checkpoint — host came
+            # from the parse kernel, so no UDF stage and no extra
+            # materialization here
+            admitted = ranked.select(
+                "canon_url",
+                "host",
+                "depth",
+                "seed",
+                "parent",
+                "admission_rank",
+                F.lit(r + 1).alias("round_admitted"),
             )
             # union of checkpointed deltas — no per-round full rewrite of the
             # seen set (the rewrite is O(total) per round → quadratic over a
-            # crawl); lineage stays shallow because both children are
+            # crawl); lineage stays shallow because the parents are
             # materialized
             seen = state.seen.unionByName(
                 admitted.select("canon_url", "depth", "admission_rank")
             )
             if bloom is not None:
+                # keys identical to admitted's; read from the dedupe ckpt
                 self._timed(
-                    "bloom", lambda: self._bloom_add(bloom, admitted.select("canon_url"))
+                    "bloom", lambda: self._bloom_add(bloom, new.select("canon_url"))
                 )
             if no_politeness:
                 frontier = admitted  # carryover statically empty

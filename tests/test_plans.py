@@ -1,0 +1,95 @@
+"""Physical-plan shape tests — the scale contract, asserted via explain().
+
+These pin the properties that matter at 100 TB: the corpus side of the
+fetch-join is never shuffled (broadcast of the frontier), scans prune
+columns and push filters, JVM-only operators contain no Python evaluation,
+and the dedupe suite's shuffles are keyed the way the design says."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.functions.text import quality_score, token_count
+from spider_spark.operators.dedupe import minhash_signatures, simhash
+from spider_spark.operators.similarity import cosine_topk
+from spider_spark.sources.pages import synthetic_pages
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan_pages") / "pages.parquet")
+    synthetic_pages(spark, 500).write.mode("overwrite").parquet(p)
+    return p
+
+
+class TestFetchJoinPlan:
+    def test_frontier_broadcast_pages_not_shuffled(self, spark, pages_path):
+        """The 100 TB side must stay map-side: broadcast join with the
+        frontier on the build side, no Exchange over the pages scan."""
+        pages = spark.read.parquet(pages_path).select(
+            F.col("url").alias("canon_url"), "html"
+        )
+        frontier = spark.createDataFrame(
+            [("https://h0.example/d/0",)], "canon_url string"
+        )
+        plan = plan_of(pages.join(F.broadcast(frontier), on="canon_url", how="inner"))
+        assert "BroadcastHashJoin" in plan
+        # the parquet scan feeds the join directly — no shuffle between
+        scan_side = plan.split("Scan parquet")[0]
+        assert "Exchange hashpartitioning" not in scan_side
+
+    def test_column_pruning_reaches_scan(self, spark, pages_path):
+        df = spark.read.parquet(pages_path).select("url", "html")
+        plan = plan_of(df)
+        m = re.search(r"ReadSchema: ([^\n]+)", plan)
+        assert m and "url" in m.group(1) and "html" in m.group(1)
+        assert "warc_ts" not in m.group(1) and "lang" not in m.group(1)
+
+    def test_filter_pushdown_reaches_scan(self, spark, pages_path):
+        df = spark.read.parquet(pages_path).filter(
+            F.col("url") == "https://h0.example/d/0"
+        )
+        plan = plan_of(df)
+        assert re.search(r"PushedFilters: \[.*(EqualTo|IsNotNull).*\]", plan)
+
+
+class TestJVMOnlyOperators:
+    """Operators documented as JVM-side must compile without any Python
+    evaluation node (no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas
+    in the plan → whole-stage codegen keeps the hot path in the JVM)."""
+
+    @pytest.mark.parametrize(
+        "build",
+        [
+            lambda docs: docs.select(token_count(F.col("text")).alias("v")),
+            lambda docs: docs.select(quality_score(F.col("text")).alias("v")),
+            lambda docs: simhash(docs),
+            lambda docs: minhash_signatures(docs),
+        ],
+    )
+    def test_no_python_eval(self, spark, sf_dir, build):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(build(docs))
+        assert "EvalPython" not in plan and "InPandas" not in plan
+
+    def test_ann_topk_no_python_eval(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = plan_of(cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3))
+        assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+class TestDedupeShuffleKeys:
+    def test_minhash_single_doc_shuffle(self, spark, sf_dir):
+        """MinHash signatures: the only wide exchange is keyed by doc_id
+        (map-side partial mins make the shingle explode shuffle-free)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(minhash_signatures(docs))
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+        assert exchanges and all("doc_id" in e for e in exchanges)
+        # partial aggregation present (map-side combine before the shuffle)
+        assert "partial_min" in plan or "HashAggregate" in plan

@@ -1,0 +1,102 @@
+"""Structured-Streaming ingestion tests: incremental link extraction,
+stateful cross-batch dedupe, windowed host rates. File source +
+availableNow trigger → deterministic, finite runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.sources.pages import synthetic_pages
+from spider_spark.streaming.ingest import (
+    dedupe_links_stream,
+    extract_links_stream,
+    host_rate,
+    read_pages_stream,
+    run_to_completion,
+    run_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_pages")
+    pages = synthetic_pages(spark, 60)
+    # two separate drops → two file-source micro-batch sets
+    pages.filter(F.col("url").rlike("/d/[0-2][0-9]?$")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root / "in"))
+    pages.filter(~F.col("url").rlike("/d/[0-2][0-9]?$")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(root / "in"))
+    return root
+
+
+def test_incremental_links_and_dedupe(spark, pages_dir, tmp_path):
+    stream = read_pages_stream(
+        spark, str(pages_dir / "in"), schema=spark.read.parquet(
+            str(pages_dir / "in")
+        ).schema, max_files_per_trigger=1,
+    )
+    links = extract_links_stream(stream)
+    deduped = dedupe_links_stream(links, n_shards=4)
+    out = str(tmp_path / "out")
+    run_to_completion(deduped, str(tmp_path / "ckpt"), out)
+
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    # each link emitted exactly once across all micro-batches
+    assert got.count() == got.select("link").distinct().count()
+    # and matches the batch-mode link set exactly
+    batch_links = {
+        r["l"]
+        for r in extract_links_stream(
+            spark.read.parquet(str(pages_dir / "in"))
+        ).select(F.col("link").alias("l")).distinct().collect()
+    }
+    assert {r["link"] for r in rows} == batch_links
+
+
+def test_restart_resumes_from_checkpoint(spark, pages_dir, tmp_path):
+    """New files after a completed run are processed incrementally; the
+    seen-state survives the restart so old links are not re-emitted."""
+    in_dir = str(pages_dir / "in2")
+    full = synthetic_pages(spark, 40)
+    full.filter(F.col("url").rlike("/d/[0-9]$")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+
+    def drain():
+        run_to_completion(
+            dedupe_links_stream(
+                extract_links_stream(read_pages_stream(spark, in_dir, schema)),
+                n_shards=4,
+            ),
+            ckpt, out,
+        )
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    # drop the remaining pages and re-run from the same checkpoint
+    full.filter(~F.col("url").rlike("/d/[0-9]$")).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == got.select("link").distinct().count()
+
+
+def test_host_rate_window(spark, pages_dir, tmp_path):
+    stream = read_pages_stream(
+        spark, str(pages_dir / "in"),
+        schema=spark.read.parquet(str(pages_dir / "in")).schema,
+    )
+    run_to_memory(host_rate(stream), str(tmp_path / "rckpt"), "rates")
+    got = {
+        r["host"]: r["n_pages"]
+        for r in spark.sql("SELECT * FROM rates")
+        .groupBy("host").agg(F.sum("n_pages").alias("n_pages")).collect()
+    }
+    # h0 holds all even ids -> half the corpus (the skew fixture)
+    assert got["h0.example"] == 30
