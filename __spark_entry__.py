@@ -44,6 +44,7 @@ from spider_spark.operators.similarity import (
     cosine_near_dup_pairs_sql,
     cosine_topk,
     cosine_topk_sql,
+    ivf_topk,
     lsh_near_dup_pairs,
 )
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
@@ -181,6 +182,75 @@ _SQL_CRAWL_SEEN = (
 )
 
 
+def _q_crawl_catch_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 variant semantics (redis_database.py:108-134): the Redis DAO's
+    ``get`` is a substring SCAN, not parent equality — mirrored as a
+    contains-filter over the fetched rows."""
+    res = _crawl(spark, sf_dir)
+    return res.results.filter(
+        F.col("fetched") & F.col("url").contains("h1.example")
+    ).select("url", "title")
+
+
+_SQL_CRAWL_CATCH_SUBSTRING = (
+    "SELECT url, title FROM (" + _oracle_crawl_base() + ") "
+    "WHERE fetched AND url LIKE '%h1.example%'"
+)
+
+
+def _q_crawl_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 presentation: deterministic row numbering via a window function
+    (row_number over a total order both engines share)."""
+    from pyspark.sql import Window
+
+    res = _crawl(spark, sf_dir)
+    w = Window.orderBy("url")
+    return (
+        res.results.filter(F.col("fetched"))
+        .select("url", F.row_number().over(w).cast("long").alias("row_no"))
+    )
+
+
+_SQL_CRAWL_NUMBERED = (
+    "SELECT url, row_number() OVER (ORDER BY url) AS row_no FROM ("
+    + _oracle_crawl_base()
+    + ") WHERE fetched"
+)
+
+
+def _q_budget_seen_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 invariant: a per-host politeness budget reschedules URLs across
+    rounds but NEVER changes the final URL-seen set — verified against the
+    same recursive-CTE oracle as the unbudgeted crawl (depth 3 here to
+    bound the extra rounds budget-carryover adds)."""
+    pages = pages_from_documents(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    engine = CrawlEngine(spark, pages, CrawlConfig(depth=3, budget=2))
+    res = engine.crawl(seed)
+    return res.seen.select(F.col("canon_url").alias("url"))
+
+
+_SQL_BUDGET_SEEN = (
+    "SELECT url FROM ("
+    + oracle_results_sql(CRAWL_SEED_ID, 3)
+    + ")"
+)
+
+
+def _q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("n_chars")).alias("avg_chars"),
+    )
+
+
+_SQL_LANG_BREAKDOWN = (
+    "SELECT lang, count(*)::BIGINT AS n_docs, avg(n_chars) AS avg_chars "
+    "FROM documents GROUP BY 1"
+)
+
+
 _HOST_CASE = (
     "CASE WHEN doc_id % 2 = 0 THEN 'h0.example' "
     "ELSE 'h' || (1 + doc_id % 19) || '.example' END"
@@ -309,6 +379,13 @@ def _q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=NEAR_DUP_THRESHOLD)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (recall<1 scale path) — rows-only check; subset +
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K)
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH near-dup pairs (recall<1 scale path) — rows-only check;
     correctness vs brute force is asserted in tests/test_similarity.py."""
@@ -363,9 +440,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl engine (SURVEY §2: S1/S2/X1/X2/P4/P5/D1/D2/I1/L2)
         "crawl_results": _q_crawl_results,
         "crawl_catch": _q_crawl_catch,            # P1/L1
+        "crawl_catch_substring": _q_crawl_catch_substring,  # P2 variant
         "crawl_count_all": _q_crawl_count,        # A1
         "crawl_seen_depths": _q_crawl_seen_depths,  # D1 seen-set parity
+        "crawl_numbered": _q_crawl_numbered,      # L2 row_number
+        "budget_seen_invariance": _q_budget_seen_invariance,  # I2
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
+        "lang_breakdown": _q_lang_breakdown,
         # dedup suite
         "exact_dupes": _q_exact_dupes,
         "jaccard_pairs": _q_jaccard,
@@ -377,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _q_lang_id,             # rows-only (UDF kernel)
         # similarity search
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,               # rows-only (recall<1)
         "embed_near_dups": _q_embed_near_dups,
         "ann_lsh_near_dups": _q_ann_lsh,          # rows-only (recall<1)
         # multimodal plumbing
@@ -389,9 +471,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "crawl_results": _SQL_CRAWL_RESULTS,
         "crawl_catch": _SQL_CRAWL_CATCH,
+        "crawl_catch_substring": _SQL_CRAWL_CATCH_SUBSTRING,
         "crawl_count_all": _SQL_CRAWL_COUNT,
         "crawl_seen_depths": _SQL_CRAWL_SEEN,
+        "crawl_numbered": _SQL_CRAWL_NUMBERED,
+        "budget_seen_invariance": _SQL_BUDGET_SEEN,
         "host_page_counts": _SQL_HOST_COUNTS,
+        "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),

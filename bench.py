@@ -108,6 +108,21 @@ def main() -> None:
     # ---- pages table at rest, bucketed (un-timed) -----------------------
     pages = bucketed_pages(spark, n_pages, filler)
 
+    # ---- warmup (un-timed): JIT the JVM, fork the Python UDF workers ----
+    # models a long-running cluster; without it the first timed phase pays
+    # one-off startup that has nothing to do with the job being measured
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(0, 100_000, 1, 2 * cpus).select(_warm(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    pages.limit(1000).write.format("noop").mode("overwrite").save()
+
     # ---- q1: the headline frontier crawl -------------------------------
     seeds_df = spark.range(0, n_pages, max(1, n_pages // n_seeds), 64).select(
         url_expr(F.col("id")).alias("url")

@@ -211,6 +211,65 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_tables: int = 4, bits: int = 8,
     return out
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    (inverted lists = centroid-keyed partitions); each query probes only its
+    ``nprobe`` nearest lists and brute-forces within them. Recall < 1 by
+    design; the candidate set shrinks ~``n_centroids / nprobe``×.
+
+    Centroids here are the first ``n_centroids`` corpus vectors (seeded,
+    deterministic — a production deployment would k-means them; the Spark
+    shape is identical: centroid scoring is a JVM expression over literal
+    arrays, the join key is the list id, the corpus is scanned map-side).
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col)
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    ]
+
+    def centroid_scores(v):
+        """Array of cosine-ish scores against every centroid (JVM only)."""
+        return [
+            _dot(v, F.array(*[F.lit(x) for x in vec])).alias(f"c{cid}")
+            for cid, vec in cents
+        ]
+
+    def assign_expr(v, n_best: int):
+        """Indices of the n_best highest-dot centroids for vector v."""
+        scored = F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(cid).alias("cid"))
+                for (cid, _), s in zip(cents, centroid_scores(v))
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n_best)
+        return F.transform(top, lambda t: t["cid"])
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv", "nn",
+    ).withColumn("list_id", assign_expr(F.col("nv"), 1)[0])
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", "nq",
+    ).withColumn("list_id", F.explode(assign_expr(F.col("qv"), nprobe)))
+
+    pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")),
+                COS_DECIMALS).alias("cos_sim"),
+    ).dropDuplicates(["qid", "nid"])
+    return topk_per_key(
+        scored, ["qid"], [F.col("cos_sim").desc(), F.col("nid").asc()], k
+    ).select("qid", "nid", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
 def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9, dim: int = 64,
                        n_tables: int = 4, bits: int = 8, max_bucket: int = 2000,
                        id_col: str = "vec_id",

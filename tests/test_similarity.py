@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from spider_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_near_dup_pairs,
     topk_per_key,
 )
@@ -63,6 +64,23 @@ class TestCosineTopK:
             by_k.setdefault(r["k"], []).append((r["rank"], r["v"]))
         for k in range(3):
             assert sorted(by_k[k]) == [(1, 19), (2, 18), (3, 17)]
+
+
+class TestIVF:
+    def test_subset_and_recall(self, emb):
+        k = 5
+        qs = emb.filter(F.col("vec_id") < 5)
+        exact = {
+            (r["qid"], r["nid"]) for r in cosine_topk(emb, qs, k=k).collect()
+        }
+        got = ivf_topk(emb, qs, k=k, n_centroids=8, nprobe=6).collect()
+        approx = {(r["qid"], r["nid"]) for r in got}
+        # every query answered with k ranked neighbors
+        assert len(got) == 5 * k
+        for r in got:
+            assert 1 <= r["rank"] <= k
+        # with 6 of 8 lists probed, recall should be substantial
+        assert len(approx & exact) / len(exact) >= 0.5
 
 
 class TestLSHNearDup:
