@@ -238,6 +238,50 @@ _SQL_BUDGET_SEEN = (
 )
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline: exact-dedup (keep the
+    minimum doc_id per fingerprint group) → quality floor → per-doc stats.
+    One fingerprint-keyed shuffle + one broadcast-able semi-join."""
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        fp.join(keep, on=["fingerprint", "doc_id"])
+        .filter(F.col("quality") >= 0.1)
+        .select("doc_id", "quality", "n_tokens")
+    )
+
+
+_SQL_CORPUS_CLEAN = rf"""
+WITH fp AS (
+  SELECT doc_id,
+    md5({NORM_SQL.format(x='text')}) AS fingerprint,
+    (least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END) / 100.0) *
+     (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1))) *
+    (1.0 - least(1.0, abs(
+       length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
+       greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) - 5.0) / 5.0))
+      AS quality,
+    (CASE WHEN length(trim(text)) = 0 THEN 0
+     ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+  FROM documents
+),
+keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1)
+SELECT fp.doc_id, quality, n_tokens
+FROM fp JOIN keep USING (fingerprint, doc_id)
+WHERE quality >= 0.1
+"""
+
+
 def _q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -454,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         # text analysis
         "doc_token_stats": _q_token_stats,
+        "corpus_clean": _q_corpus_clean,
         "rolling_fingerprint": _q_rolling_fp,
         "lang_id_counts": _q_lang_id,             # rows-only (UDF kernel)
         # similarity search
@@ -483,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
         "simhash_fingerprints": simhash_sql(),
         "doc_token_stats": _SQL_TOKEN_STATS,
+        "corpus_clean": _SQL_CORPUS_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
         "embed_near_dups": cosine_near_dup_pairs_sql(

@@ -211,19 +211,23 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     ``max_bucket`` are dropped (skew guard)."""
     sig = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
     rows_per = _K_PERMS // _N_BANDS
-    bands = []
-    for b in range(_N_BANDS):
-        cols = [f"mh{b * rows_per + j}" for j in range(rows_per)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-            )
+    # one pass: bands come from a single explode over the signature row —
+    # a per-band union would recompute the whole signature aggregation
+    # (shingle explode + 32-way min shuffle) once per band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[f"mh{b * rows_per + j}" for j in range(rows_per)]
+                )
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
+        for b in range(_N_BANDS)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     hot = banded.groupBy("band", "bucket").agg(F.count("*").alias("c")).filter(
         F.col("c") > max_bucket
     )
@@ -336,15 +340,21 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     hamming ≤ 3 of a 60-bit hash must agree on at least one of 4 bands),
     confirmed with an exact ``bit_count(xor)`` check."""
     sh = simhash(docs, id_col=id_col, text_col=text_col)
-    bands = None
-    for b in range(4):
-        part = sh.select(
-            F.col(id_col),
-            F.col("simhash"),
+    # single-pass banding (explode, not per-band union: a union would
+    # recompute the 60-aggregate simhash once per band)
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
             F.shiftright(F.col("simhash"), b * 15).bitwiseAND(0x7FFF).alias("bucket"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for b in range(4)
+    ]
+    bands = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, "simhash",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band", "bucket"])

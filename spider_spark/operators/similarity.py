@@ -197,18 +197,24 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_tables: int = 4, bits: int = 8,
     arrays), so the hashing is pure JVM — no UDF, no broadcast needed."""
     planes = _hyperplanes(dim, n_tables, bits)
     v = F.col(vec_col)
-    out = None
+    # one scan of the corpus: all tables' buckets computed per row, then a
+    # single explode (a per-table union would rescan + redo the dot
+    # products n_tables times)
+    table_structs = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for b in range(bits):
             plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
             s = _dot(v, plane)
-            bucket = bucket + F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        part = df.select(
-            F.col(id_col).alias("id"), F.lit(t).alias("table"), bucket.alias("bucket")
+            bucket = bucket + F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        table_structs.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*table_structs)).alias("tb")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
