@@ -87,8 +87,8 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "1000000"))
-    n_seeds = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "250000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "500000"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_CRAWL_SEEDS", "125000"))
     depth = int(os.environ.get("SPARK_GRAFT_CRAWL_DEPTH", "2"))
     filler = int(os.environ.get("SPARK_GRAFT_PAGE_FILLER", "16"))  # ~1.2 KB/page
 
