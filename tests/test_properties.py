@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure kernels — no Spark.
+
+These pin the invariants the distributed plans rely on: canonicalization
+is idempotent and deterministic, the parse kernel never throws and its
+text extraction is a pure function of the bytes, and the bloom filter
+never yields false negatives (the H3 exactness precondition)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spider_spark.functions.parse import extract_text, parse_page
+from spider_spark.functions.urlkit import CanonURL, canonicalize
+from spider_spark.operators.bloom import BloomFilter
+
+url_text = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1,
+    max_size=40,
+)
+
+
+class TestCanonURL:
+    @given(host=st.from_regex(r"[a-z][a-z0-9-]{0,20}(\.[a-z]{2,6}){1,2}", fullmatch=True),
+           path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,12}){0,4}", fullmatch=True))
+    @settings(max_examples=200, deadline=None)
+    def test_canonicalize_idempotent(self, host, path):
+        url = f"https://{host}{path}"
+        once = canonicalize(url)
+        assert canonicalize(once) == once
+
+    @given(raw=url_text)
+    @settings(max_examples=200, deadline=None)
+    def test_seed_never_throws_and_is_stable(self, raw):
+        try:
+            cu = CanonURL.seed(raw)
+        except ValueError:
+            return  # stdlib rejects some hostile port/host forms; fine
+        assert str(cu) == str(CanonURL.seed(raw))
+        assert cu.human_repr() == CanonURL.seed(raw).human_repr()
+
+
+class TestParseKernel:
+    @given(html=st.text(max_size=2000))
+    @settings(max_examples=200, deadline=None)
+    def test_never_throws_and_deterministic(self, html):
+        t1 = parse_page(html)
+        t2 = parse_page(html)
+        assert t1 == t2
+        assert extract_text(html) == t1[2]
+
+    @given(data=st.binary(max_size=2000))
+    @settings(max_examples=100, deadline=None)
+    def test_arbitrary_bytes_ok(self, data):
+        title, hrefs, text = parse_page(data)
+        assert isinstance(hrefs, list)
+        assert isinstance(text, str)
+
+
+class TestBloomNoFalseNegatives:
+    @given(keys=st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                         min_size=1, max_size=500, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def test_added_keys_always_contained(self, keys):
+        bf = BloomFilter(*BloomFilter.sized_for(len(keys), 0.01))
+        h1 = np.array(keys, dtype=np.uint64)
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(0x1234567)
+        bf.add_many(h1, h2)
+        assert bf.contains_many(h1, h2).all()
