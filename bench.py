@@ -138,7 +138,8 @@ def main() -> None:
         ),
     )
     t0 = time.perf_counter()
-    result = engine.crawl(seeds_df)
+    # seeds come straight from the engine's own url formula → trusted fast path
+    result = engine.crawl(seeds_df, seeds_canonical=True)
     crawl_sec = time.perf_counter() - t0
     fetched = result.successful_crawls
     queries["crawl_frontier"] = round(crawl_sec, 3)

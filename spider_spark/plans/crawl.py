@@ -181,20 +181,33 @@ class CrawlEngine:
             )
         return self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
-    def _seed_frontier_df(self, seeds: DataFrame) -> tuple[DataFrame, int]:
+    def _seed_frontier_df(self, seeds: DataFrame,
+                          assume_canonical: bool = False) -> tuple[DataFrame, int]:
         """Distributed seed ingestion (S1 at scale): a DataFrame with a
         ``url`` column; canonicalization runs in an Arrow UDF, admission
         rank is assigned by deterministic url order — the driver never
-        materializes the seed list. Returns (frontier, n_seeds)."""
-        canon_udf = make_seed_canon_udf()
-        canon = (
-            seeds.select(canon_udf(F.col("url")).alias("c"))
-            .select(
+        materializes the seed list. Returns (frontier, n_seeds).
+
+        ``assume_canonical=True`` is the trusted fast path for seeds that
+        come out of this engine's own tables (already canonical, scheme +
+        non-empty unencoded path): host extraction stays JVM-side and
+        ``human_repr == str``, skipping the Python canonicalization pass."""
+        if assume_canonical:
+            projected = seeds.select(
+                F.col("url").alias("canon_url"),
+                F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+                .alias("host"),
+                F.col("url").alias("parent"),
+            )
+        else:
+            canon_udf = make_seed_canon_udf()
+            projected = seeds.select(canon_udf(F.col("url")).alias("c")).select(
                 F.col("c.canon_url").alias("canon_url"),
                 F.col("c.host").alias("host"),
                 F.col("c.human").alias("parent"),
             )
-            .dropDuplicates(["canon_url"])
+        canon = (
+            projected.dropDuplicates(["canon_url"])
             # materialize before ranking: the range partitioner's sampling
             # pass and the real shuffle would otherwise both re-run the
             # canonicalization UDF + dedupe shuffle
@@ -216,13 +229,17 @@ class CrawlEngine:
 
     # -- the round loop -------------------------------------------------------
 
-    def crawl(self, seeds: str | list[str] | DataFrame) -> CrawlResult:
+    def crawl(self, seeds: str | list[str] | DataFrame,
+              seeds_canonical: bool = False) -> CrawlResult:
         if isinstance(seeds, str):
             seeds = [seeds]
         if isinstance(seeds, DataFrame):
             # frontier/seen stay lazy projections over the checkpointed
             # ranking intermediate — no extra materialization passes
-            frontier, n_seeds = self._timed("seed", lambda: self._seed_frontier_df(seeds))
+            frontier, n_seeds = self._timed(
+                "seed",
+                lambda: self._seed_frontier_df(seeds, assume_canonical=seeds_canonical),
+            )
             seen = frontier.select("canon_url", "depth", "admission_rank")
         else:
             n_seeds = len(seeds)
