@@ -50,10 +50,24 @@ class RobotsRules:
     crawl_delay: dict[str, float]
 
     @staticmethod
-    def from_df(robots_df: DataFrame | None) -> "RobotsRules":
+    def from_df(robots_df: DataFrame | None, *, now=None,
+                ttl_sec: float | None = None) -> "RobotsRules":
+        """Load the host→rules map, honoring the TTL cache column: rows
+        whose ``fetched_ts`` is older than ``ttl_sec`` (relative to
+        ``now``, a datetime) are treated as expired — a live deployment
+        would re-fetch robots.txt for those hosts; offline they simply
+        stop constraining (crawl-allowed default, like an expired cache
+        entry). Tables without a ``fetched_ts`` column never expire."""
         if robots_df is None:
             return RobotsRules({}, {})
         rows = robots_df.collect()
+        if ttl_sec is not None and now is not None and rows and \
+                "fetched_ts" in robots_df.columns:
+            rows = [
+                r for r in rows
+                if r["fetched_ts"] is not None
+                and (now - r["fetched_ts"]).total_seconds() <= ttl_sec
+            ]
         return RobotsRules(
             {r["host"]: tuple(r["disallow_prefixes"] or ()) for r in rows},
             {r["host"]: float(r["crawl_delay"] or 0.0) for r in rows},

@@ -152,12 +152,14 @@ class CrawlEngine:
         config: CrawlConfig | None = None,
         io=None,  # TableIO; required when config.durable
         robots: DataFrame | None = None,
+        robots_now=None,            # datetime for TTL evaluation
+        robots_ttl_sec: float | None = None,
     ):
         self.spark = spark
         self.pages = pages
         self.config = config or CrawlConfig()
         self.io = io
-        self.rules = RobotsRules.from_df(robots)
+        self.rules = RobotsRules.from_df(robots, now=robots_now, ttl_sec=robots_ttl_sec)
         self.phase_times: dict[str, float] = {}  # cumulative sec per phase
         if self.config.durable and io is None:
             raise ValueError("durable crawl requires a TableIO")

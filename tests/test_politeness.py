@@ -74,6 +74,29 @@ class TestRobots:
         assert by_host["h2.example"] == 2
 
 
+class TestRobotsTTL:
+    def test_expired_rules_stop_constraining(self, spark):
+        import datetime as dt
+
+        now = dt.datetime(2024, 6, 1, 12, 0, 0)
+        robots = spark.createDataFrame(
+            [
+                ("h1.example", ["/p/"], 0.0, now - dt.timedelta(hours=1)),
+                ("h2.example", ["/p/"], 0.0, now - dt.timedelta(days=7)),
+                ("h3.example", ["/p/"], 0.0, None),
+            ],
+            "host string, disallow_prefixes array<string>, crawl_delay double, "
+            "fetched_ts timestamp",
+        )
+        rules = RobotsRules.from_df(robots, now=now, ttl_sec=24 * 3600)
+        assert "h1.example" in rules.disallow      # fresh
+        assert "h2.example" not in rules.disallow  # stale → expired
+        assert "h3.example" not in rules.disallow  # never fetched → no cache
+        # no TTL configured → everything applies
+        rules_all = RobotsRules.from_df(robots)
+        assert set(rules_all.disallow) == {"h1.example", "h2.example", "h3.example"}
+
+
 class TestEngineRobots:
     def test_blocked_urls_never_fetched_or_seen(self, spark):
         # graph note: odd ids only link to odd ids, and every even id is on
