@@ -145,6 +145,32 @@ def main() -> None:
     queries["crawl_frontier"] = round(crawl_sec, 3)
     pages_per_sec = fetched / crawl_sec if crawl_sec else 0.0
 
+    # ---- q2: politeness-budgeted crawl (north-rule scheduler in-path) ---
+    # smaller frontier, per-host budget on: measures the salted two-stage
+    # top-k scheduler + carryover rounds
+    seeds_small = spark.range(0, n_pages, max(1, n_pages // (n_seeds // 25)), 64).select(
+        url_expr(F.col("id")).alias("url")
+    )
+    polite = CrawlEngine(
+        spark,
+        pages,
+        CrawlConfig(
+            depth=2,
+            # the hot host holds 50% of the frontier; the budget must let it
+            # drain in a handful of carryover rounds, not hundreds
+            budget=int(os.environ.get("SPARK_GRAFT_BUDGET", "1000")),
+            verify_text=False,
+            bloom_capacity=2 * n_pages,
+            broadcast_threshold=100_000,
+            max_rounds=8,
+        ),
+    )
+    t0 = time.perf_counter()
+    presult = polite.crawl(seeds_small, seeds_canonical=True)
+    polite_sec = time.perf_counter() - t0
+    queries["crawl_polite"] = round(polite_sec, 3)
+    polite_pps = presult.successful_crawls / polite_sec if polite_sec else 0.0
+
     # ---- pipeline ops over the driver tables ---------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -187,6 +213,9 @@ def main() -> None:
                 "pages_per_sec": round(pages_per_sec, 1),
                 "pages_fetched": fetched,
                 "crawl_rounds": len(result.metrics),
+                "polite_pages_per_sec": round(polite_pps, 1),
+                "polite_rounds": len(presult.metrics),
+                "polite_carryover": sum(m.carryover for m in presult.metrics),
                 "n_pages_table": n_pages,
                 "cpus": cpus,
                 "phase_sec": {k: round(v, 2) for k, v in engine.phase_times.items()},
