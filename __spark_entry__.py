@@ -479,6 +479,108 @@ FROM v
 """
 
 
+# -- relational analytics breadth (agg / join / window over TPC-H-ish data) --
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation over lineitem. Double sums are
+    rounded to 2dp on both engines (absolute error of a 600k-term double
+    sum is ~1e-6 at 1e9 magnitude — far inside the rounding)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = "1998-09-02"
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def _q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + grouped agg: revenue per supplier nation (supplier is the
+    broadcast-able dimension side)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SQL_TOP_SUPPLIERS = """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a new session starts when the
+    gap to the user's previous event exceeds 30 minutes; returns sessions
+    per user + total events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))  # ts is TIMESTAMP_NTZ; session TZ is UTC
+    withprev = ev.withColumn("prev_ts", F.lag(epoch).over(w))
+    gap = epoch - F.col("prev_ts")
+    flagged = withprev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SQL_EVENT_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM flagged GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (SURVEY §2: S1/S2/X1/X2/P4/P5/D1/D2/I1/L2)
@@ -509,6 +611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        # relational analytics breadth (agg / join / window)
+        "pricing_summary": _q_pricing_summary,
+        "top_suppliers": _q_top_suppliers,
+        "event_sessions": _q_event_sessions,
     }
 
 
@@ -536,5 +642,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "top_suppliers": _SQL_TOP_SUPPLIERS,
+        "event_sessions": _SQL_EVENT_SESSIONS,
         # omitted (rows-only): lang_id_counts, ann_lsh_near_dups
     }

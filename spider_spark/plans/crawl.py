@@ -425,14 +425,22 @@ class CrawlEngine:
         )
 
         # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
-        new = self._timed(
-            "dedupe",
-            lambda: (
-                filter_unseen(candidates, "canon_url", state.seen, bloom)
-                if cfg.use_cache
-                else candidates
-            ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
-        )
+        def _dedupe():
+            if not cfg.use_cache:
+                return candidates.localCheckpoint(
+                    eager=True, storageLevel=CHECKPOINT_LEVEL
+                )
+            # materialize the explode+groupBy once: the bloom split consumes
+            # candidates twice (definitely-new branch + suspects anti-join),
+            # and exchange reuse covers only the shuffle, not the probe/agg
+            cand = candidates.localCheckpoint(
+                eager=True, storageLevel=CHECKPOINT_LEVEL
+            )
+            return filter_unseen(cand, "canon_url", state.seen, bloom).localCheckpoint(
+                eager=True, storageLevel=CHECKPOINT_LEVEL
+            )
+
+        new = self._timed("dedupe", _dedupe)
         # ranking's size-collect doubles as the n_new count (no extra job)
         ranked, n_new = self._timed(
             "rank",
