@@ -121,3 +121,34 @@ class TestCrawlOracle:
         assert res.count_all() == 0
         rows = res.results.collect()
         assert len(rows) == 1 and not rows[0]["fetched"]
+
+
+class TestNoCache:
+    def test_no_cache_refetches_and_counts_more(self, spark):
+        """--no-cache parity (use_cache.py:19-28): with the seen-set gate
+        off, URLs reachable along multiple paths are re-admitted and
+        re-fetched; the unique fetched-URL set is unchanged (BFS still
+        depth-bounded), while total_calls grows past the unique count.
+        A 10-page graph wraps mod n within depth 4 (0→…→2·3+1≡1 again),
+        so cross-round revisits actually occur."""
+        from pyspark.sql import functions as F
+
+        from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+        from spider_spark.sources.pages import synthetic_pages
+
+        tiny = synthetic_pages(spark, 10).localCheckpoint(eager=True)
+        seed = "https://h0.example/d/0"
+        cached = CrawlEngine(
+            spark, tiny, CrawlConfig(depth=4, verify_text=False)
+        ).crawl(seed)
+        uncached = CrawlEngine(
+            spark, tiny, CrawlConfig(depth=4, verify_text=False, use_cache=False)
+        ).crawl(seed)
+        cached_urls = {
+            r["url"] for r in cached.results.filter(F.col("fetched")).collect()
+        }
+        uncached_urls = {
+            r["url"] for r in uncached.results.filter(F.col("fetched")).collect()
+        }
+        assert uncached_urls == cached_urls
+        assert uncached.total_calls > cached.total_calls
