@@ -36,7 +36,11 @@ from spider_spark.operators.dedupe import (
     jaccard_pairs_sql,
     lsh_candidate_pairs,
     lsh_candidate_pairs_sql,
+    minhash_signatures,
+    minhash_signatures_sql,
     simhash,
+    simhash_near_pairs,
+    simhash_near_pairs_sql,
     simhash_sql,
 )
 from spider_spark.operators.similarity import (
@@ -346,6 +350,19 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+SIMHASH_MAX_HAMMING = 16
+
+
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -597,7 +614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dupes": _q_exact_dupes,
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        "minhash_signatures": _q_minhash_sigs,
         "simhash_fingerprints": _q_simhash,
+        "simhash_near_pairs": _q_simhash_pairs,
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -632,7 +651,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dupes": _SQL_EXACT_DUPES,
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
+        "minhash_signatures": minhash_signatures_sql(),
         "simhash_fingerprints": simhash_sql(),
+        "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,

@@ -334,6 +334,46 @@ def simhash_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
+def minhash_signatures_sql(n: int = 3, table: str = "documents",
+                           id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`minhash_signatures` (same permutations)."""
+    sh = shingles_sql(n=n, id_col=id_col, text_col=text_col, table=table)
+    mins = ",\n      ".join(
+        f"min(({PERM_A[i]}::BIGINT * h30 + {PERM_B[i]}) % {_P31}) AS mh{i}"
+        for i in range(_K_PERMS)
+    )
+    return f"""
+    WITH sh AS ({sh}),
+    hashed AS (SELECT {id_col}, {md5_60_sql('shingle')} % {_P31} AS h30 FROM sh)
+    SELECT {id_col},
+      {mins}
+    FROM hashed GROUP BY {id_col}
+    """
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3, table: str = "documents",
+                           id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`simhash_near_pairs`: same 15-bit bands, same
+    exact hamming confirmation via ``bit_count(xor)``."""
+    base = simhash_sql(table=table, id_col=id_col, text_col=text_col)
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT {id_col}, simhash, {b} AS band, "
+        f"(simhash >> {b * 15}) & 32767 AS bucket FROM sh"
+        for b in range(4)
+    )
+    return f"""
+    WITH sh AS ({base}),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM bands a JOIN bands b USING (band, bucket)
+    WHERE a.{id_col} < b.{id_col}
+      AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash: 15-bit band buckets (any pair within
