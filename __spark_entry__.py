@@ -203,16 +203,17 @@ _SQL_CRAWL_CATCH_SUBSTRING = (
 
 
 def _q_crawl_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 presentation: deterministic row numbering via a window function
-    (row_number over a total order both engines share)."""
-    from pyspark.sql import Window
+    """L2 presentation: deterministic row numbering over a total order both
+    engines share — via the engine's two-stage global rank (no single-task
+    window sort, the same path the crawl's admission ranks use)."""
+    from spider_spark.operators.ranking import with_global_rank
 
     res = _crawl(spark, sf_dir)
-    w = Window.orderBy("url")
-    return (
-        res.results.filter(F.col("fetched"))
-        .select("url", F.row_number().over(w).cast("long").alias("row_no"))
+    ranked = with_global_rank(
+        res.results.filter(F.col("fetched")).select("url"), ["url"],
+        "row_no", start=1,
     )
+    return ranked.select("url", F.col("row_no").cast("long").alias("row_no"))
 
 
 _SQL_CRAWL_NUMBERED = (
@@ -226,7 +227,10 @@ def _q_budget_seen_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2 invariant: a per-host politeness budget reschedules URLs across
     rounds but NEVER changes the final URL-seen set — verified against the
     same recursive-CTE oracle as the unbudgeted crawl (depth 3 here to
-    bound the extra rounds budget-carryover adds)."""
+    bound the extra rounds budget-carryover adds). Sound at any sf because
+    the engine schedules strict-BFS by default (min-depth level first),
+    which preserves min-depth discovery even when the depth bound binds —
+    see operators/politeness.py docstring."""
     pages = pages_from_documents(spark, sf_dir)
     n = _docs(spark, sf_dir).count()
     seed = seed_url_for(CRAWL_SEED_ID, n)

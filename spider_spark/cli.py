@@ -87,6 +87,7 @@ def cmd_crawl(args) -> int:
     cfg = CrawlConfig(
         depth=args.depth,
         budget=args.concur if args.concur and args.concur > 0 else None,
+        waves=max(1, getattr(args, "waves", 1)),
         overwrite=args.overwrite,
         use_cache=args.cache,
         verify_text=False,
@@ -187,6 +188,9 @@ def build_parser(config: ConfigController) -> argparse.ArgumentParser:
                    help="depth of scraping (default=1)")
     s.add_argument("--concur", type=int, default=cfg.concurrency_limit,
                    help="per-host politeness budget per round (0 = unlimited)")
+    s.add_argument("--waves", type=int, default=1,
+                   help="politeness windows batched per Spark round "
+                        "(amortizes round overhead; seen set is invariant)")
     s.add_argument("--no-cache", dest="cache", action="store_false",
                    help="disable the URL-seen cache for this run")
     s.add_argument("--no-logtime", dest="log_time", action="store_false",

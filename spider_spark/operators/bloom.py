@@ -1,4 +1,4 @@
-"""Partitioned bloom-filter seen-set prefilter (SURVEY D1, hard item H3).
+"""Partitioned (sharded) bloom-filter seen-set prefilter (SURVEY D1, H3).
 
 The reference's seen-set is an in-memory ``set`` admission-checked before
 every fetch (use_cache.py:14,22-24). At 10^10 URLs an exact set can't be
@@ -12,10 +12,24 @@ broadcast, so the engine uses the classic two-stage design:
    final seen-set is exact (H3), only the anti-join shuffle shrinks by the
    true-negative rate.
 
-Hashing stays JVM-side (``xxhash64`` with two salts); Python only ORs bit
-arrays inside an Arrow-batched pass. At 10^10 scale the filter is sharded
-by ``url_hash % n_shards`` and each executor probes only the shard a row
-hashes to; in-sandbox a single merged filter suffices (n_shards=1 default).
+Hashing stays JVM-side (``xxhash64`` with salts); Python only ORs bit
+arrays inside an Arrow-batched pass.
+
+**Sharding (the 10^10 path).** A monolithic filter for 10^10 URLs at 1%
+fpp is ~12 GB — unbroadcastable. :class:`ShardedBloom` splits the key
+space by ``xxhash64(url, SHARD_SALT) % n_shards``; each shard is an
+independent bloom filter under its own broadcast variable, so an executor
+task materializes only the shards its rows actually hash to (Spark
+broadcasts fetch lazily on first ``.value`` access). Probe batches group
+rows by shard and test each group against just that shard.
+
+**Sizing follows the data, not a constructor constant.** The engine tracks
+the exact number of keys added (it knows every round's admission count);
+when the running count crosses the sized-for capacity,
+:meth:`ShardedBloom.saturated` turns true and the crawl plan rebuilds the
+filter from the seen table at geometrically larger capacity — fpp stays
+near nominal no matter how far the crawl outgrows the initial hint
+(tests/test_properties.py pins fpp ≤ 2× nominal at 10× overrun).
 """
 
 from __future__ import annotations
@@ -29,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 _SALT2 = 0x9E3779B9
+_SHARD_SALT = 0x5BD1E995
 
 
 class BloomFilter:
@@ -65,72 +80,143 @@ class BloomFilter:
         np.bitwise_or(self.bits, other.bits, out=self.bits)
 
 
-def _hash_cols(col: str):
+class ShardedBloom:
+    """``n_shards`` independent bloom filters partitioning the key space by
+    ``xxhash64(key, SHARD_SALT) % n_shards``. ``n_items`` is the exact
+    running key count (maintained by the caller, who knows every batch's
+    cardinality); ``saturated`` signals the rebuild-bigger point."""
+
+    def __init__(self, expected: int, fpp: float = 0.01, n_shards: int = 1):
+        self.n_shards = max(1, n_shards)
+        self.fpp = fpp
+        self.expected = max(1, expected)
+        per_shard = max(1, self.expected // self.n_shards)
+        n_bits, n_hashes = BloomFilter.sized_for(per_shard, fpp)
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.shards = [BloomFilter(n_bits, n_hashes) for _ in range(self.n_shards)]
+        self.n_items = 0
+
+    @property
+    def saturated(self) -> bool:
+        return self.n_items > self.expected
+
+    def union_shard_inplace(self, shard: int, bits: np.ndarray) -> None:
+        np.bitwise_or(self.shards[shard].bits, bits, out=self.shards[shard].bits)
+
+
+def _hash_cols(col: str, n_shards: int):
     h1 = F.xxhash64(F.col(col)).cast("long")
     h2 = F.xxhash64(F.col(col), F.lit(_SALT2)).cast("long")
-    return h1.alias("__h1"), h2.alias("__h2")
+    sh = F.pmod(F.xxhash64(F.col(col), F.lit(_SHARD_SALT)), F.lit(n_shards)).cast("int")
+    return h1.alias("__h1"), h2.alias("__h2"), sh.alias("__shard")
+
+
+def build_into(bloom: ShardedBloom, df: DataFrame, col: str,
+               count_items: bool = True) -> ShardedBloom:
+    """Add ``df[col]`` to ``bloom`` distributedly: each partition fills
+    local per-shard bit arrays inside ``mapInPandas`` (Arrow batches,
+    numpy bit-set); per-(partition, shard) partials are OR-merged on the
+    driver — driver traffic is bit arrays, never keys. When the caller
+    already knows the exact batch cardinality it passes
+    ``count_items=False`` and bumps ``n_items`` itself (saves a count)."""
+    n_bits, n_hashes, n_shards = bloom.n_bits, bloom.n_hashes, bloom.n_shards
+    hashed = df.select(*_hash_cols(col, n_shards))
+
+    def fill(batches):
+        local: dict[int, BloomFilter] = {}
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            sh = pdf["__shard"].to_numpy(dtype=np.int32)
+            for s in np.unique(sh):
+                m = sh == s
+                bf = local.get(int(s))
+                if bf is None:
+                    bf = local[int(s)] = BloomFilter(n_bits, n_hashes)
+                bf.add_many(h1[m], h2[m])
+        if local:
+            yield pd.DataFrame(
+                {
+                    "shard": list(local),
+                    "bits": [bf.bits.tobytes() for bf in local.values()],
+                    "n": [n] + [0] * (len(local) - 1),
+                }
+            )
+
+    partials = hashed.mapInPandas(fill, schema="shard int, bits binary, n long").collect()
+    for row in partials:
+        bloom.union_shard_inplace(
+            row["shard"], np.frombuffer(row["bits"], dtype=np.uint8)
+        )
+        if count_items:
+            bloom.n_items += row["n"]
+    return bloom
 
 
 def build_bloom(df: DataFrame, col: str, expected: int | None = None,
-                fpp: float = 0.01) -> BloomFilter:
-    """Build a bloom filter of ``df[col]`` distributedly: each partition
-    fills a local bit array inside ``mapInPandas`` (Arrow batches, numpy
-    bit-set), partials are OR-merged on the driver."""
+                fpp: float = 0.01, n_shards: int = 1) -> ShardedBloom:
+    """Build a fresh sharded bloom of ``df[col]`` (sized for ``expected``,
+    defaulting to an exact count of ``df``)."""
     if expected is None:
         expected = df.count()
-    n_bits, n_hashes = BloomFilter.sized_for(expected, fpp)
-    hashed = df.select(*_hash_cols(col))
-
-    def fill(batches):
-        local = BloomFilter(n_bits, n_hashes)
-        any_rows = False
-        for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                local.add_many(
-                    pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64),
-                    pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64),
-                )
-        if any_rows:
-            yield pd.DataFrame({"bits": [local.bits.tobytes()]})
-
-    partials = hashed.mapInPandas(fill, schema="bits binary").collect()
-    merged = BloomFilter(n_bits, n_hashes)
-    for row in partials:
-        merged.union_inplace(
-            BloomFilter(n_bits, n_hashes, np.frombuffer(row["bits"], dtype=np.uint8).copy())
-        )
-    return merged
+    return build_into(ShardedBloom(expected, fpp, n_shards), df, col)
 
 
 def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
-                  bloom: BloomFilter | None) -> DataFrame:
+                  bloom: ShardedBloom | None, materialize=None) -> DataFrame:
     """Exact-by-construction seen filtering: bloom prefilter (when given)
     splits candidates into definitely-new (pass through, no shuffle) and
     maybe-seen (confirmed by exact anti-join). Without a bloom, plain
     ``left_anti`` (use_cache.py:22-24 semantics: only never-seen URLs are
-    admitted)."""
+    admitted).
+
+    ``materialize`` (optional, e.g. an eager localCheckpoint) is applied
+    to the two expensive intermediates — the flagged candidates (one pass
+    through the probe, consumed by both branches) and the anti-join
+    output (one pass through the seen shuffle). The returned union is
+    then two cheap JVM filters over materialized data, safe for consumers
+    that evaluate their input twice (range-partition sampling): nothing
+    heavy — not the Python probe, not the seen shuffle — ever re-runs."""
     if bloom is None:
         return candidates.join(seen.select(F.col(col)), on=col, how="left_anti")
 
-    spark = candidates.sparkSession
-    bcast = spark.sparkContext.broadcast((bloom.n_bits, bloom.n_hashes, bloom.bits.tobytes()))
+    sc = candidates.sparkSession.sparkContext
+    # one broadcast variable PER SHARD: broadcasts materialize lazily on
+    # first .value access, so a task whose batch never touches shard s
+    # never pulls shard s's bits — the property that keeps a 12 GB
+    # aggregate filter usable on executors with a fraction of that memory
+    shard_bcasts = [sc.broadcast(bf.bits.tobytes()) for bf in bloom.shards]
+    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
 
     @F.pandas_udf(BooleanType())
-    def maybe_seen(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        n_bits, n_hashes, raw = bcast.value
-        bf = BloomFilter(n_bits, n_hashes, np.frombuffer(raw, dtype=np.uint8))
+    def maybe_seen(h1: pd.Series, h2: pd.Series, sh: pd.Series) -> pd.Series:
         if not len(h1):
             return pd.Series([], dtype=bool)
-        got = bf.contains_many(
-            h1.to_numpy(dtype=np.int64).view(np.uint64),
-            h2.to_numpy(dtype=np.int64).view(np.uint64),
-        )
-        return pd.Series(got)
+        h1v = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        h2v = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        shv = sh.to_numpy(dtype=np.int32)
+        out = np.zeros(len(h1v), dtype=bool)
+        for s in np.unique(shv):
+            bf = BloomFilter(
+                n_bits, n_hashes,
+                np.frombuffer(shard_bcasts[int(s)].value, dtype=np.uint8),
+            )
+            m = shv == s
+            out[m] = bf.contains_many(h1v[m], h2v[m])
+        return pd.Series(out)
 
-    h1, h2 = _hash_cols(col)
-    flagged = candidates.withColumn("__maybe", maybe_seen(h1, h2))
+    h1, h2, sh = _hash_cols(col, bloom.n_shards)
+    flagged = candidates.withColumn("__maybe", maybe_seen(h1, h2, sh))
+    if materialize is not None:
+        flagged = materialize(flagged)
     definitely_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
     suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
     confirmed_new = suspects.join(seen.select(F.col(col)), on=col, how="left_anti")
+    if materialize is not None:
+        confirmed_new = materialize(confirmed_new)
     return definitely_new.unionByName(confirmed_new)

@@ -51,10 +51,23 @@ def with_global_rank(
         .withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
-    sizes = {
-        r["__pid"]: r["cnt"]
-        for r in parted.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    stats = parted.groupBy("__pid").agg(
+        F.count("*").alias("cnt"), F.max("__mid").alias("max_mid")
+    ).collect()
+    sizes = {r["__pid"]: r["cnt"] for r in stats}
+    # Guard the monotonically_increasing_id layout assumption (mid ==
+    # (pid << 33) + local_row_index over a freshly-sorted partition): if
+    # Spark ever changes the encoding, or a partition exceeds 2^33 rows,
+    # fail loudly instead of silently mis-ranking — admission_rank feeds
+    # the crawl's determinism contract.
+    for r in stats:
+        expect = (r["__pid"] << 33) + r["cnt"] - 1
+        if r["max_mid"] != expect:
+            raise AssertionError(
+                "monotonically_increasing_id encoding mismatch in partition "
+                f"{r['__pid']}: max id {r['max_mid']} != {expect} "
+                f"(cnt={r['cnt']}); global ranking would be corrupted"
+            )
     offsets, acc = {}, start
     for pid in sorted(sizes):
         offsets[pid] = acc

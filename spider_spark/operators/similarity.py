@@ -109,10 +109,10 @@ def cosine_topk_sql(k: int = 5, n_queries: int = 10, dim: int = 64,
 
     return f"""
     WITH q AS (SELECT {id_col} AS qid, {vec_col} AS qv,
-                      sqrt({dot('embedding', 'embedding')}) AS nq
+                      sqrt({dot(vec_col, vec_col)}) AS nq
                FROM {table} WHERE {id_col} < {n_queries}),
     c AS (SELECT {id_col} AS nid, {vec_col} AS nv,
-                 sqrt({dot('embedding', 'embedding')}) AS nn
+                 sqrt({dot(vec_col, vec_col)}) AS nn
           FROM {table}),
     scored AS (
       SELECT qid, nid, round({dot('qv', 'nv')} / (nq * nn), {COS_DECIMALS}) AS cos_sim

@@ -86,6 +86,18 @@ class TestCrawlOracle:
         res = eng.crawl(seed_url_for(0, N_DOCS))
         assert engine_rows(res) == oracle_rows(sf_dir, 0, 3)
 
+    def test_sharded_bloom_with_growth_same_result(self, spark, sf_dir, pages):
+        """The 10^10-path config — 4 hash-partitioned bloom shards and a
+        deliberately tiny capacity hint (forces the saturation→rebuild
+        path mid-crawl) — must be invisible to results (H3: exact by
+        construction)."""
+        eng = CrawlEngine(
+            spark, pages,
+            CrawlConfig(depth=4, bloom_shards=4, bloom_capacity=8),
+        )
+        res = eng.crawl(seed_url_for(0, N_DOCS))
+        assert engine_rows(res) == oracle_rows(sf_dir, 0, 4)
+
     def test_catch_and_ordering(self, spark, sf_dir, pages):
         # P1 + L2: catch returns fetched rows for the seed parent in
         # admission order, numbered from the seed itself

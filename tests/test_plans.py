@@ -83,6 +83,60 @@ class TestJVMOnlyOperators:
         assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+class TestDurableSeenJoin:
+    def test_anti_join_no_exchange_over_seen_scan(self, spark):
+        """VERDICT r1 next-2 'done' criterion: durable mode keeps the seen
+        set in a table bucketed by canon_url; the per-round anti-join then
+        exchanges ONLY the candidate delta — the accumulated seen scan has
+        no Exchange above it (it is read in its bucket layout)."""
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            seen = spark.range(0, 2000).select(
+                F.concat(F.lit("u"), F.col("id").cast("string")).alias("canon_url")
+            )
+            (
+                seen.write.format("parquet").mode("overwrite")
+                .bucketBy(32, "canon_url").sortBy("canon_url")
+                .saveAsTable("t_seen_accel_plan")
+            )
+            cand = spark.range(0, 100).select(
+                F.concat(F.lit("u"), (F.col("id") * 7).cast("string"))
+                .alias("canon_url")
+            )
+            joined = cand.join(
+                spark.table("t_seen_accel_plan"), on="canon_url", how="left_anti"
+            )
+            plan = plan_of(joined)
+            # exactly one hash exchange in the whole join — the candidate
+            # side; the seen scan feeds the join from its bucket layout
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+            assert "SelectedBucketsCount" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_seen_accel_plan")
+
+    def test_engine_drops_accel_after_crawl(self, spark, tmp_path_factory):
+        from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        pages = synthetic_pages(spark, 60).localCheckpoint(eager=True)
+        io = ParquetManifestIO(
+            spark, str(tmp_path_factory.mktemp("accel_io"))
+        )
+        eng = CrawlEngine(
+            spark, pages,
+            CrawlConfig(depth=2, durable=True, verify_text=False),
+            io=io,
+        )
+        eng.crawl("https://h0.example/d/0")
+        assert eng._accel_name is None
+        assert not [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("spider_seen_accel_")
+        ]
+
+
 class TestDedupeShuffleKeys:
     def test_minhash_single_doc_shuffle(self, spark, sf_dir):
         """MinHash signatures: the only wide exchange is keyed by doc_id

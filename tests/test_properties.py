@@ -66,3 +66,61 @@ class TestBloomNoFalseNegatives:
         h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(0x1234567)
         bf.add_many(h1, h2)
         assert bf.contains_many(h1, h2).all()
+
+
+def _hashes(rng, n):
+    h1 = rng.integers(0, 2**63 - 1, size=n, dtype=np.int64).view(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ np.uint64(0x1234567)
+    return h1, h2
+
+
+class TestBloomGrowthKeepsFpp:
+    def test_fpp_stays_near_nominal_at_10x_overrun(self):
+        """VERDICT r1 next-3 'done' criterion: with the engine's
+        grow-on-saturation policy (crawl.py _grow_bloom: rebuild at 4×
+        the exact running count whenever it crosses capacity), the false
+        positive rate stays ≤ 2× nominal even when the key count exceeds
+        the original capacity hint 10×. Contrast: the r1 fixed-width
+        filter would saturate (~100% maybe-seen) at this overrun."""
+        from spider_spark.operators.bloom import ShardedBloom
+
+        fpp = 0.01
+        capacity_hint = 1_000
+        n_keys = 10 * capacity_hint
+        rng = np.random.default_rng(7)
+        h1, h2 = _hashes(rng, n_keys)
+
+        bloom = ShardedBloom(capacity_hint, fpp, n_shards=4)
+        added = 0
+        for start in range(0, n_keys, 500):  # rounds of 500 admissions
+            sl = slice(start, start + 500)
+            sh = (h1[sl] % np.uint64(bloom.n_shards)).astype(int)
+            for s in range(bloom.n_shards):
+                m = sh == s
+                bloom.shards[s].add_many(h1[sl][m], h2[sl][m])
+            added += 500
+            bloom.n_items = added
+            if bloom.saturated:
+                # the engine's rebuild: fresh filter sized 4× the exact
+                # count, re-fed from the seen table (here: all added keys)
+                bigger = ShardedBloom(4 * added, fpp, bloom.n_shards)
+                sh_all = (h1[:added] % np.uint64(bigger.n_shards)).astype(int)
+                for s in range(bigger.n_shards):
+                    m = sh_all == s
+                    bigger.shards[s].add_many(h1[:added][m], h2[:added][m])
+                bigger.n_items = added
+                bloom = bigger
+
+        # no false negatives ever
+        sh_all = (h1 % np.uint64(bloom.n_shards)).astype(int)
+        for s in range(bloom.n_shards):
+            m = sh_all == s
+            assert bloom.shards[s].contains_many(h1[m], h2[m]).all()
+        # fpp on fresh keys ≤ 2× nominal
+        f1, f2 = _hashes(np.random.default_rng(99), 20_000)
+        fsh = (f1 % np.uint64(bloom.n_shards)).astype(int)
+        fp = 0
+        for s in range(bloom.n_shards):
+            m = fsh == s
+            fp += int(bloom.shards[s].contains_many(f1[m], f2[m]).sum())
+        assert fp / 20_000 <= 2 * fpp, f"fpp degraded to {fp / 20_000:.4f}"

@@ -58,6 +58,33 @@ class TestMergeUpsert:
         with pytest.raises(TableNotFoundError):
             io.drop("t", check_first=False)
 
+    def test_append_is_delta_not_rewrite(self, spark, io):
+        """VERDICT r1 wrong-2 'done' criterion: each append writes only the
+        new rows (one fresh data dir per append, O(delta)); the committed
+        version unions the old dir list + the delta dir."""
+        import os
+
+        io.create("t", rows_df(spark, [("u0", "T0", "p", "f0")]))
+        for i in range(1, 5):
+            io.append("t", rows_df(spark, [(f"u{i}", f"T{i}", "p", f"f{i}")]))
+        assert io.read("t").count() == 5
+        dirs = io._dirs_of("t")
+        assert len(dirs) == 5  # create + 4 appends, never a rewrite
+        # the newest dir holds exactly the last delta
+        last = spark.read.parquet(os.path.join(io._tdir("t"), dirs[-1]))
+        assert last.count() == 1 and last.collect()[0]["url"] == "u4"
+        # snapshot isolation across delta versions: v2 = first two rows
+        assert io.read("t", version=2).count() == 2
+
+    def test_append_then_restore_delta_version(self, spark, io):
+        io.create("t", rows_df(spark, [("u0", "T0", "p", "f0")]))
+        io.append("t", rows_df(spark, [("u1", "T1", "p", "f1")]))
+        v2 = io.current_version("t")
+        io.append("t", rows_df(spark, [("u2", "T2", "p", "f2")]))
+        assert io.read("t").count() == 3
+        io.restore("t", v2)
+        assert {r["url"] for r in io.read("t").collect()} == {"u0", "u1"}
+
     def test_snapshot_restore(self, spark, io):
         io.create("t", rows_df(spark, [("u1", "A", "p", "f1")]))
         v1 = io.current_version("t")
