@@ -23,6 +23,7 @@ from spider_spark.functions.multimodal import extract_features, sample_frames, s
 from spider_spark.functions.text import (
     alpha_ratio,
     bpe_ish_token_count,
+    lang_id_sql,
     make_lang_id_udf,
     mean_word_len,
     quality_score,
@@ -49,7 +50,9 @@ from spider_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_sql,
     ivf_topk,
+    ivf_topk_sql,
     lsh_near_dup_pairs,
+    lsh_near_dup_pairs_sql,
 )
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
 from spider_spark.sources.pages import (
@@ -422,8 +425,10 @@ FROM words
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID (n-gram-marker heuristic, Arrow UDF) — rows-only check:
-    the scoring kernel is not SQL-expressible."""
+    """Language-ID (marker-profile heuristic, Arrow UDF). Oracle-checked:
+    per document the argmax over ``hits/sqrt(n_tokens)`` reduces to an
+    integer-hits argmax (shared denominator), which SQL reproduces exactly
+    — see :func:`spider_spark.functions.text.lang_id_sql`."""
     lang_udf = make_lang_id_udf()
     return (
         _docs(spark, sf_dir)
@@ -445,15 +450,20 @@ def _q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (recall<1 scale path) — rows-only check; subset +
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """IVF-bucketed ANN (recall<1 scale path). Oracle-checked: centroids
+    are the first 16 corpus vectors and every FP decision is rounded, so
+    DuckDB recomputes the identical inverted lists from the same table
+    (ivf_topk_sql); recall vs brute force additionally asserted in
+    tests/test_similarity.py."""
     emb = _embeddings(spark, sf_dir)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH near-dup pairs (recall<1 scale path) — rows-only check;
-    correctness vs brute force is asserted in tests/test_similarity.py."""
+    """Sign-LSH near-dup pairs (recall<1 scale path). Oracle-checked: the
+    seeded hyperplanes are shared constants embedded as SQL literals
+    (lsh_near_dup_pairs_sql); recall vs brute force additionally asserted
+    in tests/test_similarity.py."""
     return lsh_near_dup_pairs(_embeddings(spark, sf_dir),
                               threshold=NEAR_DUP_THRESHOLD)
 
@@ -625,12 +635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
         "rolling_fingerprint": _q_rolling_fp,
-        "lang_id_counts": _q_lang_id,             # rows-only (UDF kernel)
+        "lang_id_counts": _q_lang_id,
         # similarity search
         "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf,               # rows-only (recall<1)
+        "ann_ivf_topk": _q_ann_ivf,
         "embed_near_dups": _q_embed_near_dups,
-        "ann_lsh_near_dups": _q_ann_lsh,          # rows-only (recall<1)
+        "ann_lsh_near_dups": _q_ann_lsh,
         # multimodal plumbing
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -661,8 +671,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,
+        "lang_id_counts": lang_id_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
+        "ann_ivf_topk": ivf_topk_sql(
+            k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM
+        ),
         "embed_near_dups": cosine_near_dup_pairs_sql(
+            threshold=NEAR_DUP_THRESHOLD, dim=EMBED_DIM
+        ),
+        "ann_lsh_near_dups": lsh_near_dup_pairs_sql(
             threshold=NEAR_DUP_THRESHOLD, dim=EMBED_DIM
         ),
         "media_features": _SQL_MEDIA_FEATURES,
@@ -670,5 +687,4 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_suppliers": _SQL_TOP_SUPPLIERS,
         "event_sessions": _SQL_EVENT_SESSIONS,
-        # omitted (rows-only): lang_id_counts, ann_lsh_near_dups
     }

@@ -139,7 +139,7 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     # seeds come straight from the engine's own url formula → trusted fast path
-    result = engine.crawl(seeds_df, seeds_canonical=True)
+    result = engine.crawl(seeds_df, seeds_canonical=True, seeds_unique=True)
     crawl_sec = time.perf_counter() - t0
     fetched = result.successful_crawls
     queries["crawl_frontier"] = round(crawl_sec, 3)
@@ -159,6 +159,10 @@ def main() -> None:
             # the hot host holds 50% of the frontier; the budget must let it
             # drain in a handful of carryover rounds, not hundreds
             budget=int(os.environ.get("SPARK_GRAFT_BUDGET", "1000")),
+            # batch several politeness windows per Spark round so small
+            # budgets aren't fixed-cost-bound (seen set is invariant;
+            # operators/politeness.py docstring)
+            waves=int(os.environ.get("SPARK_GRAFT_WAVES", "4")),
             verify_text=False,
             bloom_capacity=2 * n_pages,
             broadcast_threshold=100_000,
@@ -166,7 +170,7 @@ def main() -> None:
         ),
     )
     t0 = time.perf_counter()
-    presult = polite.crawl(seeds_small, seeds_canonical=True)
+    presult = polite.crawl(seeds_small, seeds_canonical=True, seeds_unique=True)
     polite_sec = time.perf_counter() - t0
     queries["crawl_polite"] = round(polite_sec, 3)
     polite_pps = presult.successful_crawls / polite_sec if polite_sec else 0.0

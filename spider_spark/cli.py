@@ -24,6 +24,7 @@ import argparse
 import logging
 import sys
 import time
+import urllib.parse
 
 from spider_spark.config import ConfigController
 
@@ -82,6 +83,17 @@ def cmd_crawl(args) -> int:
         logger.warning("no pages table configured (--pages or config [STORE].pages)")
         return 2
     if args.use_proxy:
+        # parity with crawler.py:39-47: the configured proxy string must be
+        # a well-formed proxy URL (httpx raises ValueError → the reference
+        # wraps it as IncorrectProxyFormatError); validation is real even
+        # though no fetch leaves this process against a replayed table
+        from spider_spark.errors import IncorrectProxyFormatError
+
+        proxy = ConfigController().load().proxy_host
+        parsed = urllib.parse.urlsplit(proxy) if proxy else None
+        if parsed is None or parsed.scheme not in ("http", "https") \
+                or not parsed.netloc:
+            raise IncorrectProxyFormatError(proxy or None)
         logger.log(CRAWL_INFO, "--use-proxy has no effect on a replayed pages table")
 
     cfg = CrawlConfig(

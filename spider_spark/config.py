@@ -23,7 +23,8 @@ DEFAULT_PATH = os.path.join(os.path.expanduser("~"), ".spider_spark.ini")
 
 _DEFAULTS = {
     "STORE": {"root": "./spider_store", "pages": "", "backend": "parquet"},
-    "INFRASTRUCTURE": {"concurrency_limit": "5", "master": "local[*]"},
+    "INFRASTRUCTURE": {"concurrency_limit": "5", "master": "local[*]",
+                       "proxy_host": ""},
 }
 
 
@@ -34,6 +35,7 @@ class EngineConfig:
     backend: str
     concurrency_limit: int
     master: str
+    proxy_host: str = ""
 
 
 class ConfigController:
@@ -72,4 +74,5 @@ class ConfigController:
             backend=self.get("STORE", "backend"),
             concurrency_limit=int(self.get("INFRASTRUCTURE", "concurrency_limit")),
             master=self.get("INFRASTRUCTURE", "master"),
+            proxy_host=self.get("INFRASTRUCTURE", "proxy_host"),
         )

@@ -135,6 +135,51 @@ _LANG_MARKERS: dict[str, frozenset[str]] = {
 }
 
 
+def lang_id_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id", default: str = "und") -> str:
+    """DuckDB mirror of the :func:`make_lang_id_udf` kernel, counting
+    predictions per language. Exactness argument: per document every
+    language shares the same denominator ``sqrt(n_tokens)``, so the
+    kernel's argmax over ``hits/sqrt(n)`` is an argmax over the INTEGER
+    hit counts — no floating point crosses engines. The kernel's strict
+    ``>`` comparison keeps the earliest language in ``_LANG_MARKERS``
+    insertion order on ties, mirrored by a priority column; zero hits
+    everywhere → ``{default!r}`` (also covers null/empty text)."""
+    marker_rows = ",\n      ".join(
+        f"('{lang}', {prio}, '{w}')"
+        for prio, (lang, words) in enumerate(_LANG_MARKERS.items())
+        for w in sorted(words)
+    )
+    return f"""
+    WITH flat AS (
+      SELECT {id_col} AS id, unnest(
+        list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                    t -> t <> '')
+      ) AS tok
+      FROM {table}
+    ),
+    m(lang, prio, word) AS (VALUES
+      {marker_rows}
+    ),
+    hits AS (
+      SELECT f.id, m.lang, m.prio, count(*) AS h
+      FROM flat f JOIN m ON f.tok = m.word
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT id, lang FROM (
+        SELECT id, lang,
+               row_number() OVER (PARTITION BY id ORDER BY h DESC, prio ASC) AS rn
+        FROM hits) WHERE rn = 1
+    ),
+    pred AS (
+      SELECT d.{id_col}, coalesce(b.lang, '{default}') AS pred_lang
+      FROM {table} d LEFT JOIN best b ON b.id = d.{id_col}
+    )
+    SELECT pred_lang, count(*)::BIGINT AS n_docs FROM pred GROUP BY 1
+    """
+
+
 def make_lang_id_udf(default: str = "und"):
     """Pandas UDF ``text -> lang``: scores whitespace tokens against the
     broadcast marker profiles; ties and no-hit default to ``und``."""

@@ -122,6 +122,12 @@ def build_into(bloom: ShardedBloom, df: DataFrame, col: str,
     ``count_items=False`` and bumps ``n_items`` itself (saves a count)."""
     n_bits, n_hashes, n_shards = bloom.n_bits, bloom.n_hashes, bloom.n_shards
     hashed = df.select(*_hash_cols(col, n_shards))
+    # the fill is a cheap vectorized pass but each task round-trips a
+    # Python worker; cap task count at the core count so a many-partition
+    # input (e.g. a union of checkpoints) doesn't pay per-task overhead
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if hashed.rdd.getNumPartitions() > parallelism:
+        hashed = hashed.coalesce(parallelism)
 
     def fill(batches):
         local: dict[int, BloomFilter] = {}

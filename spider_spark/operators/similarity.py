@@ -205,7 +205,11 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_tables: int = 4, bits: int = 8,
         bucket = F.lit(0).cast("long")
         for b in range(bits):
             plane = F.array(*[F.lit(float(x)) for x in planes[t, b]])
-            s = _dot(v, plane)
+            # sign decided on the ROUNDED projection: summation order
+            # differs across engines (sequential fold here, list_sum in the
+            # DuckDB oracle), so the raw double can differ in the last ulp
+            # — rounding first makes the bucket bit engine-independent
+            s = F.round(_dot(v, plane), COS_DECIMALS)
             bucket = bucket + F.when(s >= 0, F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
@@ -238,9 +242,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ]
 
     def centroid_scores(v):
-        """Array of cosine-ish scores against every centroid (JVM only)."""
+        """Array of scores against every centroid (JVM only). Rounded to 6
+        decimals so list assignment — an argmax over these — is identical
+        in the DuckDB oracle despite summation-order differences."""
         return [
-            _dot(v, F.array(*[F.lit(x) for x in vec])).alias(f"c{cid}")
+            F.round(_dot(v, F.array(*[F.lit(x) for x in vec])), COS_DECIMALS)
+            .alias(f"c{cid}")
             for cid, vec in cents
         ]
 
@@ -274,6 +281,109 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return topk_per_key(
         scored, ["qid"], [F.col("cos_sim").desc(), F.col("nid").asc()], k
     ).select("qid", "nid", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    return (f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+
+def ivf_topk_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
+                 nprobe: int = 4, dim: int = 64, table: str = "embeddings",
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`ivf_topk` — fully deterministic because the
+    centroids are the first ``n_centroids`` corpus vectors (recomputed here
+    from the table itself) and every FP decision (list assignment, cosine
+    ranking) happens on values rounded to ``COS_DECIMALS``. Spark breaks
+    equal-score centroid ties by descending cid (reverse of an ascending
+    struct sort) — mirrored by ``ORDER BY s DESC, cid DESC``."""
+    dot = lambda a, b: _sql_dot(a, b, dim)  # noqa: E731
+    return f"""
+    WITH v AS (SELECT {id_col} AS id, {vec_col} AS vec FROM {table}),
+    cent AS (SELECT {id_col} AS cid, {vec_col} AS cvec
+             FROM {table} WHERE {id_col} < {n_centroids}),
+    cscore AS (
+      SELECT v.id, c.cid, round({dot('v.vec', 'c.cvec')}, {COS_DECIMALS}) AS s
+      FROM v, cent c
+    ),
+    cassign AS (
+      SELECT id, cid AS list_id FROM (
+        SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+        FROM cscore) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT id AS qid, cid AS list_id FROM (
+        SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+        FROM cscore WHERE id < {n_queries}) WHERE rn <= {nprobe}
+    ),
+    n AS (SELECT id, vec, sqrt({dot('vec', 'vec')}) AS nrm FROM v),
+    pairs AS (
+      SELECT DISTINCT q.qid, c.id AS nid
+      FROM qassign q JOIN cassign c USING (list_id) WHERE c.id <> q.qid
+    ),
+    scored AS (
+      SELECT p.qid, p.nid,
+             round({dot('a.vec', 'b.vec')} / (a.nrm * b.nrm), {COS_DECIMALS}) AS cos_sim
+      FROM pairs p JOIN n a ON a.id = p.qid JOIN n b ON b.id = p.nid
+    ),
+    ranked AS (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+      FROM scored
+    )
+    SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def lsh_near_dup_pairs_sql(threshold: float = 0.9, dim: int = 64,
+                           n_tables: int = 4, bits: int = 8,
+                           max_bucket: int = 2000, table: str = "embeddings",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`lsh_near_dup_pairs`: the seeded hyperplanes
+    are emitted as literal arrays (same constants both engines — the
+    MinHash-permutation pattern), the sign bits are decided on rounded
+    projections, and the hot-bucket guard / candidate distinct / cosine
+    confirm all follow the Spark op exactly."""
+    planes = _hyperplanes(dim, n_tables, bits)
+    dot = lambda a, b: _sql_dot(a, b, dim)  # noqa: E731
+    plane_rows = ",\n      ".join(
+        f"({t}, {b}, [{', '.join(repr(float(x)) for x in planes[t, b])}])"
+        for t in range(n_tables)
+        for b in range(bits)
+    )
+    return f"""
+    WITH v AS (SELECT {id_col} AS id, {vec_col} AS vec FROM {table}),
+    planes(tbl, bit, plane) AS (VALUES
+      {plane_rows}
+    ),
+    sig AS (
+      SELECT v.id, p.tbl,
+             sum(CASE WHEN round({dot('v.vec', 'p.plane')}, {COS_DECIMALS}) >= 0
+                      THEN (1::BIGINT << p.bit) ELSE 0 END) AS bucket
+      FROM v, planes p GROUP BY v.id, p.tbl
+    ),
+    hot AS (
+      SELECT tbl, bucket FROM sig GROUP BY tbl, bucket
+      HAVING count(*) > {max_bucket}
+    ),
+    bk AS (
+      SELECT s.* FROM sig s LEFT JOIN hot h USING (tbl, bucket)
+      WHERE h.bucket IS NULL
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bk a JOIN bk b USING (tbl, bucket) WHERE a.id < b.id
+    ),
+    n AS (SELECT id, vec, sqrt({dot('vec', 'vec')}) AS nrm FROM v)
+    SELECT c.id_a, c.id_b,
+           round({dot('a.vec', 'b.vec')} / (a.nrm * b.nrm), {COS_DECIMALS}) AS cos_sim
+    FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b
+    WHERE round({dot('a.vec', 'b.vec')} / (a.nrm * b.nrm), {COS_DECIMALS})
+          >= {threshold}
+    """
 
 
 def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9, dim: int = 64,

@@ -324,6 +324,30 @@ class IcebergTableIO(TableIO):
     def append(self, name: str, df: DataFrame, *, meta: dict | None = None) -> None:
         df.writeTo(self._qn(name)).append()
 
+    @staticmethod
+    def merge_sql(qualified_name: str, cols: list[str], *, key: str = "url",
+                  overwrite: bool = True,
+                  keep_on_match: tuple[str, ...] = ("content_ref",),
+                  source: str = "_merge_batch") -> str:
+        """The generated ``MERGE INTO`` statement (U1 semantics,
+        postgres_database.py:162-182): matched rows update every column
+        except the key — and, under ``--no-overwrite``, except the
+        ``keep_on_match`` columns, which keep their stored values. Pure
+        string construction so the SQL is unit-testable offline (the
+        catalog itself needs the Iceberg runtime jar)."""
+        if overwrite:
+            sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+        else:
+            sets = ", ".join(
+                f"t.{c} = s.{c}" for c in cols if c != key and c not in keep_on_match
+            )
+        return (
+            f"MERGE INTO {qualified_name} t "
+            f"USING {source} s ON t.{key} = s.{key} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
     def merge_upsert(self, name: str, batch: DataFrame, *, key: str = "url",
                      overwrite: bool = True, keep_on_match: tuple[str, ...] = ("content_ref",),
                      ) -> None:
@@ -331,20 +355,11 @@ class IcebergTableIO(TableIO):
             self.create(name, batch)
             return
         batch.createOrReplaceTempView("_merge_batch")
-        cols = batch.columns
-        if overwrite:
-            sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
-        else:
-            sets = ", ".join(
-                f"t.{c} = s.{c}" for c in cols if c != key and c not in keep_on_match
-            )
         self.spark.sql(
-            f"""
-            MERGE INTO {self._qn(name)} t
-            USING _merge_batch s ON t.{key} = s.{key}
-            WHEN MATCHED THEN UPDATE SET {sets}
-            WHEN NOT MATCHED THEN INSERT *
-            """
+            self.merge_sql(
+                self._qn(name), batch.columns, key=key, overwrite=overwrite,
+                keep_on_match=keep_on_match,
+            )
         )
 
     def count(self, name: str) -> int:

@@ -39,6 +39,31 @@ class TestConfigController:
         assert ConfigController(path).load().concurrency_limit == 9
 
 
+class TestProxyValidation:
+    def test_bad_proxy_raises(self, run, tmp_path, monkeypatch):
+        """crawler.py:39-47 parity: --use-proxy with a malformed
+        ``proxy_host`` (no scheme/host) raises IncorrectProxyFormatError
+        before any crawl work starts."""
+        from spider_spark.errors import IncorrectProxyFormatError
+
+        c = ConfigController()
+        c.set("INFRASTRUCTURE", "proxy_host", "not a url")
+        c.save()
+        with pytest.raises(IncorrectProxyFormatError):
+            run("--pages", "synthetic:10", "crawl", "https://h0.example/d/0",
+                "--depth", "0", "--use-proxy")
+
+    def test_valid_proxy_accepted_and_ignored(self, run, caplog):
+        c = ConfigController()
+        c.set("INFRASTRUCTURE", "proxy_host", "http://127.0.0.1:8080")
+        c.save()
+        with caplog.at_level(cli.CRAWL_INFO, logger="spider_spark"):
+            rc = run("--pages", "synthetic:10", "crawl",
+                     "https://h0.example/d/0", "--depth", "0", "--use-proxy")
+        assert rc == 0
+        assert any("no effect" in r.getMessage() for r in caplog.records)
+
+
 class TestCobweb:
     def test_create_count_drop(self, run, caplog):
         with caplog.at_level(cli.DB_INFO, logger="spider_spark"):

@@ -87,6 +87,34 @@ def test_restart_resumes_from_checkpoint(spark, pages_dir, tmp_path):
     assert got.count() == got.select("link").distinct().count()
 
 
+def test_pure_revisit_batch_emits_nothing(spark, tmp_path):
+    """Per-batch state cost is O(new): a follow-up batch that is 100%
+    revisits emits zero rows (every link is a MapState point-hit; nothing
+    is admitted, nothing rewritten)."""
+    in_dir = str(tmp_path / "in3")
+    pages = synthetic_pages(spark, 30)
+    pages.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+
+    def drain():
+        run_to_completion(
+            dedupe_links_stream(
+                extract_links_stream(read_pages_stream(spark, in_dir, schema)),
+                n_shards=4,
+            ),
+            ckpt, out,
+        )
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    # identical pages land again (new files, same links) → all revisits
+    pages.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    assert spark.read.parquet(out).count() == n_first
+
+
 def test_host_rate_window(spark, pages_dir, tmp_path):
     stream = read_pages_stream(
         spark, str(pages_dir / "in"),

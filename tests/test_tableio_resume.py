@@ -94,6 +94,50 @@ class TestMergeUpsert:
         assert io.read("t").collect()[0]["title"] == "A"
 
 
+class TestIcebergMergeSQL:
+    """String-level tests of the Iceberg MERGE generation (VERDICT r1
+    next-10): the backend itself is unexercisable offline (no
+    iceberg-spark-runtime jar), but the U1 upsert semantics live in the
+    generated SQL, which must be exact."""
+
+    COLS = ["url", "title", "parent", "content_ref"]
+
+    def test_overwrite_updates_all_non_key_columns(self):
+        from spider_spark.sources.tableio import IcebergTableIO
+
+        sql = IcebergTableIO.merge_sql("cat.crawl.results", self.COLS)
+        assert sql == (
+            "MERGE INTO cat.crawl.results t "
+            "USING _merge_batch s ON t.url = s.url "
+            "WHEN MATCHED THEN UPDATE SET "
+            "t.title = s.title, t.parent = s.parent, "
+            "t.content_ref = s.content_ref "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def test_no_overwrite_keeps_content_ref(self):
+        # --no-overwrite (cli.py:84-88): the blob pointer keeps its stored
+        # value on conflict (postgres_database.py:162-182)
+        from spider_spark.sources.tableio import IcebergTableIO
+
+        sql = IcebergTableIO.merge_sql(
+            "cat.crawl.results", self.COLS, overwrite=False
+        )
+        assert "t.content_ref" not in sql
+        assert "t.title = s.title" in sql and "t.parent = s.parent" in sql
+        assert sql.endswith("WHEN NOT MATCHED THEN INSERT *")
+
+    def test_custom_key_and_keep_set(self):
+        from spider_spark.sources.tableio import IcebergTableIO
+
+        sql = IcebergTableIO.merge_sql(
+            "c.ns.t", ["k", "a", "b"], key="k", overwrite=False,
+            keep_on_match=("b",),
+        )
+        assert "ON t.k = s.k" in sql
+        assert "t.a = s.a" in sql and "t.b" not in sql
+
+
 class TestKillResume:
     def test_resume_matches_uninterrupted(self, spark, tmp_path):
         pages = synthetic_pages(spark, 300).localCheckpoint(eager=True)

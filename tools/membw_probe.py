@@ -77,17 +77,24 @@ def _parse_worker(dur: float, out):
     out.put(done / elapsed)  # pages/sec
 
 
-def run_step(worker, n_procs: int) -> float:
-    q = mp.Queue()
-    procs = [
-        mp.Process(target=worker, args=(DURATION_S, q)) for _ in range(n_procs)
-    ]
-    for p in procs:
-        p.start()
-    total = sum(q.get() for _ in procs)
-    for p in procs:
-        p.join()
-    return total
+def run_step(worker, n_procs: int, trials: int = 3) -> float:
+    """Best-of-``trials`` (first trial is a discarded warmup): this box is
+    virtualized and individual samples swing ±30%, so single-shot numbers
+    mislead — the max is the machine's demonstrated capability."""
+    best = 0.0
+    for t in range(trials + 1):
+        q = mp.Queue()
+        procs = [
+            mp.Process(target=worker, args=(DURATION_S, q)) for _ in range(n_procs)
+        ]
+        for p in procs:
+            p.start()
+        total = sum(q.get() for _ in procs)
+        for p in procs:
+            p.join()
+        if t > 0:  # skip warmup
+            best = max(best, total)
+    return best
 
 
 def main() -> None:
