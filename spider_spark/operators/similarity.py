@@ -223,17 +223,29 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_tables: int = 4, bits: int = 8,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids_as: str = "literals") -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest centroid
     (inverted lists = centroid-keyed partitions); each query probes only its
     ``nprobe`` nearest lists and brute-forces within them. Recall < 1 by
     design; the candidate set shrinks ~``n_centroids / nprobe``×.
 
-    Centroids here are the first ``n_centroids`` corpus vectors (seeded,
-    deterministic — a production deployment would k-means them; the Spark
-    shape is identical: centroid scoring is a JVM expression over literal
-    arrays, the join key is the list id, the corpus is scanned map-side).
+    Centroids are the first ``n_centroids`` corpus vectors (seeded,
+    deterministic — a production deployment would k-means them). Two
+    assignment strategies with bit-identical output:
+
+    * ``centroids_as="literals"`` — centroid vectors folded into the plan
+      as literal arrays (JVM-only scoring, zero joins). Right for a
+      handful of lists; the expression grows O(n_centroids × dim), so it
+      cannot survive a 64k-list deployment.
+    * ``centroids_as="join"`` — centroids stay a (broadcast) DataFrame;
+      assignment is a broadcast cross-join + rounded-dot top-n per vector.
+      The corpus scan stays map-side; this is the formulation that scales
+      with the centroid count.
     """
+    if centroids_as == "join":
+        return _ivf_topk_join(corpus, queries, k, n_centroids, nprobe,
+                              id_col, vec_col)
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.select(id_col, vec_col)
@@ -384,6 +396,51 @@ def lsh_near_dup_pairs_sql(threshold: float = 0.9, dim: int = 64,
     WHERE round({dot('a.vec', 'b.vec')} / (a.nrm * b.nrm), {COS_DECIMALS})
           >= {threshold}
     """
+
+
+def _ivf_topk_join(corpus: DataFrame, queries: DataFrame, k: int,
+                   n_centroids: int, nprobe: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """The join-based IVF (see :func:`ivf_topk` ``centroids_as="join"``):
+    centroid scoring via broadcast cross-join, rounded to COS_DECIMALS so
+    the output is bit-identical to the literal-folded plan. Ties break by
+    descending centroid id — same order the literal path's reversed
+    ascending struct sort produces."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def assign(df, ident, vcol, n_best):
+        scored = df.join(F.broadcast(cents)).select(
+            ident, "cid",
+            F.round(_dot(F.col(vcol), F.col("cvec")), COS_DECIMALS).alias("__s"),
+        )
+        return topk_per_key(
+            scored, [ident], [F.col("__s").desc(), F.col("cid").desc()], n_best,
+            rank_col="__cr",
+        ).select(ident, F.col("cid").alias("list_id"))
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv", "nn",
+    )
+    c = c.join(assign(c, "nid", "nv", 1), on="nid")
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", "nq",
+    )
+    q = q.join(assign(q, "qid", "qv", nprobe), on="qid")
+
+    pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")),
+                COS_DECIMALS).alias("cos_sim"),
+    ).dropDuplicates(["qid", "nid"])
+    return topk_per_key(
+        scored, ["qid"], [F.col("cos_sim").desc(), F.col("nid").asc()], k
+    ).select("qid", "nid", "cos_sim", F.col("rank").cast("long").alias("rank"))
 
 
 def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9, dim: int = 64,

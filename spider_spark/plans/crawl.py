@@ -160,7 +160,17 @@ class CrawlResult:
 
 
 class CrawlEngine:
-    """Iterative frontier crawler over a pages table."""
+    """Iterative frontier crawler over a pages table.
+
+    **Durability modes.** ``durable=False`` (default, right for bounded
+    local runs) cuts lineage with ``localCheckpoint`` — executor-memory
+    checkpoints that die with an executor: on a real multi-executor
+    cluster a lost executor loses rounds, so LONG crawls should run
+    ``durable=True``, where every round commits an atomic TableIO snapshot
+    (kill-anywhere ``resume()``, per-round lineage, and the bucketed-seen
+    co-located anti-join). The durable path is the production
+    configuration; non-durable is the fast path for tests/benchmarks and
+    fits single-JVM local mode where executor loss ≡ process loss."""
 
     def __init__(
         self,

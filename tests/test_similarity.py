@@ -82,6 +82,18 @@ class TestIVF:
         # with 6 of 8 lists probed, recall should be substantial
         assert len(approx & exact) / len(exact) >= 0.5
 
+    def test_join_formulation_bit_identical(self, emb):
+        """The broadcast-join IVF (the 64k-list scale path) must produce
+        exactly the literal-folded plan's output — same rounded scores,
+        same descending-cid tie-break."""
+        qs = emb.filter(F.col("vec_id") < 5)
+        lit = ivf_topk(emb, qs, k=4, n_centroids=8, nprobe=3).collect()
+        jn = ivf_topk(emb, qs, k=4, n_centroids=8, nprobe=3,
+                      centroids_as="join").collect()
+        assert sorted(map(tuple, lit), key=lambda t: (t[0], t[3])) == \
+            sorted(map(tuple, jn), key=lambda t: (t[0], t[3]))
+        assert len(lit) == 5 * 4
+
 
 class TestLSHNearDup:
     def test_subset_of_exact_and_recall(self, emb):
