@@ -293,6 +293,65 @@ WHERE quality >= 0.1
 """
 
 
+def _q_crawl_then_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed webtext pipeline: crawl (BFS frontier over the pages
+    table) → join fetched pages back to their source documents → exact
+    dedupe (min doc_id per fingerprint) → quality floor → per-doc stats.
+    One query exercising fetch-join, parse, seen-set, and the text suite
+    together — the shape of a real training-data ingest."""
+    res = _crawl(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    fetched_ids = (
+        res.results.filter(F.col("fetched"))
+        .select(F.regexp_extract(F.col("url"), r"/d/(\d+)$", 1)
+                .cast("long").alias("doc_id"))
+    )
+    crawled = docs.join(F.broadcast(fetched_ids), on="doc_id")
+    fp = crawled.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        fp.join(keep, on=["fingerprint", "doc_id"])
+        .filter(F.col("quality") >= 0.1)
+        .select("doc_id", "quality", "n_tokens")
+    )
+
+
+_SQL_CRAWL_THEN_CLEAN = rf"""
+WITH crawl AS ({_oracle_crawl_base()}),
+crawled AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT CAST(regexp_extract(url, '/d/(\d+)$', 1) AS BIGINT) AS doc_id
+        FROM crawl WHERE fetched) c USING (doc_id)
+),
+fp AS (
+  SELECT doc_id,
+    md5({NORM_SQL.format(x='text')}) AS fingerprint,
+    (least(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END) / 100.0) *
+     (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1))) *
+    (1.0 - least(1.0, abs(
+       length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
+       greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) - 5.0) / 5.0))
+      AS quality,
+    (CASE WHEN length(trim(text)) = 0 THEN 0
+     ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens
+  FROM crawled
+),
+keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1)
+SELECT fp.doc_id, quality, n_tokens
+FROM fp JOIN keep USING (fingerprint, doc_id)
+WHERE quality >= 0.1
+"""
+
+
 def _q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -634,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
+        "crawl_then_clean": _q_crawl_then_clean,  # composed pipeline
         "rolling_fingerprint": _q_rolling_fp,
         "lang_id_counts": _q_lang_id,
         # similarity search
@@ -670,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
+        "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,
         "lang_id_counts": lang_id_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
