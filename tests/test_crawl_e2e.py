@@ -98,6 +98,30 @@ class TestCrawlOracle:
         res = eng.crawl(seed_url_for(0, N_DOCS))
         assert engine_rows(res) == oracle_rows(sf_dir, 0, 4)
 
+    def test_durable_mode_matches_oracle(self, spark, sf_dir, pages,
+                                         tmp_path_factory):
+        """Durable mode swaps the dedupe's seen side for the bucketed
+        catalog accelerator and commits O(delta) snapshots — none of which
+        may be visible in results: both the in-memory result and the
+        committed results table must equal the oracle."""
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        io = ParquetManifestIO(spark, str(tmp_path_factory.mktemp("dur_io")))
+        eng = CrawlEngine(
+            spark, pages, CrawlConfig(depth=3, durable=True), io=io
+        )
+        res = eng.crawl(seed_url_for(0, N_DOCS))
+        expected = oracle_rows(sf_dir, 0, 3)
+        assert engine_rows(res) == expected
+        stored = {
+            (r["url"], r["title"], r["depth"], r["fetched"])
+            for r in io.read("results")
+            .select("url", "title", "depth", "fetched").collect()
+        }
+        assert stored == expected
+        # seen manifest (seed snapshot + per-round deltas) is exact too
+        assert io.read("seen").count() == len(expected)
+
     def test_catch_and_ordering(self, spark, sf_dir, pages):
         # P1 + L2: catch returns fetched rows for the seed parent in
         # admission order, numbered from the seed itself

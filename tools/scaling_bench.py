@@ -49,7 +49,9 @@ def main() -> None:
     spark = get_spark(
         app_name=f"spider-scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(2 * cpus))
+        ),
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
