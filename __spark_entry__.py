@@ -671,6 +671,113 @@ FROM flagged GROUP BY 1
 """
 
 
+def _q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (broadcast dimension sides) + grouped
+    revenue + top-10 via the scalable two-stage rank (no single-task
+    window)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    revenue = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(F.broadcast(orders.filter(F.col("o_orderdate") < cutoff)),
+              li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+    )
+    from spider_spark.operators.similarity import topk_per_key
+
+    return topk_per_key(
+        revenue.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+        rank_col="rank",
+    ).select(
+        "l_orderkey", "o_orderdate", "revenue",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_REVENUE_TOPK = """
+WITH revenue AS (
+  SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate > TIMESTAMP '1995-03-15'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2
+)
+SELECT l_orderkey, o_orderdate, revenue,
+       row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+FROM revenue
+QUALIFY rank <= 10
+"""
+
+
+def _q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets breadth: ROLLUP over (returnflag, linestatus) with
+    null-marker normalization so both engines label subtotal rows
+    identically."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+_SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (the batch twin of the streaming
+    host_rate): hourly event counts + value sums per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+_SQL_EVENT_WINDOWS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (SURVEY §2: S1/S2/X1/X2/P4/P5/D1/D2/I1/L2)
@@ -708,6 +815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_suppliers": _q_top_suppliers,
         "event_sessions": _q_event_sessions,
+        "revenue_topk": _q_revenue_topk,          # join + window top-k
+        "lineitem_rollup": _q_lineitem_rollup,    # grouping sets (ROLLUP)
+        "event_windows": _q_event_windows,        # tumbling time windows
     }
 
 
@@ -748,4 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "top_suppliers": _SQL_TOP_SUPPLIERS,
         "event_sessions": _SQL_EVENT_SESSIONS,
+        "revenue_topk": _SQL_REVENUE_TOPK,
+        "lineitem_rollup": _SQL_LINEITEM_ROLLUP,
+        "event_windows": _SQL_EVENT_WINDOWS,
     }
