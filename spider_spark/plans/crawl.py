@@ -428,14 +428,29 @@ class CrawlEngine:
         )
         # html is dropped before the checkpoint: the parse struct carries
         # everything downstream needs, and storing 100 TB of raw bytes in
-        # the round snapshot would be pure GC/storage waste
+        # the round snapshot would be pure GC/storage waste. The fetched
+        # count — and, when enabled, the byte-identical-text invariant —
+        # ride the same job as observe() metrics (A2's df.observe mapping):
+        # no separate count job, no extra verification pass.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        obs_exprs = [F.count(F.lit(1)).alias("n_fetched")]
+        if cfg.verify_text:
+            obs_exprs.append(
+                F.sum(
+                    F.when(F.col("p.text") != F.col("text"), 1).otherwise(0)
+                ).alias("bad_text")
+            )
         parsed = self._timed(
             "fetch_parse",
             lambda: hits.withColumn("p", parse_udf(*parse_args))
             .drop("html")
+            .observe(obs, *obs_exprs)
             .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
         )
-        n_fetched = self._timed("counts", parsed.count)
+        obs_vals = self._timed("counts", lambda: obs.get)
+        n_fetched = obs_vals["n_fetched"]
         # misses ≡ failed downloads: anti-join against the *checkpointed*
         # hit set, so the pages scan is never re-run for the miss side
         hit_keys = parsed.select("canon_url")
@@ -444,7 +459,7 @@ class CrawlEngine:
         misses = eligible.join(hit_keys, on="canon_url", how="left_anti")
 
         if cfg.verify_text and n_fetched:
-            bad = parsed.filter(F.col("p.text") != F.col("text")).count()
+            bad = obs_vals.get("bad_text") or 0
             if bad:
                 raise AssertionError(
                     f"text invariant violated on {bad} rows in round {r}: "

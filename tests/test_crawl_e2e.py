@@ -159,6 +159,21 @@ class TestCrawlOracle:
         assert len(rows) == 1 and not rows[0]["fetched"]
 
 
+class TestTextInvariant:
+    def test_corrupted_text_column_fails_loudly(self, spark):
+        """input_hint's per-row invariant (byte-identical extracted text
+        per url) is enforced in-flight: a pages table whose stored text
+        disagrees with the parse kernel aborts the round."""
+        from spider_spark.sources.pages import synthetic_pages
+
+        pages = synthetic_pages(spark, 20).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" CORRUPTED"))
+        ).localCheckpoint(eager=True)
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=1, verify_text=True))
+        with pytest.raises(AssertionError, match="text invariant violated"):
+            eng.crawl("https://h0.example/d/0")
+
+
 class TestNoCache:
     def test_no_cache_refetches_and_counts_more(self, spark):
         """--no-cache parity (use_cache.py:19-28): with the seen-set gate
