@@ -401,13 +401,23 @@ class CrawlEngine:
             )
             n_blocked = 0
         else:
+            from pyspark.sql import Observation
+
             eligible, carryover, blocked = schedule(
                 state.frontier, cfg.budget, self.rules, salt=cfg.salt,
                 strict_bfs=cfg.strict_bfs, waves=cfg.waves,
             )
-            eligible = eligible.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
-            n_eligible = eligible.count()
-            n_blocked = blocked.count()
+            # count rides the checkpoint job via observe(): no extra job
+            el_obs = Observation()
+            eligible = eligible.observe(
+                el_obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+            n_eligible = el_obs.get["n"]
+            # blocked is derived from set arithmetic at round end
+            # (frontier_in = eligible + carryover + blocked) when the
+            # incoming frontier count is known exactly — the only
+            # blocked.count() job left is the unknown-count resume edge
+            n_blocked = -1 if state.frontier_count >= 0 else blocked.count()
 
         # ---- fetch-join (S2): frontier ⋈ pages; miss ≡ failed download ----
         pages_cols = self.pages.select(
@@ -617,12 +627,25 @@ class CrawlEngine:
             if no_politeness:
                 frontier = admitted  # carryover statically empty
             else:
-                frontier = admitted.unionByName(carryover).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+                frontier = admitted.unionByName(carryover)
         else:
             seen = state.seen
-            frontier = carryover if no_politeness else carryover.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+            frontier = carryover
 
-        n_carry = 0 if no_politeness else frontier.count() - n_new
+        if no_politeness:
+            n_carry = 0
+        else:
+            # the next-frontier count rides its checkpoint job via observe()
+            from pyspark.sql import Observation
+
+            fr_obs = Observation()
+            frontier = frontier.observe(
+                fr_obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+            n_carry = fr_obs.get["n"] - n_new
+        if n_blocked < 0:
+            # set arithmetic: frontier_in = eligible + carryover + blocked
+            n_blocked = state.frontier_count - n_eligible - n_carry
         # admitted: URLs newly entered into the seen set this round — the
         # cache admits before the fetch (use_cache.py:22-24), so failures
         # and carryover never re-count (crawler.py:98 fires once per URL).
