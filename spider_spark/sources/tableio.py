@@ -267,6 +267,34 @@ class ParquetManifestIO(TableIO):
         h = self.history(name)
         return h[-1]["meta"] if h else {}
 
+    def vacuum(self, name: str, keep_last: int = 10) -> int:
+        """Garbage-collect data directories referenced only by versions
+        older than the last ``keep_last`` history entries (Iceberg
+        ``expire_snapshots`` analog — without it a long crawl's superseded
+        frontier/seen snapshots accumulate forever). The manifest keeps
+        the full lineage record; expired entries are marked, their
+        now-unreferenced directories deleted. Returns the number of
+        directories removed. Time-travel to expired versions stops
+        working — exactly Iceberg's contract."""
+        man = self._load_manifest(name)
+        if man is None:
+            raise TableNotFoundError(name)
+        history = man["history"]
+        keep = history[-keep_last:] if keep_last > 0 else []
+        live: set[str] = set()
+        for e in keep:
+            live.update(e.get("dirs") or [f"v_{e['version']:06d}"])
+        removed = 0
+        for e in history[:-keep_last] if keep_last > 0 else history:
+            for d in (e.get("dirs") or [f"v_{e['version']:06d}"]):
+                p = os.path.join(self._tdir(name), d)
+                if d not in live and os.path.exists(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+            e["expired"] = True
+        self._commit_manifest(name, man)
+        return removed
+
     def restore(self, name: str, version: int) -> None:
         """Roll the manifest pointer back to an earlier snapshot."""
         man = self._load_manifest(name)

@@ -76,6 +76,21 @@ class TestMergeUpsert:
         # snapshot isolation across delta versions: v2 = first two rows
         assert io.read("t", version=2).count() == 2
 
+    def test_vacuum_keeps_live_dirs_only(self, spark, io):
+        """expire_snapshots analog: old overwrite snapshots' dirs are
+        deleted; dirs still referenced by the kept delta-version chain
+        survive (an append version references ALL its ancestors' dirs)."""
+        io.create("t", rows_df(spark, [("u0", "T0", "p", "f0")]))
+        io.commit_overwrite("t", rows_df(spark, [("x", "X", "p", "f")]))
+        io.commit_overwrite("t", rows_df(spark, [("y", "Y", "p", "f")]))
+        for i in range(3):
+            io.append("t", rows_df(spark, [(f"u{i}", f"T{i}", "p", f"f{i}")]))
+        n_before = io.read("t").count()
+        removed = io.vacuum("t", keep_last=4)  # keeps v3 + the 3 appends
+        assert removed == 2  # the create dir and the first overwrite dir
+        assert io.read("t").count() == n_before  # current chain intact
+        assert io.read("t", version=3).count() == 1  # kept snapshot readable
+
     def test_append_then_restore_delta_version(self, spark, io):
         io.create("t", rows_df(spark, [("u0", "T0", "p", "f0")]))
         io.append("t", rows_df(spark, [("u1", "T1", "p", "f1")]))
