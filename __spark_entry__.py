@@ -778,6 +778,48 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in gap-based ``session_window`` aggregation (the
+    operator Structured Streaming uses for session analytics; identical
+    semantics in batch): sessions close after 30 idle minutes;
+    window.end = last event + gap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_SQL_SESSION_WINDOWS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (SURVEY §2: S1/S2/X1/X2/P4/P5/D1/D2/I1/L2)
@@ -818,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_topk": _q_revenue_topk,          # join + window top-k
         "lineitem_rollup": _q_lineitem_rollup,    # grouping sets (ROLLUP)
         "event_windows": _q_event_windows,        # tumbling time windows
+        "session_windows": _q_session_windows,    # gap-based session windows
     }
 
 
@@ -861,4 +904,5 @@ def oracle_sql() -> dict[str, str]:
         "revenue_topk": _SQL_REVENUE_TOPK,
         "lineitem_rollup": _SQL_LINEITEM_ROLLUP,
         "event_windows": _SQL_EVENT_WINDOWS,
+        "session_windows": _SQL_SESSION_WINDOWS,
     }
