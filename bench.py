@@ -184,9 +184,16 @@ def main() -> None:
             max_rounds=8,
         ),
     )
-    t0 = time.perf_counter()
-    presult = polite.crawl(seeds_small, seeds_canonical=True, seeds_unique=True)
-    polite_sec = time.perf_counter() - t0
+    polite_runs = []
+    presult = None
+    for _ in range(n_runs):
+        run_polite = CrawlEngine(spark, pages, polite.config)
+        t0 = time.perf_counter()
+        presult = run_polite.crawl(
+            seeds_small, seeds_canonical=True, seeds_unique=True
+        )
+        polite_runs.append(time.perf_counter() - t0)
+    polite_sec = min(polite_runs)
     queries["crawl_polite"] = round(polite_sec, 3)
     polite_pps = presult.successful_crawls / polite_sec if polite_sec else 0.0
 
@@ -238,6 +245,7 @@ def main() -> None:
                 "n_pages_table": n_pages,
                 "cpus": cpus,
                 "crawl_frontier_all_runs": [round(s, 3) for s in crawl_runs],
+                "crawl_polite_all_runs": [round(s, 3) for s in polite_runs],
                 "phase_sec": {k: round(v, 2) for k, v in engine.phase_times.items()},
             }
         )
