@@ -123,15 +123,24 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
 # language ID (Arrow UDF — lookup-table kernel)
 # ---------------------------------------------------------------------------
 
-# Tiny per-language marker profiles: high-frequency function words. A real
-# deployment swaps in a trained n-gram model; the *Spark shape* (broadcast
-# profile + Arrow batch scoring) is the part that matters at scale.
+# Per-language marker profiles: high-frequency function words (public
+# stopword lists). A real deployment swaps in a trained n-gram model; the
+# *Spark shape* (broadcast profile + Arrow batch scoring) is the part that
+# matters at scale. Insertion order doubles as the tie-break priority
+# (strict-> comparison in the kernel; mirrored as a priority column in
+# lang_id_sql), so extending this dict keeps earlier predictions stable on
+# ties and the SQL oracle in lockstep automatically.
 _LANG_MARKERS: dict[str, frozenset[str]] = {
-    "en": frozenset("the of and to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if".split()),
-    "de": frozenset("der die das und ist ich nicht es sie du wir ihr ein eine zu von mit auf für als auch an werden sich des dem den einer über so zum war haben nur oder aber vor bei".split()),
-    "es": frozenset("el la los las de que y en un una es no por con para su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre también me hasta hay donde".split()),
-    "fr": frozenset("le la les de des et est un une du que qui dans en au pour pas sur ne se ce il elle nous vous ils par plus avec tout être avoir je tu son sa ses mais ou où".split()),
-    "uk": frozenset("і в на не з що до як це за від так але для або коли вже році був була було..".split()),
+    "en": frozenset("the of and to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if will up other about out many then them these so some her would make like him into time has look two more".split()),
+    "de": frozenset("der die das und ist ich nicht es sie du wir ihr ein eine zu von mit auf für als auch an werden sich des dem den einer über so zum war haben nur oder aber vor bei nach aus wenn noch wie im am um kann hat dass man mehr schon".split()),
+    "es": frozenset("el la los las de que y en un una es no por con para su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre también me hasta hay donde quien desde todo nos durante todos uno les ni contra otros ese eso ante ellos".split()),
+    "fr": frozenset("le la les de des et est un une du que qui dans en au pour pas sur ne se ce il elle nous vous ils par plus avec tout être avoir je tu son sa ses mais ou où donc car si leur cette aux comme même aussi bien encore".split()),
+    "uk": frozenset("і в на не з що до як це за від так але для або коли вже році був була було також його її них цього який може тому між них щоб при про під час після".split()),
+    "it": frozenset("il lo la i gli le di che e a in un una per con su non si sono del della dei delle da più ma come anche questo questa quando molto senza dove chi cui nel alla".split()),
+    "pt": frozenset("o a os as de que e do da em um uma para com não por mais se como mas foi ao das dos seu sua ou quando muito nos já eu também só pelo pela até isso".split()),
+    "nl": frozenset("de het een van en in is dat op te zijn met die voor niet aan er om ook als bij maar dan nog naar uit dit over zo worden wordt door na heeft hebben".split()),
+    "pl": frozenset("i w na nie z się do jak to za od tak ale dla lub gdy już jest był była było są być przez po o co ten tym tego jego jej ich może bardzo".split()),
+    "sv": frozenset("och det att i en jag hon som han på den med var sig för så till är men ett om hade de av icke mig du henne då sin nu har inte hans honom".split()),
 }
 
 
