@@ -778,6 +778,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_doc_get_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/P3 (Mongo DAO analog): fetched crawl rows saved through the
+    JSON document sink, then ``get(seed)`` — which per the reference
+    queries ``{'url': parent}`` (url equality, mongodb_database.py:73) —
+    returns exactly the seed's own document."""
+    import tempfile
+
+    from spider_spark.sources.docstore import JsonDocStore
+
+    res = _crawl(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    store = JsonDocStore(spark, tempfile.mkdtemp(prefix="docstore_q_"))
+    store.save(
+        res.results.filter(F.col("fetched"))
+        .select("url", "title", "parent", "content_ref")
+    )
+    return store.get(seed, limit=10)
+
+
+# seed id 1 is odd → host h{1 + 1%19} = h2 regardless of corpus size, so
+# the quirky url==parent filter is a static predicate for the oracle
+_SQL_DOC_GET_QUIRK = (
+    "SELECT url, title FROM (" + _oracle_crawl_base() + ") "
+    "WHERE fetched AND url = 'https://h2.example/d/1'"
+)
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in gap-based ``session_window`` aggregation (the
     operator Structured Streaming uses for session analytics; identical
@@ -861,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _q_lineitem_rollup,    # grouping sets (ROLLUP)
         "event_windows": _q_event_windows,        # tumbling time windows
         "session_windows": _q_session_windows,    # gap-based session windows
+        "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
     }
 
 
@@ -905,4 +934,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": _SQL_LINEITEM_ROLLUP,
         "event_windows": _SQL_EVENT_WINDOWS,
         "session_windows": _SQL_SESSION_WINDOWS,
+        "doc_get_quirk": _SQL_DOC_GET_QUIRK,
     }
