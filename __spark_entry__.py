@@ -25,6 +25,7 @@ from spider_spark.functions.text import (
     bpe_ish_token_count,
     lang_id_sql,
     make_lang_id_udf,
+    repetition_stats_sql,
     mean_word_len,
     quality_score,
     rolling_fingerprint,
@@ -778,6 +779,14 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-line fraction +
+    top-word frequency share) — one explode + doc-keyed aggregation."""
+    from spider_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_doc_get_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/P3 (Mongo DAO analog): fetched crawl rows saved through the
     JSON document sink, then ``get(seed)`` — which per the reference
@@ -890,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,        # tumbling time windows
         "session_windows": _q_session_windows,    # gap-based session windows
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
+        "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
     }
 
 
@@ -935,4 +945,5 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _SQL_EVENT_WINDOWS,
         "session_windows": _SQL_SESSION_WINDOWS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
+        "repetition_stats": repetition_stats_sql(),
     }

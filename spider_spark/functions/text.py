@@ -120,6 +120,84 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality rules; one doc-keyed shuffle)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals used by webtext quality filters
+    (the Gopher-rules family): the fraction of duplicated lines and the
+    frequency share of the most common word. Everything is JVM Column
+    expressions plus one explode + doc-keyed aggregation; values are
+    rounded to 6dp so the DuckDB oracle (:func:`repetition_stats_sql`)
+    ranks identically.
+
+    Returns ``(id_col, dup_line_frac, top_word_frac, n_words)``.
+    """
+    from pyspark.sql import functions as FF
+
+    lines = F.split(F.col(text_col), "\n")
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.round(
+            FF.lit(1.0)
+            - F.size(F.array_distinct(lines)) / F.greatest(F.size(lines), FF.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.size(words).alias("n_words"),
+        words.alias("__words"),
+    )
+    top = (
+        base.select(id_col, F.explode("__words").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__top"))
+    )
+    return (
+        base.drop("__words")
+        .join(top, on=id_col)
+        .select(
+            id_col,
+            "dup_line_frac",
+            F.round(F.col("__top") / F.greatest(F.col("n_words"), FF.lit(1)), 6)
+            .alias("top_word_frac"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`repetition_stats` (same normalization, same
+    rounding)."""
+    from spider_spark.operators.dedupe import NORM_SQL
+
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+        round(1.0 - len(list_distinct(string_split({text_col}, chr(10)))) * 1.0 /
+              greatest(len(string_split({text_col}, chr(10))), 1), 6)
+          AS dup_line_frac,
+        string_split({norm}, ' ') AS words
+      FROM {table}
+    ),
+    counts AS (
+      SELECT {id_col}, w, count(*) AS c
+      FROM (SELECT {id_col}, unnest(words) AS w FROM base)
+      GROUP BY 1, 2
+    ),
+    top AS (SELECT {id_col}, max(c) AS top FROM counts GROUP BY 1)
+    SELECT b.{id_col}, b.dup_line_frac,
+           round(t.top * 1.0 / greatest(len(b.words), 1), 6) AS top_word_frac,
+           len(b.words)::BIGINT AS n_words
+    FROM base b JOIN top t USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
 # language ID (Arrow UDF — lookup-table kernel)
 # ---------------------------------------------------------------------------
 
