@@ -183,3 +183,71 @@ def make_parse_udf(resolve_base: str = "seed"):
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (main-content extraction)
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "form", "menu"}
+)
+_MIN_SEGMENT_CHARS = 30
+_SENTENCE_PUNCT = (".", "!", "?", ":", ";")
+
+
+class _MainContentParser(_PageParser):
+    """The page parser plus a boilerplate-container stack: character data
+    inside nav/header/footer/aside/form/menu is tagged so the main-content
+    filter can drop it (the jusText/trafilatura family's structural rule,
+    reduced to its deterministic core)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._boiler_depth = 0
+        self.segment_flags: list[bool] = []  # True = inside boilerplate
+
+    def handle_starttag(self, tag, attrs):
+        super().handle_starttag(tag, attrs)
+        if tag in _BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+
+    def handle_endtag(self, tag):
+        super().handle_endtag(tag)
+        if tag in _BOILERPLATE_TAGS and self._boiler_depth > 0:
+            self._boiler_depth -= 1
+
+    def handle_data(self, data):
+        before = len(self.text_parts)
+        super().handle_data(data)
+        if len(self.text_parts) > before:
+            self.segment_flags.append(self._boiler_depth > 0)
+
+
+def extract_main_text(html: bytes | str) -> str:
+    """Main-content text: the page's text segments minus (a) anything
+    inside a structural boilerplate container and (b) short fragments
+    with no sentence punctuation (menu items, button labels). The
+    deterministic core of density-based boilerplate removal — kept
+    rule-exact so it is testable and reproducible across runs."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _MainContentParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    kept = [
+        seg
+        for seg, boiler in zip(p.text_parts, p.segment_flags)
+        if not boiler
+        and (len(seg) >= _MIN_SEGMENT_CHARS
+             or any(ch in seg for ch in _SENTENCE_PUNCT))
+    ]
+    return "\n".join(kept)
+
+
+@pandas_udf(StringType())
+def extract_main_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_main_text)

@@ -118,3 +118,53 @@ class TestParseKernel:
         _, hrefs, _ = parse_page(HTML)
         refs = generate_refs(hrefs, seed)
         assert refs == ["https://h1.example/a", "https://h0.example/rel/c"]
+
+
+class TestMainContentExtraction:
+    HTML = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> About Contact</nav>"
+        "<header>Site Title Banner Words Here</header>"
+        "<div><p>This is the actual article body. It has real sentences "
+        "and continues for a while with substantive content.</p>"
+        "<p>Short but punchy.</p>"
+        "<p>tiny</p></div>"
+        "<aside>Related links sidebar listing</aside>"
+        "<footer>Copyright 2024 Example Corp All Rights Reserved "
+        "Terms Privacy</footer>"
+        "</body></html>"
+    )
+
+    def test_drops_structural_boilerplate_and_fragments(self):
+        from spider_spark.functions.parse import extract_main_text, extract_text
+
+        main = extract_main_text(self.HTML)
+        # article paragraphs survive (long, or short-with-punctuation)
+        assert "actual article body" in main
+        assert "Short but punchy." in main
+        # nav/header/aside/footer content and punctuation-free fragments go
+        for boiler in ("Home", "Banner", "sidebar", "Copyright", "tiny"):
+            assert boiler not in main
+        # main text is a subset of the full deterministic text
+        full = extract_text(self.HTML)
+        for line in main.split("\n"):
+            assert line in full
+
+    def test_never_throws_and_deterministic(self):
+        from spider_spark.functions.parse import extract_main_text
+
+        for h in (b"", b"<nav>", b"\xff\xfe garbage <p>x</p>", self.HTML.encode()):
+            assert extract_main_text(h) == extract_main_text(h)
+
+    def test_udf_over_synthetic_pages(self, spark):
+        from pyspark.sql import functions as F
+
+        from spider_spark.functions.parse import extract_main_text_udf
+        from spider_spark.sources.pages import synthetic_pages
+
+        pages = synthetic_pages(spark, 20)
+        got = pages.select(
+            "url", extract_main_text_udf(F.col("html")).alias("main")
+        ).collect()
+        # synthetic pages have no boilerplate containers: body text is kept
+        assert all("synthetic page body" in r["main"] for r in got)
