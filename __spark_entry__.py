@@ -779,6 +779,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal, adversarially oracle-checked: each document's
+    text is wrapped in a page with nav/header/footer chrome; the
+    main-content kernel must strip every injected boilerplate segment and
+    return the article text byte-exactly (the oracle is simply the
+    trimmed source text — recoverable only if the kernel classifies all
+    chrome correctly)."""
+    from spider_spark.functions.parse import extract_main_text_udf
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><nav><a href='/'>Home</a> Site Menu Items</nav>"
+              "<header>Banner Words Without Punct</header><div><p>"),
+        F.col("text"),
+        F.lit("</p></div><aside>Related sidebar listing</aside>"
+              "<footer>Copyright Footer Words</footer></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        extract_main_text_udf(F.encode(html, "UTF-8")).alias("main_text"),
+    )
+
+
+_SQL_MAIN_CONTENT = "SELECT doc_id, trim(text) AS main_text FROM documents"
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (duplicate-line fraction +
     top-word frequency share) — one explode + doc-keyed aggregation."""
@@ -900,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,    # gap-based session windows
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
+        "main_content": _q_main_content,          # boilerplate removal
     }
 
 
@@ -946,4 +973,5 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": _SQL_SESSION_WINDOWS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "repetition_stats": repetition_stats_sql(),
+        "main_content": _SQL_MAIN_CONTENT,
     }
