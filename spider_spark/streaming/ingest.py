@@ -278,6 +278,35 @@ def dedupe_links_stream(links: DataFrame, n_shards: int = 32,
     )
 
 
+def clean_pages_stream(pages: DataFrame) -> DataFrame:
+    """The streaming twin of the batch ``corpus_clean`` pipeline: per
+    incoming page, extract the main (boilerplate-stripped) text and stamp
+    the quality/token columns a training-data ingest filters on. All
+    stateless → works identically over a stream or a batch DataFrame;
+    pair with :func:`dedupe_links_stream` (state) and
+    :func:`host_rate` (windows) for the full continuous pipeline."""
+    from spider_spark.functions.parse import extract_main_text_udf
+    from spider_spark.functions.text import (
+        fingerprint_md5,
+        quality_score,
+        token_count,
+    )
+
+    main = extract_main_text_udf(F.col("html").cast("binary"))
+    return pages.select(
+        "url",
+        "warc_ts",
+        main.alias("main_text"),
+    ).select(
+        "url",
+        "warc_ts",
+        "main_text",
+        token_count(F.col("main_text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("main_text")).alias("quality"),
+        fingerprint_md5(F.col("main_text")).alias("fingerprint"),
+    )
+
+
 def host_rate(pages: DataFrame, window: str = "1 minute",
               watermark: str = "2 minutes") -> DataFrame:
     """Windowed per-host fetch-rate aggregation with late-data handling —

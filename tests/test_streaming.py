@@ -115,6 +115,29 @@ def test_pure_revisit_batch_emits_nothing(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_first
 
 
+def test_clean_pages_stream_matches_batch(spark, pages_dir, tmp_path):
+    """Stateless cleaning runs identically over the stream and the same
+    data as a batch: per-url fingerprints/quality/token counts equal."""
+    from spider_spark.streaming.ingest import clean_pages_stream
+
+    src = str(pages_dir / "in")
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "clean_out")
+    run_to_completion(
+        clean_pages_stream(read_pages_stream(spark, src, schema)),
+        str(tmp_path / "clean_ckpt"), out,
+    )
+    streamed = {
+        r["url"]: (r["fingerprint"], r["n_tokens"], round(r["quality"], 9))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["url"]: (r["fingerprint"], r["n_tokens"], round(r["quality"], 9))
+        for r in clean_pages_stream(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch and len(batch) == 60
+
+
 def test_host_rate_window(spark, pages_dir, tmp_path):
     stream = read_pages_stream(
         spark, str(pages_dir / "in"),
