@@ -139,13 +139,26 @@ class ParquetManifestIO(TableIO):
             # co-locate by key hash so downstream key joins/anti-joins reuse
             # the layout (Iceberg analog: bucket(N, key) hidden partitioning)
             df = df.repartition(buckets, F.xxhash64(F.col(bucket_by)))
-        df.write.mode("overwrite").parquet(os.path.join(self._tdir(name), dname))
+        ddir = os.path.join(self._tdir(name), dname)
+        df.write.mode("overwrite").parquet(ddir)
+        # per-partition lineage (Iceberg manifest-entry analog): one record
+        # per written data file with its byte size — read straight from the
+        # directory, no extra Spark job
+        files = sorted(
+            (
+                {"file": f, "bytes": os.path.getsize(os.path.join(ddir, f))}
+                for f in os.listdir(ddir)
+                if f.startswith("part-")
+            ),
+            key=lambda d: d["file"],
+        )
         entry = {
             "version": next_v,
             "mode": mode,
             "committed_at": time.time(),
             "meta": meta or {},
             "dirs": (base_dirs or []) + [dname],
+            "files": files,
         }
         man["current"] = next_v
         man["history"].append(entry)

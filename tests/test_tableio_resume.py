@@ -76,6 +76,18 @@ class TestMergeUpsert:
         # snapshot isolation across delta versions: v2 = first two rows
         assert io.read("t", version=2).count() == 2
 
+    def test_commit_records_file_level_lineage(self, spark, io):
+        """North-rule per-partition lineage: every commit's manifest entry
+        lists the written data files with byte sizes (Iceberg
+        manifest-entry analog)."""
+        io.create("t", rows_df(spark, [("u0", "T0", "p", "f0")]))
+        io.append("t", rows_df(spark, [("u1", "T1", "p", "f1")]))
+        for entry in io.history("t"):
+            files = entry["files"]
+            assert files and all(
+                f["file"].startswith("part-") and f["bytes"] > 0 for f in files
+            )
+
     def test_vacuum_keeps_live_dirs_only(self, spark, io):
         """expire_snapshots analog: old overwrite snapshots' dirs are
         deleted; dirs still referenced by the kept delta-version chain
