@@ -785,7 +785,13 @@ def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     main-content kernel must strip every injected boilerplate segment and
     return the article text byte-exactly (the oracle is simply the
     trimmed source text — recoverable only if the kernel classifies all
-    chrome correctly)."""
+    chrome correctly).
+
+    Precondition (verified for the driver's corpora): document texts
+    contain no HTML-special characters (&, <, >) and no newlines, so the
+    wrapped text survives HTML parsing unescaped as one segment. A corpus
+    violating that would need html-escaping here and unescape in the
+    oracle."""
     from spider_spark.functions.parse import extract_main_text_udf
 
     docs = _docs(spark, sf_dir)
