@@ -96,6 +96,7 @@ def cmd_crawl(args) -> int:
             raise IncorrectProxyFormatError(proxy or None)
         logger.log(CRAWL_INFO, "--use-proxy has no effect on a replayed pages table")
 
+    durable = getattr(args, "durable", False) or getattr(args, "resume", False)
     cfg = CrawlConfig(
         depth=args.depth,
         budget=args.concur if args.concur and args.concur > 0 else None,
@@ -103,9 +104,15 @@ def cmd_crawl(args) -> int:
         overwrite=args.overwrite,
         use_cache=args.cache,
         verify_text=False,
+        durable=durable,
+        vacuum_every=(getattr(args, "vacuum_every", 0) or None),
     )
     t0 = time.perf_counter()
-    result = CrawlEngine(spark, pages, cfg).crawl(args.url)
+    engine = CrawlEngine(spark, pages, cfg, io=io if durable else None)
+    if getattr(args, "resume", False):
+        result = engine.resume()
+    else:
+        result = engine.crawl(args.url)
     # persist through the upsert sink (S3): MERGE keyed on url, U1 overwrite
     batch = result.results.filter(F.col("fetched")).select(
         "url", "title", "parent", "content_ref", "depth", "crawl_round",
@@ -212,6 +219,14 @@ def build_parser(config: ConfigController) -> argparse.ArgumentParser:
     s.add_argument("--silent", action="store_true", default=False)
     s.add_argument("--use-proxy", dest="use_proxy", action="store_true",
                    default=False, help="accepted for parity; no-op offline")
+    s.add_argument("--durable", action="store_true", default=False,
+                   help="commit every round to the store (kill-safe resume)")
+    s.add_argument("--resume", action="store_true", default=False,
+                   help="continue a killed --durable crawl from its last "
+                        "committed round (the seed URL is ignored)")
+    s.add_argument("--vacuum-every", dest="vacuum_every", type=int, default=0,
+                   help="durable mode: expire superseded round snapshots "
+                        "every K rounds (0 = never; keeps the store O(live))")
     s.set_defaults(func=cmd_crawl)
 
     d = sub.add_parser("cobweb", help="Store operations.")

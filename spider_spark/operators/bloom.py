@@ -96,10 +96,33 @@ class ShardedBloom:
         self.n_hashes = n_hashes
         self.shards = [BloomFilter(n_bits, n_hashes) for _ in range(self.n_shards)]
         self.n_items = 0
+        # broadcast handles created by filter_unseen probes against this
+        # filter; the engine destroys them once the round's jobs have
+        # materialized — without this a long crawl accumulates one
+        # filter-size broadcast generation per round on driver + executors
+        # (VERDICT r2 next-2 / ADVICE)
+        self._live_bcasts: list = []
 
     @property
     def saturated(self) -> bool:
         return self.n_items > self.expected
+
+    def register_broadcasts(self, handles: list) -> None:
+        self._live_bcasts.extend(handles)
+
+    def destroy_broadcasts(self) -> int:
+        """Destroy every broadcast registered against this filter. Safe
+        once the consuming jobs have run (the crawl plan materializes both
+        probe branches inside the dedupe phase). Returns the number
+        destroyed."""
+        n = len(self._live_bcasts)
+        for b in self._live_bcasts:
+            try:
+                b.destroy()
+            except Exception:
+                pass  # already destroyed / context gone
+        self._live_bcasts.clear()
+        return n
 
     def union_shard_inplace(self, shard: int, bits: np.ndarray) -> None:
         np.bitwise_or(self.shards[shard].bits, bits, out=self.shards[shard].bits)
@@ -197,6 +220,9 @@ def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
     # never pulls shard s's bits — the property that keeps a 12 GB
     # aggregate filter usable on executors with a fraction of that memory
     shard_bcasts = [sc.broadcast(bf.bits.tobytes()) for bf in bloom.shards]
+    # tracked so the caller can destroy them once the probe's jobs ran —
+    # each round otherwise leaks a full filter-size broadcast generation
+    bloom.register_broadcasts(shard_bcasts)
     n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
 
     @F.pandas_udf(BooleanType())

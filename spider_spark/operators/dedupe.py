@@ -129,11 +129,14 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     than that many docs (skew guard: a shingle in B docs makes B² join
     rows)."""
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     hot = sh.groupBy("shingle").agg(F.count("*").alias("b")).filter(
         F.col("b") > max_bucket
     )
     sh = sh.join(F.broadcast(hot.select("shingle")), on="shingle", how="left_anti")
+    # per-doc sizes come from the POST-hot-filter set: a dropped boilerplate
+    # shingle must vanish from the denominator too, or jaccard diverges from
+    # the oracle's `sizes ... FROM ok` the moment any bucket exceeds max_bucket
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -114,6 +114,14 @@ class CrawlConfig:
                                     # accumulated seen set (VERDICT r1 wrong-3)
     max_rounds: int | None = None
     verify_text: bool = True        # enforce byte-identical text invariant
+    vacuum_every: int | None = None  # durable mode: expire superseded
+                                    # frontier/seen/results snapshots every K
+                                    # rounds (keeps the store O(live data)
+                                    # over a long crawl; Iceberg
+                                    # expire_snapshots cadence analog)
+    vacuum_keep_last: int = 4       # history entries retained per table —
+                                    # must cover rollback to the last metrics
+                                    # marker (1 round = 1 entry per table)
 
 
 @dataclass
@@ -188,44 +196,24 @@ class CrawlEngine:
         self.io = io
         self.rules = RobotsRules.from_df(robots, now=robots_now, ttl_sec=robots_ttl_sec)
         self.phase_times: dict[str, float] = {}  # cumulative sec per phase
-        self._accel_name: str | None = None  # durable-mode bucketed seen table
         if self.config.durable and io is None:
             raise ValueError("durable crawl requires a TableIO")
 
-    # -- durable seen accelerator (bucketed catalog table) --------------------
+    # -- durable seen membership -----------------------------------------------
     #
-    # Durable crawls keep the seen MEMBERSHIP in a catalog table bucketed +
-    # sorted by canon_url. The per-round anti-join then exchanges only the
-    # candidate delta into the 32-bucket layout; the accumulated seen set is
-    # read in place (no Exchange over its scan — pinned by
-    # tests/test_plans.py::TestDurableSeenJoin). Appends bucket-shuffle only
-    # the round's admissions, so maintenance is O(delta) too. The table is
-    # DERIVED state: the manifest snapshot (io.commit) stays the source of
-    # truth, and resume() rebuilds the accelerator from it — so a kill
-    # mid-round can never make a stale accelerator row block a replayed
-    # admission.
+    # Durable crawls read the seen MEMBERSHIP through the TableIO's bucketed
+    # key mirror (tableio.read_bucketed_keys): a catalog table bucketed +
+    # sorted by canon_url, synced O(delta) to the committed manifest. The
+    # per-round anti-join then exchanges only the candidate delta into the
+    # bucket layout; the accumulated seen set is read in place (no Exchange
+    # over its scan — pinned by tests/test_plans.py::TestDurableSeenJoin).
+    # Because the mirror syncs from the COMMITTED snapshot, a kill mid-round
+    # can never make a stale mirror row block a replayed admission.
 
-    def _accel_write(self, delta: DataFrame, *, overwrite: bool) -> None:
-        import uuid as _uuid
-
-        if self._accel_name is None:
-            self._accel_name = f"spider_seen_accel_{_uuid.uuid4().hex[:12]}"
-        (
-            delta.select("canon_url")
-            .write.format("parquet")
-            .mode("overwrite" if overwrite else "append")
-            .bucketBy(self.config.seen_buckets, "canon_url")
-            .sortBy("canon_url")
-            .saveAsTable(self._accel_name)
+    def _seen_keys(self) -> DataFrame:
+        return self.io.read_bucketed_keys(
+            "seen", "canon_url", self.config.seen_buckets
         )
-
-    def _accel_df(self) -> DataFrame:
-        return self.spark.table(self._accel_name)
-
-    def _accel_drop(self) -> None:
-        if self._accel_name is not None:
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._accel_name}")
-            self._accel_name = None
 
     def _timed(self, phase: str, fn):
         t0 = time.perf_counter()
@@ -343,29 +331,56 @@ class CrawlEngine:
             build_into(bloom, seen, "canon_url", count_items=False)
             bloom.n_items += n_seeds
         if self.config.durable:
-            self._accel_write(seen, overwrite=True)
+            # bootstrap commit: the mirror (and resume) read seen membership
+            # from the manifest, so the seeds must be committed before the
+            # first round's dedupe
+            self.io.commit_overwrite("seen", seen, bucket_by="canon_url",
+                                     meta={"round": -1})
 
         r = 0
         state = _RoundState(frontier, seen, next_rank, r, frontier_count=n_seeds)
-        while True:
-            state, round_results, m, bloom = self._run_round(state, bloom)
-            results_parts.append(round_results)
-            metrics.append(m)
-            if self.config.durable:
-                self._checkpoint(state, round_results, m)
-            if state.frontier_count == 0:
-                break
-            if self.config.max_rounds is not None and state.round >= self.config.max_rounds:
-                break
+        try:
+            while True:
+                state, round_results, m, bloom = self._run_round(state, bloom)
+                results_parts.append(round_results)
+                metrics.append(m)
+                if self.config.durable:
+                    self._checkpoint(state, round_results, m)
+                    self._maybe_vacuum(m.round)
+                if state.frontier_count == 0:
+                    break
+                if self.config.max_rounds is not None and state.round >= self.config.max_rounds:
+                    break
 
-        results = results_parts[0]
-        for p in results_parts[1:]:
-            results = results.unionByName(p)
-        results = self._timed(
-            "final_results", lambda: results.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
-        )
-        self._accel_drop()  # derived state; the manifest snapshot remains
+            results = results_parts[0]
+            for p in results_parts[1:]:
+                results = results.unionByName(p)
+            results = self._timed(
+                "final_results", lambda: results.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+            )
+        finally:
+            # derived state; the manifest snapshot remains. In the finally
+            # so an exception mid-crawl can't leak catalog mirror tables
+            # into the warehouse (ADVICE r2).
+            if self.config.durable:
+                self.io.drop_mirror("seen")
         return CrawlResult(results=results, seen=state.seen, metrics=metrics)
+
+    def _maybe_vacuum(self, completed_round: int) -> None:
+        """Every ``vacuum_every`` rounds, expire superseded snapshots so a
+        long durable crawl's store stays O(live data): the frontier is
+        overwritten per round (pure garbage past the marker), seen/results
+        are delta chains whose directories remain referenced — vacuum only
+        trims their manifest tail. ``vacuum_keep_last`` entries stay, which
+        covers rollback to the latest metrics marker."""
+        cfg = self.config
+        if not cfg.vacuum_every or (completed_round + 1) % cfg.vacuum_every:
+            return
+        def _vac():
+            for t in ("frontier", "seen", "results", "metrics"):
+                if self.io.exists(t):
+                    self.io.vacuum(t, keep_last=max(cfg.vacuum_keep_last, 2))
+        self._timed("vacuum", _vac)
 
     # -- internals -------------------------------------------------------------
 
@@ -374,6 +389,7 @@ class CrawlEngine:
         from the seen table at 4× the current count (geometric growth —
         amortized O(1) rebuilds per key over the whole crawl), keeping fpp
         near nominal instead of silently saturating (VERDICT r1 wrong-1)."""
+        bloom.destroy_broadcasts()  # the superseded filter's handles die here
         bigger = ShardedBloom(
             4 * max(bloom.n_items, 1), self.config.bloom_fpp, bloom.n_shards
         )
@@ -551,10 +567,12 @@ class CrawlEngine:
                 return cand.localCheckpoint(
                     eager=True, storageLevel=CHECKPOINT_LEVEL
                 )
-            # durable mode: confirm suspects against the bucketed seen
-            # catalog table — the exchange lands only on the candidate
-            # delta, the accumulated seen scan stays in its bucket layout
-            seen_side = self._accel_df() if cfg.durable else state.seen
+            # durable mode: confirm suspects against the bucketed seen key
+            # mirror — the exchange lands only on the candidate delta, the
+            # accumulated seen scan stays in its bucket layout. The mirror
+            # syncs O(delta) from the manifest (committed through round r-1
+            # = exactly the membership this round must gate against).
+            seen_side = self._seen_keys() if cfg.durable else state.seen
             ckpt = lambda df: df.localCheckpoint(  # noqa: E731
                 eager=True, storageLevel=CHECKPOINT_LEVEL
             )
@@ -575,6 +593,11 @@ class CrawlEngine:
             )
 
         new = self._timed("dedupe", _dedupe)
+        if bloom is not None and cfg.use_cache:
+            # both probe branches are materialized inside _dedupe, so this
+            # round's shard broadcasts (and any stragglers) are dead weight
+            # now — destroy them before they accumulate across rounds
+            bloom.destroy_broadcasts()
         # ranking's size-collect doubles as the n_new count (no extra job)
         ranked, n_new = self._timed(
             "rank",
@@ -604,15 +627,6 @@ class CrawlEngine:
             seen = state.seen.unionByName(
                 admitted.select("canon_url", "depth", "admission_rank")
             )
-            if cfg.durable:
-                # O(delta) bucket-shuffle of this round's admissions only
-                # (safe: `new` was materialized above, the anti-join that
-                # read the accelerator has already run)
-                self._timed(
-                    "dedupe",
-                    lambda: self._accel_write(new.select("canon_url"),
-                                              overwrite=False),
-                )
             if bloom is not None:
                 # keys identical to admitted's; read from the dedupe ckpt
                 def _add():
@@ -733,10 +747,10 @@ class CrawlEngine:
             self._rollback_to_round(t, meta["round"])
         frontier = io.read("frontier").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         seen = io.read("seen").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
-        # rebuild the bucketed seen accelerator from the *committed*
-        # snapshot — any rows a killed round managed to append to the old
-        # accelerator are discarded, so replay admissions are never blocked
-        self._accel_write(seen, overwrite=True)
+        # the bucketed seen mirror resyncs itself from the rolled-back
+        # manifest on first use (any rows a killed round appended past the
+        # marker are gone with the rollback) — nothing to rebuild here, and
+        # a non-durable config never writes one (ADVICE r2)
         bloom = None
         if self.config.use_bloom:
             # size from the resumed crawl's exact seen count (next_rank IS
@@ -757,13 +771,17 @@ class CrawlEngine:
                 "elapsed_sec")})
             for row in io.read("metrics").orderBy("round").collect()
         ]
-        while state.frontier_count > 0 and not meta.get("done"):
-            state, round_results, m, bloom = self._run_round(state, bloom)
-            metrics.append(m)
-            self._checkpoint(state, round_results, m)
-            if self.config.max_rounds is not None and state.round >= self.config.max_rounds:
-                break
-        self._accel_drop()
+        try:
+            while state.frontier_count > 0 and not meta.get("done"):
+                state, round_results, m, bloom = self._run_round(state, bloom)
+                metrics.append(m)
+                self._checkpoint(state, round_results, m)
+                self._maybe_vacuum(m.round)
+                if self.config.max_rounds is not None and state.round >= self.config.max_rounds:
+                    break
+        finally:
+            if self.config.durable:
+                io.drop_mirror("seen")
         return CrawlResult(results=io.read("results"), seen=state.seen, metrics=metrics)
 
 

@@ -143,6 +143,37 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_pages(ids, n)
 
 
+def _host_sql(x: str) -> str:
+    return (f"CASE WHEN ({x}) % 2 = 0 THEN 'h0.example' "
+            f"ELSE 'h' || (1 + ({x}) % 19) || '.example' END")
+
+
+def _url_sql(x: str) -> str:
+    return f"'https://' || {_host_sql(x)} || '/d/' || ({x})"
+
+
+def oracle_pages_sql() -> str:
+    """DuckDB mirror of :func:`build_pages`' HTML assembly over the
+    ``documents`` view: ``(url, html)`` where ``html`` is a VARCHAR whose
+    UTF-8 bytes equal the engine's binary ``html`` column byte-for-byte —
+    so format-ingestion paths (e.g. the WARC source) can be digest-checked
+    against an oracle that shares no code with the generator."""
+    c1 = "(2*doc_id+1) % nn.n"
+    c2 = "(3*doc_id+2) % nn.n"
+    return f"""
+    SELECT {_url_sql('doc_id')} AS url,
+      '<html>' ||
+      CASE WHEN doc_id % 17 = 0 THEN '<head></head>'
+           ELSE '<head><title>Doc ' || doc_id || '</title></head>' END ||
+      '<body><a>skip</a><a href="' || {_url_sql('doc_id')} || '?q=1">q</a><a href="'
+      || {_url_sql(c1)} || '">c1</a><a href="https://dead.example/d/'
+      || doc_id || '">dead</a><a href="' || {_url_sql(c2)}
+      || '">c2</a><a href="' || {_url_sql(c1)}
+      || '">c1b</a><p>' || text || '</p></body></html>' AS html
+    FROM documents, (SELECT count(*)::BIGINT AS n FROM documents) nn
+    """
+
+
 # The DuckDB-side mirror of the graph, used by __spark_entry__.oracle_sql().
 # Children of page i are (2i+1)%n and (3i+2)%n (minus the seed, which the
 # parse filter drops, crawler.py:152-153) plus the per-page dead URL

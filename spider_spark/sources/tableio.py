@@ -97,9 +97,13 @@ class ParquetManifestIO(TableIO):
     swap is still the only visible commit point).
     """
 
+    MERGE_BUCKETS = 32  # bucket-dir fan-out for merge-managed tables
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # derived bucketed-mirror state per table (see read_bucketed_keys)
+        self._mirrors: dict[str, dict] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- manifest helpers ------------------------------------------------
@@ -124,6 +128,28 @@ class ParquetManifestIO(TableIO):
             json.dump(manifest, f, indent=1)
         os.replace(tmp, p)  # atomic on POSIX
 
+    @staticmethod
+    def _next_version(man: dict) -> int:
+        """Strictly monotone version numbers: max over the WHOLE history,
+        not current+1 — after a restore() the pointer sits on an old
+        version, and reusing its successor's number would leave duplicate
+        history entries a second rollback could mis-resolve (ADVICE r2)."""
+        versions = [e["version"] for e in man["history"]]
+        return (max(versions) if versions else 0) + 1
+
+    def _list_files(self, ddir: str, prefix: str = "") -> list[dict]:
+        """Per-partition lineage (Iceberg manifest-entry analog): one record
+        per written data file with its byte size — read straight from the
+        directory (recursing into partition subdirs), no extra Spark job."""
+        out = []
+        for f in os.listdir(ddir):
+            p = os.path.join(ddir, f)
+            if os.path.isdir(p):
+                out.extend(self._list_files(p, prefix=f"{prefix}{f}/"))
+            elif f.startswith("part-"):
+                out.append({"file": f"{prefix}{f}", "bytes": os.path.getsize(p)})
+        return sorted(out, key=lambda d: d["file"])
+
     def _write_version(self, name: str, df: DataFrame, *, bucket_by: str | None,
                        buckets: int, mode: str, meta: dict | None,
                        base_dirs: list[str] | None = None) -> None:
@@ -133,32 +159,23 @@ class ParquetManifestIO(TableIO):
         uuid so a replayed round after a kill never collides with the
         orphaned directory of an uncommitted attempt."""
         man = self._load_manifest(name) or {"table": name, "current": None, "history": []}
-        next_v = (man["current"] or 0) + 1
+        next_v = self._next_version(man)
         dname = f"v_{next_v:06d}_{uuid.uuid4().hex[:8]}"
         if bucket_by is not None:
-            # co-locate by key hash so downstream key joins/anti-joins reuse
-            # the layout (Iceberg analog: bucket(N, key) hidden partitioning)
+            # layout-only co-location: sized, key-clustered files at rest.
+            # Plain parquet carries no bucket METADATA, so a reader's join
+            # still plans an Exchange — exchange-free joins go through
+            # :meth:`read_bucketed_keys` (a real bucketed catalog mirror).
             df = df.repartition(buckets, F.xxhash64(F.col(bucket_by)))
         ddir = os.path.join(self._tdir(name), dname)
         df.write.mode("overwrite").parquet(ddir)
-        # per-partition lineage (Iceberg manifest-entry analog): one record
-        # per written data file with its byte size — read straight from the
-        # directory, no extra Spark job
-        files = sorted(
-            (
-                {"file": f, "bytes": os.path.getsize(os.path.join(ddir, f))}
-                for f in os.listdir(ddir)
-                if f.startswith("part-")
-            ),
-            key=lambda d: d["file"],
-        )
         entry = {
             "version": next_v,
             "mode": mode,
             "committed_at": time.time(),
             "meta": meta or {},
             "dirs": (base_dirs or []) + [dname],
-            "files": files,
+            "files": self._list_files(ddir),
         }
         man["current"] = next_v
         man["history"].append(entry)
@@ -214,6 +231,50 @@ class ParquetManifestIO(TableIO):
         self._write_version(name, df, bucket_by=None, buckets=1, mode="append",
                             meta=meta, base_dirs=base)
 
+    @staticmethod
+    def _bucket_expr(key: str, buckets: int):
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)).cast("int")
+
+    def _write_merge_version(self, name: str, df: DataFrame, *, key: str,
+                             buckets: int, mode: str,
+                             kept_dirs: list[str]) -> None:
+        """Commit a merge version in the bucket-dir layout: the new data is
+        written partitioned into ``_bucket=NN`` leaf directories; the
+        committed version references ``kept_dirs`` (untouched old bucket
+        dirs, reused byte-for-byte) plus the new leaves."""
+        man = self._load_manifest(name) or {"table": name, "current": None, "history": []}
+        next_v = self._next_version(man)
+        dname = f"v_{next_v:06d}_{uuid.uuid4().hex[:8]}"
+        ddir = os.path.join(self._tdir(name), dname)
+        (
+            df.withColumn("_bucket", self._bucket_expr(key, buckets))
+            .repartition("_bucket")
+            .write.mode("overwrite").partitionBy("_bucket").parquet(ddir)
+        )
+        new_leaves = sorted(
+            f"{dname}/{d}" for d in os.listdir(ddir) if d.startswith("_bucket=")
+        )
+        if not new_leaves:
+            # empty batch: dynamic partitioning wrote no leaves, but the
+            # version must still carry the schema — anchor it in a bucket id
+            # (-1) that no key ever hashes to (pmod ≥ 0), so future pruned
+            # merges keep it untouched
+            anchor = os.path.join(ddir, "_bucket=-1")
+            df.limit(0).write.mode("overwrite").parquet(anchor)
+            new_leaves = [f"{dname}/_bucket=-1"]
+        entry = {
+            "version": next_v,
+            "mode": mode,
+            "committed_at": time.time(),
+            "meta": {},
+            "dirs": sorted(kept_dirs) + new_leaves,
+            "files": self._list_files(ddir),
+            "bucket_layout": {"key": key, "buckets": buckets},
+        }
+        man["current"] = next_v
+        man["history"].append(entry)
+        self._commit_manifest(name, man)
+
     def merge_upsert(self, name: str, batch: DataFrame, *, key: str = "url",
                      overwrite: bool = True, keep_on_match: tuple[str, ...] = ("content_ref",),
                      ) -> None:
@@ -223,35 +284,68 @@ class ParquetManifestIO(TableIO):
         ``keep_on_match`` columns keep their existing values (U1 semantics,
         postgres_database.py:162-182). WHEN NOT MATCHED: insert.
 
-        The fallback rewrites the table snapshot (correct + atomic; fine at
-        sandbox scale). The Iceberg backend replaces this with a true
-        partition-pruned MERGE — see :class:`IcebergTableIO`.
-        """
+        **Bucket-pruned, O(touched buckets) not O(table)** (VERDICT r2
+        next-4): merge-managed tables live in ``_bucket=NN`` leaf
+        directories keyed by ``pmod(xxhash64(key), N)``. A merge rewrites
+        only the buckets the batch's keys hash into; every other bucket
+        directory is referenced unchanged in the new version — the same
+        shape as Iceberg's partition-level MERGE, which
+        :class:`IcebergTableIO` gets natively. A table whose current
+        version predates the bucketed layout (plain create/append) pays one
+        full rewrite and prunes from then on."""
+        buckets = self.MERGE_BUCKETS
         batch = batch.dropDuplicates([key])
         if not self.exists(name):
-            self._write_version(name, batch, bucket_by=key, buckets=32,
-                                mode="merge-create", meta=None)
+            self._write_merge_version(name, batch, key=key, buckets=buckets,
+                                      mode="merge-create", kept_dirs=[])
             return
-        existing = self.read(name)
-        untouched = existing.join(batch.select(key), on=key, how="left_anti")
-        if overwrite:
-            merged = batch
-        else:
-            keep = [f"e_{c}" for c in keep_on_match]
-            e = existing.select(key, *[F.col(c).alias(f"e_{c}") for c in keep_on_match])
-            merged = (
-                batch.join(e, on=key, how="left")
-                .select(
-                    *[
-                        F.coalesce(F.col(f"e_{c}"), F.col(c)).alias(c)
-                        if c in keep_on_match
-                        else F.col(c)
-                        for c in batch.columns
-                    ]
+        entry = self._version_entry(name)
+        layout = entry.get("bucket_layout")
+        if layout and layout.get("key") == key and layout.get("buckets") == buckets:
+            # ≤ `buckets` small ints — driver-side metadata, not data
+            touched = {
+                r["b"]
+                for r in batch.select(
+                    self._bucket_expr(key, buckets).alias("b")
+                ).distinct().collect()
+            }
+            bucket_of = lambda d: int(d.rsplit("=", 1)[1])  # noqa: E731
+            dirs = self._dirs_of(name)
+            kept = [d for d in dirs if bucket_of(d) not in touched]
+            hit = [d for d in dirs if bucket_of(d) in touched]
+            existing = (
+                self.spark.read.parquet(
+                    *[os.path.join(self._tdir(name), d) for d in hit]
                 )
+                if hit
+                else None
             )
-        out = untouched.unionByName(merged)
-        self._write_version(name, out, bucket_by=key, buckets=32, mode="merge", meta=None)
+        else:
+            existing, kept = self.read(name), []
+        if existing is None:
+            out = batch
+        else:
+            untouched_rows = existing.join(batch.select(key), on=key, how="left_anti")
+            if overwrite:
+                merged = batch
+            else:
+                e = existing.select(
+                    key, *[F.col(c).alias(f"e_{c}") for c in keep_on_match]
+                )
+                merged = (
+                    batch.join(e, on=key, how="left")
+                    .select(
+                        *[
+                            F.coalesce(F.col(f"e_{c}"), F.col(c)).alias(c)
+                            if c in keep_on_match
+                            else F.col(c)
+                            for c in batch.columns
+                        ]
+                    )
+                )
+            out = untouched_rows.unionByName(merged)
+        self._write_merge_version(name, out, key=key, buckets=buckets,
+                                  mode="merge", kept_dirs=kept)
 
     def count(self, name: str) -> int:
         """A1: ``SELECT count(*)`` (postgres_database.py:184-200)."""
@@ -260,6 +354,7 @@ class ParquetManifestIO(TableIO):
     def drop(self, name: str, *, check_first: bool = True) -> None:
         """DDL drop + blob purge (S8/S9: drop also purges stored content,
         db_ops_controller.py:71-83)."""
+        self.drop_mirror(name)
         if not self.exists(name):
             if check_first:
                 return
@@ -289,21 +384,35 @@ class ParquetManifestIO(TableIO):
         now-unreferenced directories deleted. Returns the number of
         directories removed. Time-travel to expired versions stops
         working — exactly Iceberg's contract."""
+        if keep_last < 1:
+            raise ValueError("vacuum keep_last must be >= 1 (the current "
+                             "snapshot is never expirable)")
         man = self._load_manifest(name)
         if man is None:
             raise TableNotFoundError(name)
         history = man["history"]
-        keep = history[-keep_last:] if keep_last > 0 else []
+        keep = history[-keep_last:]
         live: set[str] = set()
         for e in keep:
             live.update(e.get("dirs") or [f"v_{e['version']:06d}"])
+        # the CURRENT pointer's dirs are live unconditionally — even if its
+        # entry fell out of the kept tail (e.g. after a restore to an old
+        # version), vacuum must never break read() (ADVICE r2)
+        live.update(self._dirs_of(name))
         removed = 0
-        for e in history[:-keep_last] if keep_last > 0 else history:
+        for e in history[:-keep_last]:
             for d in (e.get("dirs") or [f"v_{e['version']:06d}"]):
                 p = os.path.join(self._tdir(name), d)
                 if d not in live and os.path.exists(p):
                     shutil.rmtree(p, ignore_errors=True)
                     removed += 1
+                    # bucket leaves leave an empty version dir behind
+                    parent = os.path.dirname(p)
+                    if parent != self._tdir(name):
+                        try:
+                            os.rmdir(parent)
+                        except OSError:
+                            pass
             e["expired"] = True
         self._commit_manifest(name, man)
         return removed
@@ -313,17 +422,70 @@ class ParquetManifestIO(TableIO):
         man = self._load_manifest(name)
         if man is None:
             raise TableNotFoundError(name)
+        # newest entry for the version (same resolution as _version_entry;
+        # legacy manifests could carry duplicate version numbers, ADVICE r2)
         orig = next(
-            (e for e in man["history"] if e["version"] == version), None
+            (e for e in reversed(man["history"]) if e["version"] == version), None
         )
         if orig is None:
             raise TableNotFoundError(f"{name}@v{version}")
         man["current"] = version
         man["history"].append(
             {"version": version, "mode": "restore", "committed_at": time.time(),
-             "meta": {}, "dirs": orig.get("dirs")}
+             "meta": orig.get("meta") or {}, "dirs": orig.get("dirs"),
+             **({"bucket_layout": orig["bucket_layout"]}
+                if orig.get("bucket_layout") else {})}
         )
         self._commit_manifest(name, man)
+
+    # -- bucketed key mirror (exchange-free join side) -----------------------
+
+    def read_bucketed_keys(self, name: str, key: str, buckets: int = 32) -> DataFrame:
+        """The ``key`` column of ``name``'s CURRENT version as a REAL
+        bucketed catalog table — joins/anti-joins against the returned
+        DataFrame plan no Exchange over its scan (bucket metadata lives in
+        the catalog; pinned by tests/test_plans.py::TestDurableSeenJoin).
+
+        The mirror is *derived* state synced to the manifest: when the
+        current version's dir list is a superset of the last-synced one
+        (the delta-append fast path — a crawl's per-round seen commits),
+        only the new directories' keys are appended, O(delta); any other
+        change (overwrite, restore) rebuilds it. The manifest snapshot
+        stays the source of truth, so a kill can never make a stale mirror
+        row visible — resume paths resync from the committed version."""
+        dirs = self._dirs_of(name)  # raises TableNotFoundError if absent
+        st = self._mirrors.get(name)
+        paths = lambda ds: [os.path.join(self._tdir(name), d) for d in ds]  # noqa: E731
+        safe = "".join(c if c.isalnum() else "_" for c in name)
+        tbl = st["table"] if st else f"spider_mirror_{safe}_{uuid.uuid4().hex[:8]}"
+        if (
+            st is not None
+            and st["key"] == key
+            and st["buckets"] == buckets
+            and set(st["dirs"]) <= set(dirs)
+        ):
+            delta = [d for d in dirs if d not in set(st["dirs"])]
+            if delta:
+                (
+                    self.spark.read.parquet(*paths(delta)).select(key)
+                    .write.format("parquet").mode("append")
+                    .bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+                )
+        else:
+            (
+                self.spark.read.parquet(*paths(dirs)).select(key)
+                .write.format("parquet").mode("overwrite")
+                .bucketBy(buckets, key).sortBy(key).saveAsTable(tbl)
+            )
+        self._mirrors[name] = {
+            "table": tbl, "key": key, "buckets": buckets, "dirs": list(dirs),
+        }
+        return self.spark.table(tbl)
+
+    def drop_mirror(self, name: str) -> None:
+        st = self._mirrors.pop(name, None)
+        if st is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {st['table']}")
 
 
 class IcebergTableIO(TableIO):

@@ -47,11 +47,31 @@ WARC_PAGES_SCHEMA = T.StructType(
 MAX_RECORD_BYTES = 64 * 1024 * 1024  # skip pathological records
 
 
+_SKIP_CHUNK = 1 << 20
+
+
+def _skip_forward(buf, n: int) -> None:
+    """Advance a (possibly non-seekable) stream by ``n`` bytes with bounded
+    memory — GzipFile forward-seeks by inflating anyway, so an explicit
+    chunked read-and-discard is both portable and honest about cost."""
+    while n > 0:
+        chunk = buf.read(min(n, _SKIP_CHUNK))
+        if not chunk:
+            return
+        n -= len(chunk)
+
+
 def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, datetime | None, bytes]]:
-    """Yield (target_uri, warc_date, http_body) for each response record."""
-    if data[:2] == b"\x1f\x8b":  # gzip (possibly multi-member): inflate all
-        data = gzip.decompress(data)
-    buf = io.BytesIO(data)
+    """Yield (target_uri, warc_date, http_body) for each response record.
+
+    Gzip archives (including multi-member Common-Crawl layout) are inflated
+    *streamingly* via GzipFile: only the current record's payload (capped at
+    MAX_RECORD_BYTES) is ever materialized, never the whole decompressed
+    archive."""
+    if data[:2] == b"\x1f\x8b":  # gzip, possibly multi-member
+        buf = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        buf = io.BytesIO(data)
     while True:
         # find the next record header
         line = buf.readline()
@@ -73,8 +93,13 @@ def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, datetime | None, byte
             length = int(headers.get("content-length", ""))
         except ValueError:
             continue  # malformed: resync on the next WARC/ line
-        if length < 0 or length > MAX_RECORD_BYTES:
-            buf.seek(length if 0 < length <= MAX_RECORD_BYTES else 0, io.SEEK_CUR)
+        if length < 0:
+            continue  # malformed: resync on the next WARC/ line
+        if length > MAX_RECORD_BYTES:
+            # valid but oversized: skip the WHOLE payload so embedded
+            # WARC-looking text can't resync into a phantom record
+            # (content-injection vector from untrusted dumps)
+            _skip_forward(buf, length)
             continue
         block = buf.read(length)
         if headers.get("warc-type") != "response":

@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 from spider_spark.operators.dedupe import (
     exact_duplicates,
     jaccard_pairs,
+    jaccard_pairs_sql,
     lsh_candidate_pairs,
+    shingles,
     simhash,
     simhash_near_pairs,
 )
@@ -53,6 +55,62 @@ class TestJaccard:
             for r in jaccard_pairs(docs, threshold=0.9).collect()
         }
         assert got == {(0, 1), (0, 4), (1, 4)}
+
+
+class TestJaccardHotShingle:
+    """The sf0.01 oracle corpus never trips the max_bucket skew guard, so this
+    fixture forces it: a boilerplate phrase shared by more docs than
+    max_bucket. Spark must match the DuckDB mirror exactly — in particular
+    the per-doc denominator must be computed AFTER the hot-shingle drop
+    (VERDICT r2 finding #1)."""
+
+    @pytest.fixture(scope="class")
+    def hot_docs(self, spark):
+        boiler = "subscribe to our newsletter today"
+        rows = [
+            (i, f"{boiler} article {i} body alpha{i} beta{i} gamma{i}")
+            for i in range(8)
+        ]
+        # a genuine near-dup pair whose similarity rides non-hot shingles
+        rows += [
+            (100, f"{boiler} shared body text one two three four five"),
+            (101, f"{boiler} shared body text one two three four six"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_guard_fires(self, hot_docs):
+        sh = shingles(hot_docs)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("b"))
+            .filter(F.col("b") > 5)
+            .count()
+        )
+        assert hot > 0, "fixture must contain a shingle hotter than max_bucket"
+
+    def test_matches_oracle_under_hot_shingle(self, hot_docs):
+        import duckdb
+
+        max_bucket, threshold = 5, 0.2
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(
+                hot_docs, threshold=threshold, max_bucket=max_bucket
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("documents", hot_docs.toPandas())
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                jaccard_pairs_sql(threshold=threshold, max_bucket=max_bucket)
+            ).fetchall()
+        }
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12
+        # the near-dup pair must survive on post-filter shingles
+        assert (100, 101) in got
 
 
 class TestMinHashLSH:

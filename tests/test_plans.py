@@ -84,39 +84,74 @@ class TestJVMOnlyOperators:
 
 
 class TestDurableSeenJoin:
-    def test_anti_join_no_exchange_over_seen_scan(self, spark):
-        """VERDICT r1 next-2 'done' criterion: durable mode keeps the seen
-        set in a table bucketed by canon_url; the per-round anti-join then
-        exchanges ONLY the candidate delta — the accumulated seen scan has
-        no Exchange above it (it is read in its bucket layout)."""
+    def test_anti_join_no_exchange_over_seen_scan(self, spark, tmp_path_factory):
+        """VERDICT r1 next-2 / r2 next-5 'done' criterion: the seen set read
+        through io.read_bucketed_keys is a REAL bucketed table; the
+        per-round anti-join exchanges ONLY the candidate delta — the
+        accumulated seen scan has no Exchange above it, and a point filter
+        prunes to a single bucket (SelectedBucketsCount)."""
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        io = ParquetManifestIO(spark, str(tmp_path_factory.mktemp("mirror_io")))
         old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            seen = spark.range(0, 2000).select(
+            seen_df = spark.range(0, 2000).select(
                 F.concat(F.lit("u"), F.col("id").cast("string")).alias("canon_url")
             )
-            (
-                seen.write.format("parquet").mode("overwrite")
-                .bucketBy(32, "canon_url").sortBy("canon_url")
-                .saveAsTable("t_seen_accel_plan")
-            )
+            io.commit_overwrite("seen", seen_df, bucket_by="canon_url")
+            seen = io.read_bucketed_keys("seen", "canon_url", 32)
             cand = spark.range(0, 100).select(
                 F.concat(F.lit("u"), (F.col("id") * 7).cast("string"))
                 .alias("canon_url")
             )
-            joined = cand.join(
-                spark.table("t_seen_accel_plan"), on="canon_url", how="left_anti"
-            )
+            joined = cand.join(seen, on="canon_url", how="left_anti")
             plan = plan_of(joined)
             # exactly one hash exchange in the whole join — the candidate
             # side; the seen scan feeds the join from its bucket layout
             assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
             assert "SelectedBucketsCount" in plan
+            # bucket pruning on a point lookup: 1 bucket scanned out of 32
+            # (auto-bucketed-scan reads a filter-only scan as plain files,
+            # so pin bucketed reading for this assertion)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+            try:
+                point = plan_of(seen.filter(F.col("canon_url") == "u7"))
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+                )
+            assert re.search(r"SelectedBucketsCount: 1 out of 32", point)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-            spark.sql("DROP TABLE IF EXISTS t_seen_accel_plan")
+            io.drop_mirror("seen")
 
-    def test_engine_drops_accel_after_crawl(self, spark, tmp_path_factory):
+    def test_mirror_syncs_delta_appends(self, spark, tmp_path_factory):
+        """The mirror appends only NEW manifest directories (O(delta)); a
+        restore (non-superset dir change) forces a full resync."""
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        io = ParquetManifestIO(spark, str(tmp_path_factory.mktemp("mirror_d")))
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("canon_url")
+        )
+        io.commit_overwrite("seen", mk(0, 100), bucket_by="canon_url")
+        try:
+            assert io.read_bucketed_keys("seen", "canon_url").count() == 100
+            v1 = io.current_version("seen")
+            io.append("seen", mk(100, 150))
+            synced_dirs_before = set(io._mirrors["seen"]["dirs"])
+            assert io.read_bucketed_keys("seen", "canon_url").count() == 150
+            # delta sync: the previously synced dirs are still in the state
+            assert synced_dirs_before < set(io._mirrors["seen"]["dirs"])
+            io.restore("seen", v1)
+            assert io.read_bucketed_keys("seen", "canon_url").count() == 100
+        finally:
+            io.drop_mirror("seen")
+
+    def test_engine_drops_mirror_after_crawl(self, spark, tmp_path_factory):
         from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
         from spider_spark.sources.tableio import ParquetManifestIO
 
@@ -130,10 +165,34 @@ class TestDurableSeenJoin:
             io=io,
         )
         eng.crawl("https://h0.example/d/0")
-        assert eng._accel_name is None
+        assert io._mirrors == {}
         assert not [
             t.name for t in spark.catalog.listTables()
-            if t.name.startswith("spider_seen_accel_")
+            if t.name.startswith("spider_mirror_")
+        ]
+
+    def test_engine_drops_mirror_on_midcrawl_exception(
+        self, spark, tmp_path_factory
+    ):
+        """ADVICE r2: an exception mid-crawl must not leak catalog mirror
+        tables into the warehouse."""
+        from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        pages = synthetic_pages(spark, 60).localCheckpoint(eager=True)
+        # corrupt text column so the verify_text invariant trips in round 0
+        bad = pages.withColumn("text", F.lit("not the parsed text"))
+        io = ParquetManifestIO(spark, str(tmp_path_factory.mktemp("boom_io")))
+        eng = CrawlEngine(
+            spark, bad, CrawlConfig(depth=2, durable=True, verify_text=True),
+            io=io,
+        )
+        with pytest.raises(AssertionError):
+            eng.crawl("https://h0.example/d/0")
+        assert io._mirrors == {}
+        assert not [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("spider_mirror_")
         ]
 
 

@@ -112,6 +112,83 @@ class TestMergeUpsert:
         io.restore("t", v2)
         assert {r["url"] for r in io.read("t").collect()} == {"u0", "u1"}
 
+    def test_merge_is_bucket_pruned(self, spark, io):
+        """VERDICT r2 next-4 'done' criterion: a merge rewrites only the
+        bucket directories whose key range intersects the batch; untouched
+        bucket dirs are REFERENCED (byte-identical paths) in the new
+        version, never rewritten."""
+        import os
+
+        many = rows_df(
+            spark, [(f"u{i}", f"T{i}", "p", f"f{i}") for i in range(200)]
+        )
+        io.merge_upsert("t", many)
+        v1_dirs = set(io._dirs_of("t"))
+        assert all("_bucket=" in d for d in v1_dirs)
+        # capture file-level state of every bucket dir before the 2nd merge
+        def files_of(dirs):
+            out = {}
+            for d in dirs:
+                p = os.path.join(io._tdir("t"), d)
+                out[d] = {
+                    (f, os.path.getsize(os.path.join(p, f)),
+                     os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p) if f.startswith("part-")
+                }
+            return out
+        before = files_of(v1_dirs)
+        io.merge_upsert("t", rows_df(spark, [("u0", "NEW", "p", "f0b")]))
+        v2_dirs = set(io._dirs_of("t"))
+        reused = v1_dirs & v2_dirs
+        # exactly one bucket was touched: all other 31-ish dirs are reused
+        assert len(v1_dirs - reused) == 1
+        assert len(v2_dirs - v1_dirs) == 1
+        after = files_of(reused)
+        assert all(before[d] == after[d] for d in reused)  # byte-identical
+        got = {r["url"]: r["title"] for r in io.read("t").collect()}
+        assert got["u0"] == "NEW" and got["u199"] == "T199" and len(got) == 200
+
+    def test_merge_prune_respects_no_overwrite(self, spark, io):
+        io.merge_upsert("t", rows_df(
+            spark, [(f"u{i}", f"T{i}", "p", f"f{i}") for i in range(50)]
+        ))
+        io.merge_upsert(
+            "t", rows_df(spark, [("u3", "B", "p2", "f3b"), ("new", "N", "p", "fn")]),
+            overwrite=False,
+        )
+        got = {r["url"]: r for r in io.read("t").collect()}
+        assert got["u3"]["title"] == "B" and got["u3"]["content_ref"] == "f3"
+        assert got["new"]["content_ref"] == "fn"
+        assert len(got) == 51
+
+    def test_versions_stay_unique_after_restore(self, spark, io):
+        """ADVICE r2: a commit after restore() must take a FRESH version
+        number, not reuse the restored pointer's successor."""
+        io.create("t", rows_df(spark, [("u0", "A", "p", "f0")]))
+        io.append("t", rows_df(spark, [("u1", "B", "p", "f1")]))
+        io.restore("t", 1)
+        io.append("t", rows_df(spark, [("u2", "C", "p", "f2")]))
+        versions = [e["version"] for e in io.history("t") if e["mode"] != "restore"]
+        assert len(versions) == len(set(versions))
+        # the post-restore append chains off v1, not v2
+        assert {r["url"] for r in io.read("t").collect()} == {"u0", "u2"}
+        # rolling back again resolves the NEWEST entry for the version
+        io.restore("t", 1)
+        assert {r["url"] for r in io.read("t").collect()} == {"u0"}
+
+    def test_vacuum_never_deletes_current_snapshot(self, spark, io):
+        """ADVICE r2: the current pointer's dirs are live even when its
+        entry fell out of the kept tail (restore to an old version), and
+        keep_last < 1 is rejected."""
+        io.create("t", rows_df(spark, [("u0", "A", "p", "f0")]))
+        for i in range(1, 6):
+            io.commit_overwrite("t", rows_df(spark, [(f"u{i}", "X", "p", "f")]))
+        io.restore("t", 1)  # current = the oldest version
+        with pytest.raises(ValueError):
+            io.vacuum("t", keep_last=0)
+        io.vacuum("t", keep_last=1)
+        assert {r["url"] for r in io.read("t").collect()} == {"u0"}
+
     def test_snapshot_restore(self, spark, io):
         io.create("t", rows_df(spark, [("u1", "A", "p", "f1")]))
         v1 = io.current_version("t")
@@ -163,6 +240,48 @@ class TestIcebergMergeSQL:
         )
         assert "ON t.k = s.k" in sql
         assert "t.a = s.a" in sql and "t.b" not in sql
+
+
+class TestVacuumInCrawl:
+    def test_store_stays_bounded_and_resume_green(self, spark, tmp_path):
+        """VERDICT r2 next-10 'done' criterion: with vacuum_every set, a
+        long durable crawl's store stays O(live data) — superseded frontier
+        snapshots are expired on cadence — and kill/resume still matches
+        the uninterrupted crawl."""
+        import os
+
+        pages = synthetic_pages(spark, 300).localCheckpoint(eager=True)
+        seed = "https://h0.example/d/0"
+        full = CrawlEngine(
+            spark, pages, CrawlConfig(depth=6, verify_text=False)
+        ).crawl(seed)
+        expect = {
+            (r["url"], r["title"], r["depth"], r["fetched"])
+            for r in full.results.collect()
+        }
+
+        io = ParquetManifestIO(spark, str(tmp_path / "crawl"))
+        cfg = CrawlConfig(depth=6, verify_text=False, durable=True,
+                          vacuum_every=2, vacuum_keep_last=2, max_rounds=3)
+        CrawlEngine(spark, pages, cfg, io=io).crawl(seed)
+        resumed = CrawlEngine(
+            spark, pages,
+            CrawlConfig(depth=6, verify_text=False, durable=True,
+                        vacuum_every=2, vacuum_keep_last=2),
+            io=io,
+        ).resume()
+        got = {
+            (r["url"], r["title"], r["depth"], r["fetched"])
+            for r in resumed.results.collect()
+        }
+        assert got == expect
+        # the frontier is overwritten per round: without vacuum its dir
+        # count grows with rounds; with it, the on-disk count is bounded
+        # by keep_last + the rounds since the last vacuum tick
+        fdirs = [
+            d for d in os.listdir(io._tdir("frontier")) if d.startswith("v_")
+        ]
+        assert len(fdirs) <= 2 + 2
 
 
 class TestKillResume:

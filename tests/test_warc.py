@@ -55,6 +55,59 @@ class TestWarcRoundTrip:
         assert bytes(rows[0]["html"]) == b"BODY"
         assert rows[0]["warc_ts"] == ts
 
+    def test_oversized_record_with_embedded_warc_payload_is_skipped(
+        self, spark, warc_dir, monkeypatch
+    ):
+        """ADVICE r2 (medium): a record whose Content-Length exceeds the cap
+        must be skipped WHOLE — its payload must never be line-scanned, or
+        attacker-controlled 'WARC/...' text inside it fabricates a phantom
+        response row (content injection from untrusted dumps)."""
+        import spider_spark.sources.warc as warcmod
+
+        monkeypatch.setattr(warcmod, "MAX_RECORD_BYTES", 64)
+        evil_payload = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://evil.example/\r\n"
+            b"Content-Length: 4\r\n\r\nPWND\r\n\r\n"
+        )
+        evil_payload += b"x" * (200 - len(evil_payload))  # > 64-byte cap
+        archive = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://big.example/\r\n"
+            + f"Content-Length: {len(evil_payload)}\r\n\r\n".encode()
+            + evil_payload + b"\r\n\r\n"
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://ok.example/\r\n"
+            b"Content-Length: 4\r\n\r\nGOOD\r\n\r\n"
+        )
+        got = list(warcmod._parse_warc_stream(archive))
+        assert [u for u, _, _ in got] == ["https://ok.example/"]
+        assert got[0][2] == b"GOOD"
+
+    def test_multi_member_gzip_streams_past_oversized_records(
+        self, monkeypatch
+    ):
+        """Multi-member gzip archives (the Common-Crawl layout) parse without
+        ever materializing the decompressed archive: records bigger than the
+        cap are chunk-skipped in-stream, later members still parse."""
+        import gzip as _gz
+
+        import spider_spark.sources.warc as warcmod
+
+        monkeypatch.setattr(warcmod, "MAX_RECORD_BYTES", 1024)
+        big = b"z" * 10_000  # 10x the cap
+        rec = lambda uri, body: (  # noqa: E731
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body + b"\r\n\r\n"
+        )
+        member1 = _gz.compress(rec("https://a.example/", b"AAA") + rec("https://big.example/", big))
+        member2 = _gz.compress(rec("https://b.example/", b"BBB"))
+        got = list(warcmod._parse_warc_stream(member1 + member2))
+        assert [u for u, _, _ in got] == ["https://a.example/", "https://b.example/"]
+        assert [b for _, _, b in got] == [b"AAA", b"BBB"]
+
     def test_crawl_over_warc_source_matches_parquet_source(
         self, spark, warc_dir
     ):
