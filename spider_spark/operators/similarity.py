@@ -22,6 +22,7 @@ DuckDB oracle (which sums in its own order) ranks identically.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -224,7 +225,7 @@ def lsh_buckets(df: DataFrame, dim: int = 64, n_tables: int = 4, bits: int = 8,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids_as: str = "literals") -> DataFrame:
+             centroids_as: str = "literals", kmeans_iters: int = 5) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest centroid
     (inverted lists = centroid-keyed partitions); each query probes only its
     ``nprobe`` nearest lists and brute-forces within them. Recall < 1 by
@@ -242,10 +243,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
       assignment is a broadcast cross-join + rounded-dot top-n per vector.
       The corpus scan stays map-side; this is the formulation that scales
       with the centroid count.
+    * ``centroids_as="kmeans"`` — the production path: centroids come from
+      deterministic Lloyd k-means (:func:`kmeans_centroids`,
+      ``kmeans_iters`` passes) and assignment runs as an Arrow-batched BLAS
+      matmul per chunk (:func:`_ivf_topk_pandas`) — the only formulation
+      that holds at dim × 64k lists. Not oracle-checked (float iteration
+      order); recall vs the first-n-centroid baseline is pinned in
+      tests/test_similarity.py.
     """
     if centroids_as == "join":
         return _ivf_topk_join(corpus, queries, k, n_centroids, nprobe,
                               id_col, vec_col)
+    if centroids_as == "kmeans":
+        cents = kmeans_centroids(corpus, n_centroids, n_iters=kmeans_iters,
+                                 id_col=id_col, vec_col=vec_col)
+        return _ivf_topk_pandas(corpus, queries, k, cents, nprobe,
+                                id_col, vec_col)
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.select(id_col, vec_col)
@@ -283,6 +296,117 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         "qv", "nq",
     ).withColumn("list_id", F.explode(assign_expr(F.col("qv"), nprobe)))
 
+    pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")),
+                COS_DECIMALS).alias("cos_sim"),
+    ).dropDuplicates(["qid", "nid"])
+    return topk_per_key(
+        scored, ["qid"], [F.col("cos_sim").desc(), F.col("nid").asc()], k
+    ).select("qid", "nid", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic Lloyd k-means over the embedding column — the IVF
+    training step a 64k-list deployment needs (VERDICT r2 next-6).
+
+    * init: the ``n_centroids`` lowest-id vectors (seed-free, reproducible);
+    * assignment: nearest centroid by L2 (``argmax x·c − ‖c‖²/2`` — the
+      canonical IVF measure; inner-product Lloyd degenerates because mean
+      updates shrink centroids toward the data mean);
+    * each iteration is ONE ``mapInPandas`` pass: every Arrow chunk does a
+      single BLAS matmul (``X @ C.T``) and emits per-cluster (sum, count)
+      partials — driver traffic is O(partitions × n_centroids × dim) bytes
+      of partials, never the vectors. Empty clusters keep their previous
+      centroid.
+    """
+    sc = corpus.sparkSession.sparkContext
+    init = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    C = np.asarray([list(map(float, r[1])) for r in init], dtype=np.float64)
+    v = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(n_iters):
+        bc = sc.broadcast(C)
+
+        def partials(batches):
+            Ct = bc.value
+            half_c2 = 0.5 * (Ct * Ct).sum(axis=1)
+            sums = np.zeros_like(Ct)
+            counts = np.zeros(len(Ct), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                # nearest-by-L2 via one BLAS matmul per chunk
+                a = np.argmax(X @ Ct.T - half_c2[None, :], axis=1)
+                for u in np.unique(a):
+                    m = a == u
+                    sums[u] += X[m].sum(axis=0)
+                    counts[u] += int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(len(Ct), dtype=np.int32),
+                    "s": [row.tobytes() for row in sums],
+                    "n": counts,
+                }
+            )
+
+        rows = v.mapInPandas(partials, "cid int, s binary, n long").collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.frombuffer(r["s"], dtype=np.float64)
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz][:, None]
+        bc.destroy()
+    return C
+
+
+def _ivf_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int,
+                     centroids: np.ndarray, nprobe: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """IVF probe with Arrow-batched BLAS assignment: one matmul per chunk
+    (``X @ C.T`` + arg-top-n) instead of O(n_centroids) plan nodes (literal
+    mode) or O(n_centroids) join rows per vector (join mode) — the only
+    assignment formulation that holds at dim × 64k lists. Scoring inside
+    the probed lists stays JVM-side (rounded cosine + two-stage top-k)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def make_assign(n_best: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def assign(v: pd.Series) -> pd.Series:
+            if not len(v):
+                return pd.Series([], dtype=object)
+            C = bc.value
+            X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+            # same L2 measure as training: argmax x·c − ‖c‖²/2, one BLAS
+            # matmul per Arrow chunk
+            S = X @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :n_best]
+            return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+
+        return assign
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+        "nv", "nn",
+    ).withColumn("list_id", make_assign(1)(F.col("nv"))[0])
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv", "nq",
+    ).withColumn("list_id", F.explode(make_assign(nprobe)(F.col("qv"))))
     pairs = c.join(F.broadcast(q), on="list_id").filter(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid",
