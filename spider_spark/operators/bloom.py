@@ -187,6 +187,70 @@ def build_into(bloom: ShardedBloom, df: DataFrame, col: str,
     return bloom
 
 
+def make_fill_stats_collector(bloom: ShardedBloom, col: str):
+    """A ``stats_collector`` for :func:`ranking.with_global_rank` that ALSO
+    fills ``bloom`` with the ranked rows' ``col`` keys — one mapInPandas
+    pass over the ranking checkpoint yields BOTH the per-partition rank
+    stats (cnt, max_mid) and the bloom shard partials. This folds the
+    crawl's two remaining per-round driver jobs (rank sizes-collect +
+    bloom-partials collect) into one, and drops the stats groupBy shuffle
+    entirely (VERDICT r2 next-3)."""
+    n_bits, n_hashes, n_shards = bloom.n_bits, bloom.n_hashes, bloom.n_shards
+
+    def collect(parted: DataFrame):
+        h1, h2, sh = _hash_cols(col, n_shards)
+        hashed = parted.select(h1, h2, sh, F.col("__pid"), F.col("__mid"))
+
+        def fill_and_stats(batches):
+            local: dict[int, BloomFilter] = {}
+            pid, cnt, mx = None, 0, -1
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if pid is None:
+                    pid = int(pdf["__pid"].iloc[0])
+                cnt += len(pdf)
+                mx = max(mx, int(pdf["__mid"].max()))
+                h1v = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
+                h2v = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
+                shv = pdf["__shard"].to_numpy(dtype=np.int32)
+                for s in np.unique(shv):
+                    m = shv == s
+                    bf = local.get(int(s))
+                    if bf is None:
+                        bf = local[int(s)] = BloomFilter(n_bits, n_hashes)
+                    bf.add_many(h1v[m], h2v[m])
+            if pid is None:
+                return
+            pids = [pid] + [pid] * len(local)
+            cnts = [cnt] + [0] * len(local)
+            mxs = [mx] + [-1] * len(local)
+            shards = [-1] + list(local)
+            bits = [None] + [bf.bits.tobytes() for bf in local.values()]
+            yield pd.DataFrame(
+                {"pid": pids, "cnt": cnts, "max_mid": mxs,
+                 "shard": shards, "bits": bits}
+            )
+
+        rows = hashed.mapInPandas(
+            fill_and_stats,
+            schema="pid int, cnt long, max_mid long, shard int, bits binary",
+        ).collect()
+        stats = []
+        for r in rows:
+            if r["shard"] < 0:
+                stats.append(
+                    {"__pid": r["pid"], "cnt": r["cnt"], "max_mid": r["max_mid"]}
+                )
+            else:
+                bloom.union_shard_inplace(
+                    r["shard"], np.frombuffer(r["bits"], dtype=np.uint8)
+                )
+        return stats
+
+    return collect
+
+
 def build_bloom(df: DataFrame, col: str, expected: int | None = None,
                 fpp: float = 0.01, n_shards: int = 1) -> ShardedBloom:
     """Build a fresh sharded bloom of ``df[col]`` (sized for ``expected``,

@@ -30,12 +30,22 @@ def with_global_rank(
     start: int = 0,
     num_partitions: int | None = None,
     with_count: bool = False,
+    stats_collector=None,
 ) -> DataFrame:
     """Add a dense 0-based global rank column ordered by ``order_cols``
     (which must be a strict total order — no ties). ``start`` offsets the
     rank (continuing a cross-round running counter). ``with_count=True``
     returns ``(df, total_rows)`` — the total falls out of the size-collect
-    pass for free, saving callers a separate count job."""
+    pass for free, saving callers a separate count job.
+
+    ``stats_collector`` (optional) replaces the built-in per-partition
+    size collect: it receives the materialized, ``__pid``/``__mid``-stamped
+    DataFrame and must return rows/dicts with ``__pid``/``cnt``/``max_mid``.
+    Callers use it to piggyback OTHER per-partition reductions (e.g. the
+    crawl's bloom-shard fill, bloom.make_fill_stats_collector) onto the
+    stats pass — one driver job instead of two, and the default groupBy
+    shuffle disappears (the combined pass is mapInPandas over the
+    checkpoint, no exchange)."""
     sc = df.sparkSession.sparkContext
     parts = num_partitions or sc.defaultParallelism
     # One materialization: range-partition + sort once, stamp each row with
@@ -51,9 +61,12 @@ def with_global_rank(
         .withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
-    stats = parted.groupBy("__pid").agg(
-        F.count("*").alias("cnt"), F.max("__mid").alias("max_mid")
-    ).collect()
+    if stats_collector is not None:
+        stats = stats_collector(parted)
+    else:
+        stats = parted.groupBy("__pid").agg(
+            F.count("*").alias("cnt"), F.max("__mid").alias("max_mid")
+        ).collect()
     sizes = {r["__pid"]: r["cnt"] for r in stats}
     # Guard the monotonically_increasing_id layout assumption (mid ==
     # (pid << 33) + local_row_index over a freshly-sorted partition): if

@@ -51,7 +51,12 @@ from spider_spark.functions.urlkit import (
 )
 from pyspark.storagelevel import StorageLevel
 
-from spider_spark.operators.bloom import ShardedBloom, build_into, filter_unseen
+from spider_spark.operators.bloom import (
+    ShardedBloom,
+    build_into,
+    filter_unseen,
+    make_fill_stats_collector,
+)
 
 # serialized checkpoint storage: ~5× smaller than deserialized rows, far
 # less GC pressure, and the extra ser/deser CPU parallelizes with cores
@@ -598,12 +603,21 @@ class CrawlEngine:
             # round's shard broadcasts (and any stragglers) are dead weight
             # now — destroy them before they accumulate across rounds
             bloom.destroy_broadcasts()
-        # ranking's size-collect doubles as the n_new count (no extra job)
+        # ONE driver job closes the round's bookkeeping: the ranking stats
+        # pass doubles as the n_new count AND (when a bloom is live) the
+        # bloom-shard fill — mapInPandas over the ranking checkpoint, no
+        # groupBy shuffle, no separate bloom job (VERDICT r2 next-3)
+        collector = (
+            make_fill_stats_collector(bloom, "canon_url")
+            if bloom is not None
+            else None
+        )
         ranked, n_new = self._timed(
             "rank",
             lambda: with_global_rank(
                 new, ["depth", "parent_rank", "link_pos"], "admission_rank",
                 start=state.next_rank, with_count=True,
+                stats_collector=collector,
             ),
         )
 
@@ -628,10 +642,9 @@ class CrawlEngine:
                 admitted.select("canon_url", "depth", "admission_rank")
             )
             if bloom is not None:
-                # keys identical to admitted's; read from the dedupe ckpt
+                # the fill already rode the ranking stats pass (collector
+                # above); only the exact count + growth check remain
                 def _add():
-                    build_into(bloom, new.select("canon_url"), "canon_url",
-                               count_items=False)
                     bloom.n_items += n_new
                     # exact running count outgrew capacity → rebuild bigger
                     # from the seen table before fpp degrades

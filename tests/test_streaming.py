@@ -151,3 +151,69 @@ def test_host_rate_window(spark, pages_dir, tmp_path):
     }
     # h0 holds all even ids -> half the corpus (the skew fixture)
     assert got["h0.example"] == 30
+
+
+class TestTWSProductionPath:
+    """The transformWithStateInPandas + RocksDB MapState engine — the
+    production path for a continuous frontier. This sandbox ships a broken
+    ``google.protobuf`` (the TWS state-server wire format), so the e2e test
+    is skipif-gated and lights up the moment the environment permits
+    (VERDICT r2 next-7); the bloom negative-cache arithmetic is tested
+    unconditionally."""
+
+    def test_tws_matches_batch_dedupe(self, spark, pages_dir, tmp_path):
+        from spider_spark.streaming.ingest import _tws_available
+
+        if not _tws_available():
+            pytest.skip(
+                "google.protobuf broken in this image: the TWS state "
+                "server cannot start (ingest.py:_tws_available)"
+            )
+        stream = read_pages_stream(
+            spark, str(pages_dir / "in"), schema=spark.read.parquet(
+                str(pages_dir / "in")
+            ).schema, max_files_per_trigger=1,
+        )
+        deduped = dedupe_links_stream(
+            extract_links_stream(stream), n_shards=4, impl="tws"
+        )
+        out = str(tmp_path / "tws_out")
+        run_to_completion(deduped, str(tmp_path / "tws_ckpt"), out)
+        got = spark.read.parquet(out)
+        assert got.count() == got.select("link").distinct().count()
+        batch_links = {
+            r["l"]
+            for r in extract_links_stream(
+                spark.read.parquet(str(pages_dir / "in"))
+            ).select(F.col("link").alias("l")).distinct().collect()
+        }
+        assert {r["link"] for r in got.collect()} == batch_links
+
+    def test_bloom_negative_cache_arithmetic(self):
+        """Pure-python check of the batched-membership kernel: inserted
+        links always probe positive afterwards (no false negatives), and
+        fresh links mostly probe negative (the round-trip saver)."""
+        import numpy as np
+
+        from spider_spark.streaming.ingest import (
+            _SeenShardProcessor,
+            _bloom_positions,
+        )
+
+        n_bits = _SeenShardProcessor.BLOOM_BITS
+        k = _SeenShardProcessor.N_HASHES
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        inserted = [f"https://h{i}.example/d/{i}" for i in range(5000)]
+        pos = _bloom_positions(inserted, n_bits, k)
+        for i in range(len(inserted)):
+            np.bitwise_or.at(bits, pos[i] >> 3, (1 << (pos[i] & 7)).astype(np.uint8))
+        # no false negatives: every inserted link probes maybe=True
+        maybe = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+        assert maybe.all()
+        # fresh links: the vast majority probe definite-miss (no round-trip)
+        fresh = [f"https://fresh{i}.example/x/{i}" for i in range(5000)]
+        fpos = _bloom_positions(fresh, n_bits, k)
+        fmaybe = ((bits[fpos >> 3] >> (fpos & 7)) & 1).all(axis=1)
+        assert fmaybe.mean() < 0.05
+        # deterministic positions (state-compatible across restarts)
+        assert (_bloom_positions(inserted, n_bits, k) == pos).all()
