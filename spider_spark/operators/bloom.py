@@ -190,27 +190,36 @@ def build_into(bloom: ShardedBloom, df: DataFrame, col: str,
 def make_fill_stats_collector(bloom: ShardedBloom, col: str):
     """A ``stats_collector`` for :func:`ranking.with_global_rank` that ALSO
     fills ``bloom`` with the ranked rows' ``col`` keys — one mapInPandas
-    pass over the ranking checkpoint yields BOTH the per-partition rank
-    stats (cnt, max_mid) and the bloom shard partials. This folds the
-    crawl's two remaining per-round driver jobs (rank sizes-collect +
+    pass over the ranking checkpoint yields BOTH the per-group rank stats
+    (cnt, min_mid, max_mid per ``__rkey``; a task may hold several groups
+    in bucket mode) and the bloom shard partials. This folds the crawl's
+    two remaining per-round driver jobs (rank stats-collect +
     bloom-partials collect) into one, and drops the stats groupBy shuffle
     entirely (VERDICT r2 next-3)."""
     n_bits, n_hashes, n_shards = bloom.n_bits, bloom.n_hashes, bloom.n_shards
 
     def collect(parted: DataFrame):
         h1, h2, sh = _hash_cols(col, n_shards)
-        hashed = parted.select(h1, h2, sh, F.col("__pid"), F.col("__mid"))
+        hashed = parted.select(h1, h2, sh, F.col("__rkey"), F.col("__mid"))
 
         def fill_and_stats(batches):
             local: dict[int, BloomFilter] = {}
-            pid, cnt, mx = None, 0, -1
+            # __rkey -> [cnt, min_mid, max_mid]; groups never span tasks
+            # (hash partitioning in bucket mode, identity in range mode)
+            groups: dict[int, list[int]] = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
-                if pid is None:
-                    pid = int(pdf["__pid"].iloc[0])
-                cnt += len(pdf)
-                mx = max(mx, int(pdf["__mid"].max()))
+                agg = pdf.groupby("__rkey")["__mid"].agg(["count", "min", "max"])
+                for key, row in agg.iterrows():
+                    g = groups.get(int(key))
+                    if g is None:
+                        groups[int(key)] = [int(row["count"]), int(row["min"]),
+                                            int(row["max"])]
+                    else:
+                        g[0] += int(row["count"])
+                        g[1] = min(g[1], int(row["min"]))
+                        g[2] = max(g[2], int(row["max"]))
                 h1v = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
                 h2v = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
                 shv = pdf["__shard"].to_numpy(dtype=np.int32)
@@ -220,27 +229,34 @@ def make_fill_stats_collector(bloom: ShardedBloom, col: str):
                     if bf is None:
                         bf = local[int(s)] = BloomFilter(n_bits, n_hashes)
                     bf.add_many(h1v[m], h2v[m])
-            if pid is None:
+            if not groups:
                 return
-            pids = [pid] + [pid] * len(local)
-            cnts = [cnt] + [0] * len(local)
-            mxs = [mx] + [-1] * len(local)
-            shards = [-1] + list(local)
-            bits = [None] + [bf.bits.tobytes() for bf in local.values()]
+            keys = list(groups)
             yield pd.DataFrame(
-                {"pid": pids, "cnt": cnts, "max_mid": mxs,
-                 "shard": shards, "bits": bits}
+                {
+                    "rkey": keys + [-1] * len(local),
+                    "cnt": [groups[k][0] for k in keys] + [0] * len(local),
+                    "min_mid": [groups[k][1] for k in keys] + [-1] * len(local),
+                    "max_mid": [groups[k][2] for k in keys] + [-1] * len(local),
+                    "shard": [-1] * len(keys) + list(local),
+                    "bits": [None] * len(keys)
+                    + [bf.bits.tobytes() for bf in local.values()],
+                }
             )
 
         rows = hashed.mapInPandas(
             fill_and_stats,
-            schema="pid int, cnt long, max_mid long, shard int, bits binary",
+            schema=(
+                "rkey long, cnt long, min_mid long, max_mid long, "
+                "shard int, bits binary"
+            ),
         ).collect()
         stats = []
         for r in rows:
             if r["shard"] < 0:
                 stats.append(
-                    {"__pid": r["pid"], "cnt": r["cnt"], "max_mid": r["max_mid"]}
+                    {"__rkey": r["rkey"], "cnt": r["cnt"],
+                     "min_mid": r["min_mid"], "max_mid": r["max_mid"]}
                 )
             else:
                 bloom.union_shard_inplace(
@@ -261,7 +277,8 @@ def build_bloom(df: DataFrame, col: str, expected: int | None = None,
 
 
 def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
-                  bloom: ShardedBloom | None, materialize=None) -> DataFrame:
+                  bloom: ShardedBloom | None, materialize=None,
+                  materialize_confirmed: bool = True) -> DataFrame:
     """Exact-by-construction seen filtering: bloom prefilter (when given)
     splits candidates into definitely-new (pass through, no shuffle) and
     maybe-seen (confirmed by exact anti-join). Without a bloom, plain
@@ -269,12 +286,18 @@ def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
     admitted).
 
     ``materialize`` (optional, e.g. an eager localCheckpoint) is applied
-    to the two expensive intermediates — the flagged candidates (one pass
-    through the probe, consumed by both branches) and the anti-join
-    output (one pass through the seen shuffle). The returned union is
-    then two cheap JVM filters over materialized data, safe for consumers
-    that evaluate their input twice (range-partition sampling): nothing
-    heavy — not the Python probe, not the seen shuffle — ever re-runs."""
+    to the flagged candidates (one pass through the Python probe,
+    consumed by both branches) and — when ``materialize_confirmed`` —
+    to the anti-join output (one pass through the seen shuffle). The
+    returned union is then cheap JVM filters over materialized data,
+    safe for consumers that evaluate their input twice (range-partition
+    sampling). A consumer that evaluates its input exactly ONCE (the
+    crawl's bucket-mode ranking shuffle) passes
+    ``materialize_confirmed=False``: the anti-join then folds into the
+    consumer's own job — one materialization for the whole
+    dedupe→rank chain. Either way the probe's broadcasts are consumed by
+    the flagged materialization alone, so the caller may destroy them as
+    soon as this returns (given ``materialize`` was eager)."""
     if bloom is None:
         return candidates.join(seen.select(F.col(col)), on=col, how="left_anti")
 
@@ -313,6 +336,6 @@ def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
     definitely_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
     suspects = flagged.filter(F.col("__maybe")).drop("__maybe")
     confirmed_new = suspects.join(seen.select(F.col(col)), on=col, how="left_anti")
-    if materialize is not None:
+    if materialize is not None and materialize_confirmed:
         confirmed_new = materialize(confirmed_new)
     return definitely_new.unionByName(confirmed_new)

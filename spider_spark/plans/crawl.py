@@ -24,8 +24,11 @@ Scale notes (the parts that must survive 1000 executors × 100 TB):
   pages scan map-side (inner broadcast join + broadcast anti-join for the
   misses). The 100 TB side is never shuffled. Above a threshold it falls
   back to a key-bucketed sort-merge join.
-* **no global sorts** — admission ranks come from the two-phase range
-  ranking in :mod:`spider_spark.operators.ranking`.
+* **no global sorts** — admission ranks come from the two-phase ranking
+  in :mod:`spider_spark.operators.ranking`, in bucket mode: arithmetic
+  (depth, parent_rank)-range buckets replace range partitioning's
+  sampling job, so the explode → dedupe → seen-gate → rank chain is ONE
+  job with one shuffle per round.
 * **lineage is cut every round** — either a durable TableIO snapshot commit
   (atomic, resumable: E6 analog) or an eager ``localCheckpoint``.
 * **counters** — reference counters (crawler.py:61-62,87-90) map to per
@@ -556,6 +559,12 @@ class CrawlEngine:
         )
 
         # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
+        # The gate's output feeds the bucket-mode ranking below, which
+        # evaluates its input exactly ONCE (hash shuffle on arithmetic
+        # buckets — no range-sampling pass), so everything here stays LAZY
+        # except the bloom probe (a Python stage consumed by two branches).
+        # The whole explode → min-dedupe → seen-gate → rank chain
+        # materializes in a single job inside with_global_rank.
         def _dedupe():
             if not cfg.use_cache:
                 # the seen gate is off, but the next frontier must still be
@@ -569,39 +578,36 @@ class CrawlEngine:
                     cand = cand.join(
                         carryover.select("canon_url"), on="canon_url", how="left_anti"
                     )
-                return cand.localCheckpoint(
-                    eager=True, storageLevel=CHECKPOINT_LEVEL
-                )
+                return cand
             # durable mode: confirm suspects against the bucketed seen key
             # mirror — the exchange lands only on the candidate delta, the
             # accumulated seen scan stays in its bucket layout. The mirror
             # syncs O(delta) from the manifest (committed through round r-1
             # = exactly the membership this round must gate against).
             seen_side = self._seen_keys() if cfg.durable else state.seen
+            if bloom is None:
+                # no prefilter: one anti-join over the full candidate set,
+                # folded into the ranking job
+                return filter_unseen(candidates, "canon_url", seen_side, None)
+            # bloom path: ONE materialization pass — the flagged candidates
+            # (explode + min-dedupe + probe in one job). Both branches are
+            # JVM filters over that checkpoint; the suspects' confirming
+            # anti-join folds into the ranking job (materialize_confirmed
+            # off — bucket mode reads the union exactly once).
             ckpt = lambda df: df.localCheckpoint(  # noqa: E731
                 eager=True, storageLevel=CHECKPOINT_LEVEL
             )
-            if bloom is None:
-                # no prefilter: the anti-join shuffles the full candidate
-                # set, so materialize its input and its output exactly once
-                return ckpt(
-                    filter_unseen(ckpt(candidates), "canon_url", seen_side, None)
-                )
-            # bloom path: exactly two materialization passes — the flagged
-            # candidates (explode + min-dedupe + probe in one job) and the
-            # small confirmed-new anti-join output. The returned union is
-            # lazy JVM filters over those checkpoints; downstream double
-            # evaluation (ranking's range sampling, the bloom add, the
-            # accel append) re-runs no shuffle and no Python.
             return filter_unseen(
-                candidates, "canon_url", seen_side, bloom, materialize=ckpt
+                candidates, "canon_url", seen_side, bloom, materialize=ckpt,
+                materialize_confirmed=False,
             )
 
         new = self._timed("dedupe", _dedupe)
         if bloom is not None and cfg.use_cache:
-            # both probe branches are materialized inside _dedupe, so this
-            # round's shard broadcasts (and any stragglers) are dead weight
-            # now — destroy them before they accumulate across rounds
+            # the probe stage is materialized inside _dedupe (the flagged
+            # checkpoint — the only consumer of the shard broadcasts), so
+            # this round's broadcasts are dead weight now — destroy them
+            # before they accumulate across rounds
             bloom.destroy_broadcasts()
         # ONE driver job closes the round's bookkeeping: the ranking stats
         # pass doubles as the n_new count AND (when a bloom is live) the
@@ -612,12 +618,24 @@ class CrawlEngine:
             if bloom is not None
             else None
         )
+        # arithmetic rank buckets: the order key's prefix (depth,
+        # parent_rank) is dense — depth is a small bounded int, parent_rank
+        # ∈ [0, next_rank) — so equal-width parent_rank ranges stratified
+        # by depth are monotone in the order tuple. Hash-partitioning on
+        # them replaces repartitionByRange's sampling job (the input is
+        # evaluated exactly once) at the cost of balance only under parent
+        # skew, which link fan-out spreads in practice.
+        n_buckets = 4 * self.spark.sparkContext.defaultParallelism
+        bucket = F.expr(
+            f"depth * {n_buckets}L + "
+            f"((parent_rank * {n_buckets}L) div {max(state.next_rank, 1)}L)"
+        )
         ranked, n_new = self._timed(
             "rank",
             lambda: with_global_rank(
                 new, ["depth", "parent_rank", "link_pos"], "admission_rank",
                 start=state.next_rank, with_count=True,
-                stats_collector=collector,
+                stats_collector=collector, bucket_expr=bucket,
             ),
         )
 
