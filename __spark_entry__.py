@@ -207,6 +207,38 @@ _SQL_CRAWL_CATCH_SUBSTRING = (
 )
 
 
+def _q_kv_scan_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 (Redis DAO analog, full quirk parity): fetched crawl rows saved
+    through the KV store — which silently DROPS null-title rows
+    (redis_database.py:95-96) — then a substring SCAN ``get``
+    (redis_database.py:108-134). The oracle carries the same
+    title-not-null filter, so the gate sees the save quirk, not just the
+    scan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.sources.kvstore import KeyValueStore
+    from spider_spark.sources.tableio import ParquetManifestIO
+
+    res = _crawl(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="kvstore_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    store = KeyValueStore(ParquetManifestIO(spark, tmp))
+    store.save(
+        res.results.filter(F.col("fetched"))
+        .select("url", "title", "parent", "content_ref")
+    )
+    return store.get("h1.example", limit=10)
+
+
+_SQL_KV_SCAN = (
+    "SELECT url, title FROM (" + _oracle_crawl_base() + ") "
+    "WHERE fetched AND title IS NOT NULL AND url LIKE '%h1.example%' "
+    "ORDER BY url LIMIT 10"
+)
+
+
 def _q_crawl_numbered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 presentation: deterministic row numbering over a total order both
     engines share — via the engine's two-stage global rank (no single-task
@@ -527,6 +559,29 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py."""
     return lsh_near_dup_pairs(_embeddings(spark, sf_dir),
                               threshold=NEAR_DUP_THRESHOLD)
+
+
+def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (train once / probe many): k-means centroids +
+    list_id-partitioned inverted lists committed through the manifest
+    store, then an ANN search that reads only the probed partitions. No
+    SQL oracle — k-means is float-iterative (the driver records the
+    weaker rows-only check); exact parity with the inline kmeans probe
+    and the partition-pruning claim are pinned in tests/test_ivf_index.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.operators.ivf_index import IVFIndex
+    from spider_spark.sources.tableio import ParquetManifestIO
+
+    emb = _embeddings(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ivf_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = IVFIndex(ParquetManifestIO(spark, tmp))
+    idx.build(emb, n_centroids=16, n_iters=3)
+    return idx.search(emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+                      k=ANN_K, nprobe=4)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_results": _q_crawl_results,
         "crawl_catch": _q_crawl_catch,            # P1/L1
         "crawl_catch_substring": _q_crawl_catch_substring,  # P2 variant
+        "kv_scan_titles": _q_kv_scan_titles,      # S5 KV sink + scan quirks
         "crawl_count_all": _q_crawl_count,        # A1
         "crawl_seen_depths": _q_crawl_seen_depths,  # D1 seen-set parity
         "crawl_numbered": _q_crawl_numbered,      # L2 row_number
@@ -963,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "embed_near_dups": _q_embed_near_dups,
         "ann_lsh_near_dups": _q_ann_lsh,
+        "ivf_index_search": _q_ivf_index_search,  # persisted IVF (rows-only)
         # multimodal plumbing
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -986,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_results": _SQL_CRAWL_RESULTS,
         "crawl_catch": _SQL_CRAWL_CATCH,
         "crawl_catch_substring": _SQL_CRAWL_CATCH_SUBSTRING,
+        "kv_scan_titles": _SQL_KV_SCAN,
         "crawl_count_all": _SQL_CRAWL_COUNT,
         "crawl_seen_depths": _SQL_CRAWL_SEEN,
         "crawl_numbered": _SQL_CRAWL_NUMBERED,

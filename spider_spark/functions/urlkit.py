@@ -182,6 +182,32 @@ def make_content_ref_udf():
     return ref_udf
 
 
+def content_ref_col(url, host):
+    """JVM Column form of :func:`content_ref` — bit-identical to Python's
+    ``uuid.uuid5(NAMESPACE_URL, url)`` but built from ``sha1`` +
+    substring surgery, so the results projection stays inside
+    whole-stage codegen (no Python stage in the crawl's final_results
+    job; the pandas UDF above remains for callers without a host
+    column). RFC 4122 §4.3: uuid5 = SHA-1(namespace ‖ name)[:16] with
+    the version nibble forced to 5 and the variant's top bits to 10."""
+    from pyspark.sql import functions as F
+
+    ns = F.lit(bytes.fromhex("6ba7b8119dad11d180b400c04fd430c8"))
+    h = F.sha1(F.concat(ns, F.encode(url, "UTF-8")))  # 40 lowercase hex chars
+    # variant nibble: (n & 3) | 8 for n = hex digit 17 → one of "89ab"
+    n = F.conv(F.substring(h, 17, 1), 16, 10).cast("int")
+    variant = F.substring(F.lit("89ab"), (n % 4) + 1, 1)
+    u = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+    return F.concat(F.translate(host, ".", "_"), F.lit("_"), u, F.lit(".html"))
+
+
 def generate_refs(
     hrefs: list[str],
     seed: CanonURL,

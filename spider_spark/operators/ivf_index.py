@@ -1,0 +1,158 @@
+"""Persisted IVF-ANN index: train once, probe many.
+
+The inline :func:`~spider_spark.operators.similarity.ivf_topk` re-trains
+and re-assigns the corpus on every call — right for an oracle-checked
+query, wrong for a production pipeline where a 100 TB embedding corpus is
+probed by thousands of query batches. This module persists the expensive
+halves through :class:`~spider_spark.sources.tableio.ParquetManifestIO`
+(Iceberg-analog snapshots — atomic swap, versioned, vacuumable):
+
+* ``<name>_centroids`` — the trained k-means centroids, a tiny table
+  (``n_centroids × dim`` doubles) collected to the driver per search;
+* ``<name>_lists`` — the inverted lists: every corpus vector with its
+  ``list_id`` and precomputed L2 norm, **Hive-partitioned by list_id**
+  so a search's ``list_id IN (probed)`` filter prunes at planning time —
+  a search over a 64k-list index reads ``nprobe/64k`` of the data and
+  never rescans or reshuffles the corpus.
+
+Search cost per query batch: one tiny centroids collect, one Arrow-BLAS
+assignment pass over the *queries* (small side), a broadcast join against
+only the probed partitions, JVM cosine + two-stage top-k. The corpus is
+touched only through the pruned partition scan.
+
+Reference parity note: the reference engine has no ANN surface; this is
+part of the LLM-training-data toolkit built on the same storage layer as
+the crawl (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.operators.similarity import (
+    COS_DECIMALS,
+    _dot,
+    centroid_assign_udf,
+    kmeans_centroids,
+    topk_per_key,
+    with_norm,
+)
+from spider_spark.sources.tableio import TableIO
+
+
+class IVFIndex:
+    """A named, versioned IVF index over an embedding corpus.
+
+    ``build`` trains deterministic k-means and commits both tables
+    atomically (centroids last — a killed build leaves the previous index
+    fully readable). ``search`` runs against whatever version is current.
+    Rebuilding on a refreshed corpus is just ``build`` again: readers see
+    the old snapshot until the manifest swap.
+    """
+
+    def __init__(self, io: TableIO, name: str = "ivf",
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.io = io
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def _lists(self) -> str:
+        return f"{self.name}_lists"
+
+    @property
+    def _cents(self) -> str:
+        return f"{self.name}_centroids"
+
+    def exists(self) -> bool:
+        return self.io.exists(self._cents) and self.io.exists(self._lists)
+
+    # -- build ---------------------------------------------------------------
+
+    def build(self, corpus: DataFrame, n_centroids: int = 16,
+              n_iters: int = 5) -> np.ndarray:
+        """Train + assign + persist. Returns the centroid matrix.
+
+        The assignment pass is one Arrow-BLAS matmul per chunk over the
+        corpus (no shuffle — ``partitionBy`` on write splits files per
+        task, it does not exchange rows); per-vector norms are computed in
+        the same pass so searches never touch the raw vectors twice."""
+        spark = corpus.sparkSession
+        C = kmeans_centroids(corpus, n_centroids, n_iters=n_iters,
+                             id_col=self.id_col, vec_col=self.vec_col)
+        make_assign = centroid_assign_udf(spark, C)
+        assigned = with_norm(
+            corpus.select(
+                F.col(self.id_col).alias("nid"),
+                F.col(self.vec_col).alias("nv"),
+            ),
+            "nv", "nn",
+        ).withColumn("list_id", make_assign(1)(F.col("nv"))[0])
+        meta = {"n_centroids": int(n_centroids), "dim": int(C.shape[1]),
+                "n_iters": int(n_iters)}
+        try:
+            self.io.commit_overwrite(self._lists, assigned,
+                                     partition_by="list_id", meta=meta)
+        finally:
+            # the write materialized every assignment — the centroid
+            # broadcast is dead weight from here on
+            make_assign.broadcast.destroy()
+        cents_df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+            "cid int, centroid array<double>",
+        )
+        self.io.commit_overwrite(self._cents, cents_df, meta=meta)
+        return C
+
+    # -- search --------------------------------------------------------------
+
+    def centroids(self) -> np.ndarray:
+        rows = self.io.read(self._cents).orderBy("cid").collect()
+        return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+    def search(self, queries: DataFrame, k: int = 5,
+               nprobe: int = 4) -> DataFrame:
+        """ANN cosine top-k for each query vector against the indexed
+        corpus. Output schema matches ``ivf_topk``:
+        ``(qid, nid, cos_sim, rank)``.
+
+        The probed list ids are collected (≤ n_queries × nprobe ints —
+        driver-side metadata, like the centroids) and pushed into the
+        lists scan as a partition filter, so only the probed Hive
+        partitions are read."""
+        C = self.centroids()
+        make_assign = centroid_assign_udf(queries.sparkSession, C)
+        q = with_norm(
+            queries.select(
+                F.col(self.id_col).alias("qid"),
+                F.col(self.vec_col).alias("qv"),
+            ),
+            "qv", "nq",
+        ).withColumn(
+            "list_id", F.explode(make_assign(nprobe)(F.col("qv")))
+        ).localCheckpoint(eager=True)  # one probe pass; reused twice below
+        make_assign.broadcast.destroy()  # checkpoint holds the assignments
+        probed = [int(r["list_id"]) for r in q.select("list_id").distinct().collect()]
+        lists = self.io.read(self._lists).filter(F.col("list_id").isin(probed))
+        pairs = lists.join(F.broadcast(q), on="list_id").filter(
+            F.col("qid") != F.col("nid")
+        )
+        scored = pairs.select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")),
+                COS_DECIMALS,
+            ).alias("cos_sim"),
+        ).dropDuplicates(["qid", "nid"])
+        return topk_per_key(
+            scored, ["qid"], [F.col("cos_sim").desc(), F.col("nid").asc()], k
+        ).select("qid", "nid", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+    def drop(self) -> None:
+        for t in (self._lists, self._cents):
+            if self.io.exists(t):
+                self.io.drop(t, check_first=True)

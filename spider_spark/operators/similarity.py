@@ -371,18 +371,20 @@ def kmeans_centroids(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 5,
     return C
 
 
-def _ivf_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int,
-                     centroids: np.ndarray, nprobe: int,
-                     id_col: str, vec_col: str) -> DataFrame:
-    """IVF probe with Arrow-batched BLAS assignment: one matmul per chunk
-    (``X @ C.T`` + arg-top-n) instead of O(n_centroids) plan nodes (literal
-    mode) or O(n_centroids) join rows per vector (join mode) — the only
-    assignment formulation that holds at dim × 64k lists. Scoring inside
-    the probed lists stays JVM-side (rounded cosine + two-stage top-k)."""
+def centroid_assign_udf(spark, centroids: np.ndarray):
+    """Arrow-batched BLAS list assignment shared by the inline kmeans probe
+    and the persisted :class:`~spider_spark.operators.ivf_index.IVFIndex`:
+    returns ``make_assign(n_best)`` building a pandas UDF that maps a
+    vector column to its ``n_best`` nearest centroid ids (one ``X @ C.T``
+    matmul per chunk — the only assignment formulation that holds at
+    dim × 64k lists). The centroid matrix rides ONE broadcast reused by
+    every UDF built from the same call; the handle is exposed as
+    ``make_assign.broadcast`` so long-lived callers (the persisted index)
+    can destroy it once their assignment jobs have materialized — the
+    same lifecycle discipline as the bloom shard broadcasts."""
     from pyspark.sql.types import ArrayType, IntegerType
 
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
 
     def make_assign(n_best: int):
         @F.pandas_udf(ArrayType(IntegerType()))
@@ -398,6 +400,20 @@ def _ivf_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int,
             return pd.Series([row.tolist() for row in idx.astype(np.int32)])
 
         return assign
+
+    make_assign.broadcast = bc
+    return make_assign
+
+
+def _ivf_topk_pandas(corpus: DataFrame, queries: DataFrame, k: int,
+                     centroids: np.ndarray, nprobe: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """IVF probe with Arrow-batched BLAS assignment (see
+    :func:`centroid_assign_udf`) instead of O(n_centroids) plan nodes
+    (literal mode) or O(n_centroids) join rows per vector (join mode).
+    Scoring inside the probed lists stays JVM-side (rounded cosine +
+    two-stage top-k)."""
+    make_assign = centroid_assign_udf(corpus.sparkSession, centroids)
 
     c = with_norm(
         corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),

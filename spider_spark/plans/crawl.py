@@ -49,7 +49,7 @@ from pyspark.sql import types as T
 from spider_spark.functions.parse import make_parse_udf
 from spider_spark.functions.urlkit import (
     CanonURL,
-    make_content_ref_udf,
+    content_ref_col,
     make_seed_canon_udf,
 )
 from pyspark.storagelevel import StorageLevel
@@ -501,12 +501,14 @@ class CrawlEngine:
                 )
 
         # ---- results batch (S3 analog; reference saves only successes) ----
-        ref_udf = make_content_ref_udf()
+        # content_ref is pure JVM (sha1-based uuid5, content_ref_col) — the
+        # final_results job that evaluates these lazy projections has no
+        # Python stage at all
         fetched_rows = parsed.select(
             F.col("canon_url").alias("url"),
             F.col("p.title").alias("title"),
             F.col("parent"),
-            ref_udf(F.col("canon_url")).alias("content_ref"),
+            content_ref_col(F.col("canon_url"), F.col("host")).alias("content_ref"),
             F.col("depth"),
             F.lit(r).alias("crawl_round"),
             F.col("admission_rank"),

@@ -152,7 +152,8 @@ class ParquetManifestIO(TableIO):
 
     def _write_version(self, name: str, df: DataFrame, *, bucket_by: str | None,
                        buckets: int, mode: str, meta: dict | None,
-                       base_dirs: list[str] | None = None) -> None:
+                       base_dirs: list[str] | None = None,
+                       partition_by: str | None = None) -> None:
         """Write ``df`` into a fresh data directory and commit a version
         whose data is ``base_dirs + [the new dir]`` (``base_dirs=None`` →
         the new dir alone, i.e. a full snapshot). Directory names carry a
@@ -168,7 +169,14 @@ class ParquetManifestIO(TableIO):
             # :meth:`read_bucketed_keys` (a real bucketed catalog mirror).
             df = df.repartition(buckets, F.xxhash64(F.col(bucket_by)))
         ddir = os.path.join(self._tdir(name), dname)
-        df.write.mode("overwrite").parquet(ddir)
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            # Hive-style partition dirs (<col>=<val>/) inside the version
+            # directory: an equality/IN filter on the partition column
+            # prunes at PLANNING time — the IVF probe's "read nprobe lists
+            # out of 64k" path. Orthogonal to bucket_by (file clustering).
+            w = w.partitionBy(partition_by)
+        w.parquet(ddir)
         entry = {
             "version": next_v,
             "mode": mode,
@@ -177,6 +185,8 @@ class ParquetManifestIO(TableIO):
             "dirs": (base_dirs or []) + [dname],
             "files": self._list_files(ddir),
         }
+        if partition_by is not None:
+            entry["partition_by"] = partition_by
         man["current"] = next_v
         man["history"].append(entry)
         self._commit_manifest(name, man)
@@ -202,10 +212,18 @@ class ParquetManifestIO(TableIO):
         return self._load_manifest(name) is not None
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
-        dirs = self._dirs_of(name, version)
-        return self.spark.read.parquet(
-            *[os.path.join(self._tdir(name), d) for d in dirs]
-        )
+        entry = self._version_entry(name, version)
+        dirs = entry.get("dirs") or [f"v_{entry['version']:06d}"]
+        paths = [os.path.join(self._tdir(name), d) for d in dirs]
+        if entry.get("partition_by") is None:
+            return self.spark.read.parquet(*paths)
+        # partitioned snapshots: discovery needs one root per read (multiple
+        # roots would demand a shared basePath); union per-dir reads so the
+        # partition column — and its planning-time pruning — survive
+        out = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(self.spark.read.parquet(p))
+        return out
 
     def create(self, name: str, df: DataFrame, *, check_first: bool = True) -> None:
         """DDL create (S9). ``check_first`` ≡ IF NOT EXISTS
@@ -218,9 +236,10 @@ class ParquetManifestIO(TableIO):
         self._write_version(name, df, bucket_by=None, buckets=1, mode="create", meta=None)
 
     def commit_overwrite(self, name: str, df: DataFrame, *, bucket_by: str | None = None,
-                         buckets: int = 32, meta: dict | None = None) -> None:
+                         buckets: int = 32, meta: dict | None = None,
+                         partition_by: str | None = None) -> None:
         self._write_version(name, df, bucket_by=bucket_by, buckets=buckets,
-                            mode="overwrite", meta=meta)
+                            mode="overwrite", meta=meta, partition_by=partition_by)
 
     def append(self, name: str, df: DataFrame, *, meta: dict | None = None) -> None:
         """O(delta): writes only ``df`` into a new directory; the committed

@@ -68,6 +68,26 @@ class TestURLKit:
         assert a == content_ref("https://www.google.com/x")
         assert a.startswith("www_google_com_") and a.endswith(".html")
 
+    def test_content_ref_col_matches_python_uuid5(self, spark):
+        # the JVM sha1-surgery form must be bit-identical to
+        # uuid.uuid5(NAMESPACE_URL, url) across variant nibbles
+        from pyspark.sql import functions as F
+
+        from spider_spark.functions.urlkit import content_ref_col
+
+        urls = [
+            f"https://h{i % 19}.example/d/{i}" for i in range(200)
+        ] + ["https://www.google.com/x", "https://a.example/"]
+        df = spark.createDataFrame([(u, url_host(u)) for u in urls],
+                                   "url string, host string")
+        got = {
+            r["url"]: r["ref"]
+            for r in df.select(
+                "url", content_ref_col(F.col("url"), F.col("host")).alias("ref")
+            ).collect()
+        }
+        assert got == {u: content_ref(u) for u in urls}
+
 
 HTML = b"""<html><head><title>
   My  Title

@@ -74,6 +74,34 @@ class TestBucketMode:
         )
         assert n == 0 and got.count() == 0
 
+    def test_bucket_mode_skips_the_sampling_job(self, spark):
+        # the whole point of bucket mode: hash partitioning has no
+        # boundary-sampling pass, so ranking the same input submits
+        # strictly fewer Spark jobs than range mode (which samples the
+        # input once before shuffling it)
+        sc = spark.sparkContext
+
+        def count_jobs(tag, fn):
+            sc.setJobGroup(tag, tag)
+            try:
+                fn()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+        df = _mk(spark).localCheckpoint(eager=True)
+        nb = count_jobs(
+            "rank-bucket",
+            lambda: with_global_rank(df, ORDER, "rk", bucket_expr=self._bucket()),
+        )
+        nr = count_jobs(
+            "rank-range", lambda: with_global_rank(df, ORDER, "rk")
+        )
+        # exact counts depend on AQE's per-shuffle-stage jobs; the claim
+        # under test is relative: range mode pays the boundary-sampling
+        # job(s) on top of whatever bucket mode submits
+        assert nr > nb, f"range mode ({nr} jobs) should exceed bucket ({nb})"
+
     def test_non_monotone_bucket_fails_loudly(self, spark):
         # a bucket NOT monotone in the order key interleaves two buckets
         # inside a sorted partition → the contiguity guard must fire
