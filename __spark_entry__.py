@@ -45,6 +45,12 @@ from spider_spark.operators.dedupe import (
     simhash_near_pairs_sql,
     simhash_sql,
 )
+from spider_spark.operators.graph import (
+    connected_components,
+    connected_components_sql,
+    pagerank,
+    pagerank_sql,
+)
 from spider_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_near_dup_pairs_sql,
@@ -57,6 +63,8 @@ from spider_spark.operators.similarity import (
 )
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
 from spider_spark.sources.pages import (
+    _host_sql,
+    host_expr,
     oracle_pages_sql,
     oracle_results_sql,
     pages_from_documents,
@@ -461,6 +469,70 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         _docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components → dedup clusters: every doc
+    in a near-dup cluster with its canonical (min-id) keeper and the
+    cluster's size — the "keep one per cluster" corpus-dedup building block
+    (corpus analog of the reference's per-URL seen-set, use_cache.py:14)."""
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, on="cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+_SQL_DUP_CLUSTERS = f"""
+WITH comp AS ({connected_components_sql(lsh_candidate_pairs_sql())})
+SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM comp GROUP BY 1) s USING (cluster_id)
+"""
+
+PR_ITERS = 10
+
+
+def _host_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link edges of the arithmetic page graph (pages.py: page i
+    links to (2i+1)%n and (3i+2)%n; dead links leave the host graph)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    i = F.col("doc_id")
+    e1 = docs.select(
+        host_expr(i).alias("src"), host_expr((F.lit(2) * i + 1) % n).alias("dst")
+    )
+    e2 = docs.select(
+        host_expr(i).alias("src"), host_expr((F.lit(3) * i + 2) % n).alias("dst")
+    )
+    return e1.union(e2)
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the host graph — link-authority
+    priority scores for the frontier scheduler (north rule's
+    'crawl-depth/priority scores'; refines politeness.py's (depth,
+    admission) ordering)."""
+    pr = pagerank(_host_edges_df(spark, sf_dir), n_iter=PR_ITERS)
+    return pr.select(F.col("node").alias("host"), "rank_fp")
+
+
+_HOST_EDGES_SQL = f"""
+      SELECT {_host_sql('doc_id')} AS src,
+             {_host_sql('(2*doc_id+1) % nn.n')} AS dst
+      FROM documents, (SELECT count(*)::BIGINT AS n FROM documents) nn
+      UNION ALL
+      SELECT {_host_sql('doc_id')},
+             {_host_sql('(3*doc_id+2) % nn.n')}
+      FROM documents, (SELECT count(*)::BIGINT AS n FROM documents) nn
+"""
+
+_SQL_HOST_PAGERANK = f"""
+WITH pr AS ({pagerank_sql(_HOST_EDGES_SQL, n_iter=PR_ITERS)})
+SELECT node AS host, rank_fp FROM pr
+"""
 
 
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,6 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sigs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
+        "dup_clusters": _q_dup_clusters,          # pairs → components → keep-one
+        # graph analytics
+        "host_pagerank": _q_host_pagerank,        # frontier priority scores
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -1056,6 +1131,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": minhash_signatures_sql(),
         "simhash_fingerprints": simhash_sql(),
         "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
+        "dup_clusters": _SQL_DUP_CLUSTERS,
+        "host_pagerank": _SQL_HOST_PAGERANK,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,

@@ -1,0 +1,226 @@
+"""Distributed graph operators for web-corpus pipelines.
+
+Two operators the crawl/dedupe stack composes with, each paired with a
+DuckDB-SQL mirror so the driver's oracle can verify it value-for-value:
+
+* **connected components** — turns a near-duplicate *pair* list (MinHash-LSH
+  / SimHash output) into duplicate *clusters* with a canonical document per
+  cluster (the reference deduplicates single URLs via its seen-set,
+  use_cache.py:14; clustering pairwise matches into groups is the corpus
+  analog a training-data pipeline needs before it can "keep one per
+  cluster"). Implemented as hash-min label propagation with pointer
+  jumping: per round every node takes the minimum label among itself and
+  its neighbors, then compresses ``label ← label(label)`` — the classic
+  O(log d) two-shuffle-per-round formulation that scales to billions of
+  edges because state is only ``(node, label)`` pairs, never adjacency
+  lists in memory. The oracle is a DuckDB recursive CTE computing the same
+  min-reachable-id fixpoint (exact integers — hash-matchable).
+
+* **PageRank** — link-authority ranking over the host graph extracted from
+  crawled pages (priority scores for the frontier scheduler;
+  operators/politeness.py orders by (depth, admission) — rank is the
+  standard refinement). All arithmetic is **integer fixed-point**
+  (rank mass scaled by 10^12, integer division, a fixed iteration count) so
+  DuckDB replays the identical computation bit-for-bit: floating-point
+  PageRank could never be hash-checked across engines. Per iteration one
+  shuffle (contributions grouped by destination); edges are pre-aggregated
+  to (src, dst, weight) so the join input is O(distinct host pairs), not
+  O(links). Contribution order ``(rank div deg) * w`` keeps every
+  intermediate ≤ total rank mass — no 64-bit overflow at any graph size.
+
+Scale notes: both operators keep per-round state linear in nodes and
+shuffle only on stable integer keys; ``localCheckpoint`` truncates the
+iterative lineage (Spark's plan would otherwise double per round). The
+driver loop's one action per round is inherent to fixpoint iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -- connected components ----------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """``(id, cluster_id)`` for every node appearing in ``pairs``, where
+    ``cluster_id`` is the minimum node id of the connected component.
+
+    Hash-min propagation with pointer jumping: converges in O(log d)
+    rounds (d = component diameter), two shuffles per round, state is one
+    (id, label) row per node. Near-dup components are shallow (dups of a
+    page are dups of each other), so this terminates in a handful of
+    rounds on real corpora; ``max_iter`` is a defensive bound."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among neighbors, one groupBy(dst) shuffle
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(edges["dst"].alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: label <- label(label) (path compression)
+        by_id = stepped.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        jumped = (
+            stepped.join(by_id, stepped["label"] == by_id["jid"], "left")
+            .select(
+                F.col("id"),
+                F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(jumped, on="id")
+            .filter(F.col("old_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_sql(pairs_sql: str, id_a: str = "id_a",
+                             id_b: str = "id_b") -> str:
+    """DuckDB mirror: min reachable id via a recursive transitive-closure
+    CTE (small-scale oracle; the Spark operator is the scale path)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+      UNION
+      SELECT {id_b}, {id_a} FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+# -- integer fixed-point PageRank --------------------------------------------
+
+PR_SCALE = 10**12          # total rank mass in fixed-point units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping factor 0.85 as a rational
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10,
+             scale: int = PR_SCALE) -> DataFrame:
+    """``(node, rank_fp)`` after ``n_iter`` damped power iterations over the
+    multigraph ``edges(src, dst)`` (one row per link; parallel links act as
+    weight). ``rank_fp`` is integer fixed-point: initial mass ``scale //
+    n_nodes`` per node, per-iteration update
+
+        rank'(v) = (15*scale) div (100*n)  +  (85 * Σ_in contrib) div 100
+        contrib(u→v) = (rank(u) div deg(u)) * w(u,v)
+
+    — all integer division, so the DuckDB mirror reproduces it exactly.
+    ``(rank div deg) * w ≤ rank`` keeps everything inside int64 regardless
+    of graph size. One contribution shuffle per iteration over the
+    host-level (pre-aggregated) edge list."""
+    wedges = (
+        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n_nodes)
+    ranks = nodes.withColumn(
+        "rank", F.lit(scale // n_nodes).cast("long")
+    ).localCheckpoint(eager=True)
+    srcs = wedges.join(deg, on="src")
+    for _ in range(n_iter):
+        contrib = (
+            srcs.join(ranks, srcs["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(rank div deg) * w").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("inode")).agg(
+            F.sum("c").alias("inc")
+        )
+        ranks = (
+            nodes.join(incoming, nodes["node"] == incoming["inode"], "left")
+            .select(
+                F.col("node"),
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inc, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wedges.unpersist()
+    nodes.unpersist()
+    return ranks.select(F.col("node"), F.col("rank").alias("rank_fp"))
+
+
+def pagerank_sql(edges_sql: str, n_iter: int = 10,
+                 scale: int = PR_SCALE) -> str:
+    """DuckDB mirror of :func:`pagerank`: the iteration chain is unrolled
+    as CTEs r0..r{n_iter} with the identical integer arithmetic."""
+    steps = []
+    for k in range(n_iter):
+        steps.append(f"""
+    r{k + 1} AS (
+      SELECT n.node,
+             ((({PR_DAMP_DEN - PR_DAMP_NUM}::BIGINT * {scale}) // ({PR_DAMP_DEN} * nn.n))
+              + ({PR_DAMP_NUM} * coalesce(s.inc, 0)) // {PR_DAMP_DEN}
+             )::BIGINT AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT w.dst AS node, sum((r.rank // d.deg) * w.w) AS inc
+        FROM wed w
+        JOIN deg d ON d.src = w.src
+        JOIN r{k} r ON r.node = w.src
+        GROUP BY w.dst
+      ) s ON s.node = n.node
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH edges AS ({edges_sql}),
+    wed AS (SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+    deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS rank
+           FROM nodes CROSS JOIN nn),{chain}
+    SELECT node, rank AS rank_fp FROM r{n_iter}
+    """

@@ -1,0 +1,131 @@
+"""Graph operators: connected components + integer fixed-point PageRank.
+
+Both are verified against independent references that share no code with
+the operators: a pure-Python union-find for components, and a pure-Python
+integer PageRank replaying the exact fixed-point arithmetic. The driver's
+DuckDB oracles (`dup_clusters`, `host_pagerank`) add the cross-engine
+check; these tests pin semantics and convergence behavior."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    connected_components,
+    pagerank,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id of component
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), []).append(x)
+    out = {}
+    for members in comps.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+def _reference_pagerank(edges, n_iter):
+    """Integer fixed-point mirror of operators.graph.pagerank."""
+    from collections import Counter
+
+    wed = Counter(edges)
+    deg = Counter(s for s, _ in edges)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        inc = {v: 0 for v in nodes}
+        for (s, d), w in wed.items():
+            inc[d] += (rank[s] // deg[s]) * w
+        rank = {v: base + (PR_DAMP_NUM * inc[v]) // PR_DAMP_DEN for v in nodes}
+    return rank
+
+
+class TestConnectedComponents:
+    def test_random_graph_matches_union_find(self, spark):
+        rng = random.Random(7)
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(120), 2)))
+                for _ in range(90)
+            }
+        )
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        assert got == _union_find(pairs)
+
+    def test_path_graph_needs_log_rounds(self, spark):
+        # a 64-node path has diameter 63; pointer jumping must close it
+        # well within max_iter=10 (hash-min alone would need ~63 rounds)
+        pairs = [(i, i + 1) for i in range(63)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = connected_components(df, max_iter=10).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+        assert len(got) == 64
+
+    def test_empty_pairs(self, spark):
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(df).count() == 0
+
+    def test_cluster_of_disjoint_pairs(self, spark):
+        pairs = [(10, 4), (7, 2), (9, 9)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        assert got == {10: 4, 4: 4, 7: 2, 2: 2, 9: 9}
+
+
+class TestPagerank:
+    def test_matches_integer_reference(self, spark):
+        edges = [(i % 9, (5 * i + 3) % 9) for i in range(60)] + [(1, 2)] * 7
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank_fp"] for r in pagerank(df, n_iter=8).collect()}
+        assert got == _reference_pagerank(edges, n_iter=8)
+
+    def test_mass_is_conserved_up_to_truncation(self, spark):
+        edges = [(i, (i + 1) % 12) for i in range(12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        total = (
+            pagerank(df, n_iter=10)
+            .agg(F.sum("rank_fp").alias("t"))
+            .collect()[0]["t"]
+        )
+        # integer division only ever truncates downward, a few units per
+        # node per iteration
+        assert PR_SCALE * 0.999 <= total <= PR_SCALE
+
+    def test_uniform_cycle_is_uniform(self, spark):
+        edges = [(i, (i + 1) % 10) for i in range(10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ranks = {r["rank_fp"] for r in pagerank(df, n_iter=6).collect()}
+        assert len(ranks) == 1  # symmetry ⇒ identical fixed-point ranks
+
+    def test_sink_receiving_extra_links_ranks_higher(self, spark):
+        edges = [(i, (i + 1) % 10) for i in range(10)] + [(i, 0) for i in range(1, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank_fp"] for r in pagerank(df, n_iter=10).collect()}
+        assert got[0] == max(got.values())
