@@ -492,6 +492,49 @@ JOIN (SELECT cluster_id, count(*)::BIGINT AS cluster_size
       FROM comp GROUP BY 1) s USING (cluster_id)
 """
 
+def _q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep-one-per-duplicate pipeline: documents minus (a) exact
+    duplicates that aren't their group's min-id keeper and (b) near-dup
+    cluster members that aren't their cluster's canonical doc. The full
+    dedup chain a training-data pipeline runs before tokenization:
+    fingerprint-groupBy + shingle→minhash→band→CC, two bounded-key shuffle
+    families, no all-pairs stage anywhere."""
+    from spider_spark.functions.text import normalized_text
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    exact = exact_duplicates(docs)  # (fingerprint, n_dups, keep_id), groups > 1
+    exact_drop = (
+        fp.join(exact, on="fingerprint")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    comp = connected_components(lsh_candidate_pairs(docs))
+    near_drop = (
+        comp.filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    drops = exact_drop.union(near_drop).distinct()
+    return docs.join(drops, on="doc_id", how="left_anti").select("doc_id", "lang")
+
+
+_SQL_CORPUS_SURVIVORS = f"""
+WITH fp AS (SELECT doc_id, md5({NORM_SQL.format(x='text')}) AS fingerprint
+            FROM documents),
+grp AS (SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS c
+        FROM fp GROUP BY 1),
+exact_drop AS (
+  SELECT f.doc_id FROM fp f JOIN grp g USING (fingerprint)
+  WHERE g.c > 1 AND f.doc_id <> g.keep_id),
+comp AS ({connected_components_sql(lsh_candidate_pairs_sql())}),
+near_drop AS (SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
+drops AS (SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
 PR_ITERS = 10
 
 
@@ -1081,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "dup_clusters": _q_dup_clusters,          # pairs → components → keep-one
+        "corpus_survivors": _q_corpus_survivors,  # composed exact+near dedup
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         # text analysis
@@ -1132,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": simhash_sql(),
         "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,

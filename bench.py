@@ -38,9 +38,10 @@ from spider_spark.operators.dedupe import (  # noqa: E402
     lsh_candidate_pairs,
     simhash,
 )
+from spider_spark.operators.graph import connected_components, pagerank  # noqa: E402
 from spider_spark.operators.similarity import cosine_topk, lsh_near_dup_pairs  # noqa: E402
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine  # noqa: E402
-from spider_spark.sources.pages import synthetic_pages, url_expr  # noqa: E402
+from spider_spark.sources.pages import host_expr, synthetic_pages, url_expr  # noqa: E402
 from spider_spark.functions.text import quality_score, token_count  # noqa: E402
 from spider_spark.session import get_spark  # noqa: E402
 
@@ -218,6 +219,26 @@ def main() -> None:
         )
     )
     queries["token_quality"] = round(time.perf_counter() - t0, 3)
+
+    # CC timed on its own: pair generation is already the minhash_lsh entry
+    pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    force(connected_components(pairs))
+    queries["dup_clusters"] = round(time.perf_counter() - t0, 3)
+
+    n_docs = docs.count()
+    i = F.col("doc_id")
+    host_edges = docs.select(
+        host_expr(i).alias("src"), host_expr((F.lit(2) * i + 1) % n_docs).alias("dst")
+    ).union(
+        docs.select(
+            host_expr(i).alias("src"),
+            host_expr((F.lit(3) * i + 2) % n_docs).alias("dst"),
+        )
+    )
+    t0 = time.perf_counter()
+    force(pagerank(host_edges, n_iter=10))
+    queries["host_pagerank"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     force(cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
