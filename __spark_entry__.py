@@ -51,6 +51,8 @@ from spider_spark.operators.graph import (
     pagerank,
     pagerank_sql,
 )
+from spider_spark.operators.sampling import hash_split, hash_split_sql
+from spider_spark.operators.temporal import asof_join, asof_join_sql
 from spider_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_near_dup_pairs_sql,
@@ -533,6 +535,69 @@ near_drop AS (SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
 drops AS (SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop)
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every error event with the latest click by the same user
+    at or before it (trailing-context attachment — the temporal primitive
+    Spark lacks built-in; operators/temporal.py is the one-shuffle union +
+    window formulation, the oracle is DuckDB's native ASOF JOIN)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        errors, clicks, key="user_id",
+        right_payload=["ts", "event_id", "value"], prefix="click_",
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("click_event_id").alias("click_id"),
+        F.col("click_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("us_since_click"),
+    )
+
+
+_SQL_EVENTS_ASOF = f"""
+WITH j AS ({asof_join_sql(
+    "SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'",
+    "SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'",
+    key="user_id",
+    right_payload=["ts", "event_id", "value"],
+    left_cols=["event_id", "user_id", "ts"],
+    prefix="click_",
+)})
+SELECT event_id, user_id, ts,
+       click_event_id AS click_id,
+       click_value,
+       (epoch_us(ts) - epoch_us(click_ts))::BIGINT AS us_since_click
+FROM j
+"""
+
+SPLITS = {"train": 90, "val": 7, "test": 3}
+
+
+def _q_corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of the corpus by document-id
+    hash percentile (reproducible at any scale — a pure projection, no
+    rand(), no shuffle), summarized per (split, lang)."""
+    docs = hash_split(
+        _docs(spark, sf_dir).withColumn("k", F.col("doc_id").cast("string")),
+        key_col="k", splits=SPLITS,
+    )
+    return docs.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+_SQL_CORPUS_SPLITS = f"""
+SELECT {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split, lang,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2
 """
 
 PR_ITERS = 10
@@ -1150,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _q_lineitem_rollup,    # grouping sets (ROLLUP)
         "event_windows": _q_event_windows,        # tumbling time windows
         "session_windows": _q_session_windows,    # gap-based session windows
+        "events_asof": _q_events_asof,            # as-of (trailing-context) join
+        "corpus_split_counts": _q_corpus_split_counts,  # deterministic splits
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -1202,6 +1269,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": _SQL_LINEITEM_ROLLUP,
         "event_windows": _SQL_EVENT_WINDOWS,
         "session_windows": _SQL_SESSION_WINDOWS,
+        "events_asof": _SQL_EVENTS_ASOF,
+        "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,
         "repetition_stats": repetition_stats_sql(),

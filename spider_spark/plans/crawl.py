@@ -122,6 +122,10 @@ class CrawlConfig:
                                     # accumulated seen set (VERDICT r1 wrong-3)
     max_rounds: int | None = None
     verify_text: bool = True        # enforce byte-identical text invariant
+    rank_bucket_mode: bool = True   # arithmetic rank buckets (no sampling
+                                    # pass); False = repartitionByRange
+                                    # (A/B escape hatch; results identical
+                                    # either way — tests/test_ranking.py)
     vacuum_every: int | None = None  # durable mode: expire superseded
                                     # frontier/seen/results snapshots every K
                                     # rounds (keeps the store O(live data)
@@ -628,9 +632,13 @@ class CrawlEngine:
         # evaluated exactly once) at the cost of balance only under parent
         # skew, which link fan-out spreads in practice.
         n_buckets = 4 * self.spark.sparkContext.defaultParallelism
-        bucket = F.expr(
-            f"depth * {n_buckets}L + "
-            f"((parent_rank * {n_buckets}L) div {max(state.next_rank, 1)}L)"
+        bucket = (
+            F.expr(
+                f"depth * {n_buckets}L + "
+                f"((parent_rank * {n_buckets}L) div {max(state.next_rank, 1)}L)"
+            )
+            if self.config.rank_bucket_mode
+            else None
         )
         ranked, n_new = self._timed(
             "rank",

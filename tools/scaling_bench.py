@@ -86,6 +86,8 @@ def main() -> None:
                 broadcast_threshold=int(
                     os.environ.get("SPARK_GRAFT_BCAST_THRESHOLD", "100000")
                 ),
+                rank_bucket_mode=os.environ.get("SPARK_GRAFT_RANK_BUCKET", "1")
+                != "0",
             ),
         )
         t0 = time.perf_counter()
