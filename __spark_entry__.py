@@ -51,7 +51,21 @@ from spider_spark.operators.graph import (
     pagerank,
     pagerank_sql,
 )
-from spider_spark.operators.sampling import hash_split, hash_split_sql
+from spider_spark.operators.sampling import (
+    hash_split,
+    hash_split_sql,
+    stratified_sample,
+    stratified_sample_sql,
+    token_budget_sample,
+    token_budget_sample_sql,
+)
+from spider_spark.operators.spans import (
+    segment_filter_chunks_sql,
+    segment_frequency_filter,
+    span_dup_stats,
+    span_dup_stats_sql,
+    word_chunks,
+)
 from spider_spark.operators.temporal import asof_join, asof_join_sql
 from spider_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -599,6 +613,69 @@ SELECT {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split, lang,
        count(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1, 2
 """
+
+SPAN_W, SPAN_S = 8, 2           # detects any duplicated span ≥ 9 words
+SEG_CHUNK, SEG_MAX_DF = 2, 20   # 2-word segments; df > 20 ⇒ boilerplate
+
+
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al.): per-document fraction of
+    width-8 word windows (stride 2) whose hash repeats anywhere in the
+    corpus — the score span-cut pipelines threshold on. Keyed aggs only;
+    a boilerplate window skews an agg, never a pair-join."""
+    return span_dup_stats(_docs(spark, sf_dir), width=SPAN_W, stride=SPAN_S)
+
+
+_SQL_DUP_SPANS = span_dup_stats_sql(width=SPAN_W, stride=SPAN_S)
+
+
+def _q_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style segment-level dedup: drop every segment whose
+    document frequency exceeds SEG_MAX_DF corpus-wide, rebuild each doc
+    from the survivors in original order. Segments here are 2-word chunks
+    (the driver corpus has no newlines); real pipelines pass line or
+    sentence splits to the same operator."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "segs", word_chunks("text", SEG_CHUNK)
+    )
+    return segment_frequency_filter(docs, "segs", SEG_MAX_DF)
+
+
+_SQL_SEGMENT_DEDUP = segment_filter_chunks_sql(SEG_CHUNK, SEG_MAX_DF)
+
+STRAT_N = 10
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sample: the STRAT_N docs per language with the
+    smallest (md5_60(doc_id), doc_id) — exact per-group quotas via the
+    salted two-stage top-k (no hot-group single-task sort)."""
+    docs = _docs(spark, sf_dir).withColumn("k", F.col("doc_id").cast("string"))
+    return stratified_sample(docs, "lang", "k", STRAT_N).select("lang", "doc_id")
+
+
+_SQL_STRATIFIED = stratified_sample_sql(
+    "lang", "doc_id::VARCHAR", STRAT_N, "lang, doc_id"
+)
+
+BUDGET_CHARS = 3000
+
+
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-budgeted sampling: fill each source domain with docs in
+    hash order until BUDGET_CHARS of text is reached (the 'N tokens per
+    domain' sampler). Two-stage prefix sum — per-(group, hash-bucket)
+    partials + broadcast offsets — so no task scans a whole group."""
+    docs = _docs(spark, sf_dir).withColumn("k", F.col("doc_id").cast("string"))
+    return token_budget_sample(
+        docs, "source", "k", "n_chars", BUDGET_CHARS
+    ).select("source", "doc_id", "n_chars")
+
+
+_SQL_TOKEN_BUDGET = token_budget_sample_sql(
+    "source", "doc_id::VARCHAR", "n_chars", BUDGET_CHARS,
+    "source, doc_id, n_chars",
+)
 
 PR_ITERS = 10
 
@@ -1217,6 +1294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,    # gap-based session windows
         "events_asof": _q_events_asof,            # as-of (trailing-context) join
         "corpus_split_counts": _q_corpus_split_counts,  # deterministic splits
+        # sub-document dedup + corpus sampling
+        "dup_span_stats": _q_dup_span_stats,      # exact-substring dup signal
+        "segment_dedup_clean": _q_segment_dedup_clean,  # CCNet line-level dedup
+        "stratified_sample": _q_stratified_sample,      # n-per-group quotas
+        "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -1270,6 +1352,10 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _SQL_EVENT_WINDOWS,
         "session_windows": _SQL_SESSION_WINDOWS,
         "events_asof": _SQL_EVENTS_ASOF,
+        "dup_span_stats": _SQL_DUP_SPANS,
+        "segment_dedup_clean": _SQL_SEGMENT_DEDUP,
+        "stratified_sample": _SQL_STRATIFIED,
+        "token_budget_sample": _SQL_TOKEN_BUDGET,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,

@@ -3,16 +3,26 @@
 Training pipelines need *reproducible* subsets: the train/val/test split
 of a 100 TB corpus must be a pure function of each record's key — never
 ``rand()`` (changes across runs/retries/partitions) and never a sort-based
-slice (a global sort of the corpus). The operator hashes the key into
-[0, 100) with the same md5-derived integer hash the dedupe suite shares
-with DuckDB (:func:`spider_spark.operators.dedupe.md5_60`), then maps
-cumulative percentage ranges to split labels — one JVM-side expression,
-no shuffle at all, and the oracle replays it exactly.
+slice (a global sort of the corpus). All three operators here rank or
+bucket rows by the same md5-derived integer hash the dedupe suite shares
+with DuckDB (:func:`spider_spark.operators.dedupe.md5_60`), so every
+subset is a pure function of record keys and the oracle replays it
+exactly:
+
+* :func:`hash_split` — percentage train/val/test labels; one JVM
+  expression, no shuffle at all;
+* :func:`stratified_sample` — exact ``n``-per-group quotas (docs per
+  language, pages per host) via a salted two-stage top-k, so a hot
+  group (half the corpus is ``en``) never sorts on one task;
+* :func:`token_budget_sample` — fill each group up to a weight budget
+  (tokens per source domain) in hash order, computed as a two-stage
+  prefix sum: per-(group, hash-range-bucket) partial sums roll up to
+  tiny per-bucket offsets, so no single task ever scans a whole group.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spider_spark.operators.dedupe import md5_60, md5_60_sql
@@ -59,3 +69,122 @@ def hash_split_sql(key_expr: str, splits: dict[str, int] | None = None) -> str:
         for name, lo, hi in _ranges(splits)
     )
     return f"CASE {arms} END"
+
+
+# ---------------------------------------------------------------------------
+# stratified quota sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(df: DataFrame, group_col: str, key_col: str,
+                      n_per_group: int, salt: int = 8) -> DataFrame:
+    """The ``n_per_group`` rows of each group with the smallest
+    ``(md5_60(key), key)`` — a deterministic uniform quota sample (docs
+    per language, pages per host) that is stable across runs, retries,
+    and partition layouts.
+
+    Two-stage top-k: stage 1 ranks within ``(group, hash mod salt)``
+    partitions and keeps ``n`` per salt shard, so no task ever sorts more
+    than one shard of a hot group; stage 2 ranks the ≤ ``salt × n``
+    survivors per group. The global per-group top-n is always contained
+    in the union of per-shard top-n, so the result is exact — the same
+    salted pattern the politeness scheduler uses for per-host budgets
+    (operators/politeness.py)."""
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be ≥1: {n_per_group}")
+    h = md5_60(F.col(key_col))
+    w1 = Window.partitionBy(group_col, F.pmod(h, F.lit(salt))).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    stage1 = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n_per_group)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        stage1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= n_per_group)
+        .drop("_r2")
+    )
+
+
+def stratified_sample_sql(group_col: str, key_col: str, n_per_group: int,
+                          select_cols: str, table: str = "documents") -> str:
+    """DuckDB mirror: plain per-group ``row_number`` over the shared hash
+    order (the salt is a physical-plan detail — the result set is
+    identical)."""
+    h = md5_60_sql(key_col)
+    return f"""
+    SELECT {select_cols} FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {group_col} ORDER BY {h}, {key_col}
+      ) AS _r FROM {table}
+    ) WHERE _r <= {n_per_group}
+    """
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+def token_budget_sample(df: DataFrame, group_col: str, key_col: str,
+                        weight_col: str, budget: int,
+                        n_buckets: int = 64) -> DataFrame:
+    """Fill each group with rows in ``(md5_60(key), key)`` order until the
+    running ``weight_col`` sum reaches ``budget`` — the "N tokens per
+    source domain" sampler. The row that first crosses the budget is
+    included (every group with data uses its full budget); rows after it
+    are dropped.
+
+    A naive per-group prefix sum sorts the whole group on one task. This
+    runs it in two stages instead: the hash's [0, 2^60) range splits into
+    ``n_buckets`` equal slices (bucket order ≡ hash order, uniform by
+    construction); within-(group, bucket) prefix sums run in parallel,
+    and the per-bucket totals — ``groups × n_buckets`` rows — roll up
+    into broadcast offsets. No task ever scans more than one bucket of
+    one group."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    step = (1 << 60) // n_buckets
+    h = md5_60(F.col(key_col))
+    rows = df.withColumn("_h", h).withColumn(
+        "_b", (F.col("_h") / F.lit(step)).cast("long")
+    )
+    win = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn("_cum_in", F.sum(weight_col).over(win))
+    totals = rows.groupBy(group_col, "_b").agg(F.sum(weight_col).alias("_tot"))
+    off_win = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(off_win), F.lit(0))
+    ).select(group_col, "_b", "_off")
+    return (
+        rows.join(F.broadcast(offsets), on=[group_col, "_b"])
+        .filter(F.col("_off") + F.col("_cum_in") - F.col(weight_col) < budget)
+        .drop("_h", "_b", "_cum_in", "_off")
+    )
+
+
+def token_budget_sample_sql(group_col: str, key_col: str, weight_col: str,
+                            budget: int, select_cols: str,
+                            table: str = "documents") -> str:
+    """DuckDB mirror: one inclusive windowed prefix sum per group over the
+    shared hash order (bucketing is a physical-plan detail)."""
+    h = md5_60_sql(key_col)
+    return f"""
+    SELECT {select_cols} FROM (
+      SELECT *, sum({weight_col}) OVER (
+        PARTITION BY {group_col} ORDER BY {h}, {key_col}
+        ROWS UNBOUNDED PRECEDING
+      ) AS _cum FROM {table}
+    ) WHERE _cum - {weight_col} < {budget}
+    """
