@@ -77,9 +77,12 @@ from spider_spark.operators.similarity import (
     lsh_near_dup_pairs,
     lsh_near_dup_pairs_sql,
 )
+from spider_spark.operators.recrawl import recrawl_due, recrawl_due_sql
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
 from spider_spark.sources.pages import (
+    PAGES_EPOCH,
     _host_sql,
+    _url_sql,
     host_expr,
     oracle_pages_sql,
     oracle_results_sql,
@@ -675,6 +678,28 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_BUDGET = token_budget_sample_sql(
     "source", "doc_id::VARCHAR", "n_chars", BUDGET_CHARS,
     "source, doc_id, n_chars",
+)
+
+RECRAWL_NOW_OFFSET, RECRAWL_TTL, RECRAWL_JITTER = 600, 300, 0.2
+
+
+def _q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl freshness scheduling: URLs of the documents-derived
+    pages whose age at a fixed logical 'now' meets their hash-jittered TTL
+    (thundering-herd-free expiry wave). Scan-local projection + filter —
+    no shuffle; the due set re-enters the crawl after the cuckoo seen
+    filter forgets it (operators/recrawl.py, operators/cuckoo.py)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return recrawl_due(
+        pages, PAGES_EPOCH + RECRAWL_NOW_OFFSET, RECRAWL_TTL,
+        jitter_frac=RECRAWL_JITTER,
+    )
+
+
+_SQL_RECRAWL_DUE = recrawl_due_sql(
+    PAGES_EPOCH + RECRAWL_NOW_OFFSET, RECRAWL_TTL, jitter_frac=RECRAWL_JITTER,
+    url_expr=_url_sql("doc_id"), ts_epoch_expr=f"({PAGES_EPOCH} + doc_id)",
+    table="documents",
 )
 
 PR_ITERS = 10
@@ -1299,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_clean": _q_segment_dedup_clean,  # CCNet line-level dedup
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
+        "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -1356,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_clean": _SQL_SEGMENT_DEDUP,
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
+        "recrawl_due": _SQL_RECRAWL_DUE,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,

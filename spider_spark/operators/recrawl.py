@@ -1,0 +1,77 @@
+"""Recrawl (freshness) scheduling for continuous crawls.
+
+The reference engine crawls once and stops (crawler.py:93-119 expands to
+a depth bound); a production web corpus is *maintained*: every stored
+page has a fetch timestamp, and a scheduler periodically decides which
+URLs are stale enough to refetch. This operator is that decision as one
+JVM-side projection + filter over the pages table:
+
+* ``age = now − warc_ts``;
+* each URL's TTL is jittered deterministically by its key hash —
+  ``ttl · (1 − jitter_frac · h01(url))`` with ``h01`` the shared 60-bit
+  md5 hash scaled into [0, 1) — so pages ingested in the same burst
+  (a whole WARC dump shares one timestamp) do NOT all come due in the
+  same round: the expiry wave spreads over ``jitter_frac`` of a TTL
+  instead of thundering-herding the scheduler and the origin hosts;
+* ``urgency = age / effective_ttl`` (≥ 1 ⇔ due) gives the frontier a
+  priority score compatible with the admission ranking.
+
+No shuffle at all — filter + projection push down to the parquet scan.
+The due set feeds back into the crawl as seeds
+(``CrawlEngine.crawl(due_df, seeds_canonical=True)``) after the seen-set
+forgets them: exact rows leave the seen table, fingerprints leave the
+:mod:`.cuckoo` filter via ``delete_from`` (the bloom filter cannot
+forget — that is why the continuous path uses the cuckoo variant).
+
+Determinism: ``now_epoch`` is an explicit parameter, never wall-clock,
+so a killed scheduler pass replays bit-identically and the DuckDB mirror
+can verify the due set value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.operators.dedupe import md5_60, md5_60_sql
+
+_H_SCALE = float(1 << 60)
+
+
+def recrawl_due(pages: DataFrame, now_epoch: int, ttl_sec: int,
+                jitter_frac: float = 0.1, url_col: str = "url",
+                ts_col: str = "warc_ts") -> DataFrame:
+    """URLs due for refetch at ``now_epoch``: ``(url, age_sec, urgency)``
+    for every page whose age meets its hash-jittered TTL.
+    ``0 ≤ jitter_frac < 1``; 0 disables jitter."""
+    if not (0 <= jitter_frac < 1):
+        raise ValueError(f"jitter_frac must be in [0, 1): {jitter_frac}")
+    if ttl_sec <= 0:
+        raise ValueError(f"ttl_sec must be positive: {ttl_sec}")
+    h01 = md5_60(F.col(url_col)) / F.lit(_H_SCALE)
+    eff_ttl = F.lit(float(ttl_sec)) * (F.lit(1.0) - F.lit(float(jitter_frac)) * h01)
+    age = (F.lit(now_epoch) - F.unix_timestamp(F.col(ts_col))).cast("long")
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            age.alias("age_sec"),
+            (age / eff_ttl).alias("urgency"),
+        )
+        .filter(F.col("urgency") >= 1.0)
+    )
+
+
+def recrawl_due_sql(now_epoch: int, ttl_sec: int, jitter_frac: float = 0.1,
+                    url_expr: str = "url", ts_epoch_expr: str = "epoch(warc_ts)",
+                    table: str = "pages") -> str:
+    """DuckDB mirror of :func:`recrawl_due` (same hash, scale constants,
+    and float evaluation order, so urgency matches bit-for-bit)."""
+    h01 = f"(({md5_60_sql(url_expr)}) / {_H_SCALE!r})"
+    eff = f"({float(ttl_sec)!r} * (1.0 - {float(jitter_frac)!r} * {h01}))"
+    age = f"({now_epoch} - {ts_epoch_expr})::BIGINT"
+    return f"""
+    SELECT url, age_sec, urgency FROM (
+      SELECT {url_expr} AS url, {age} AS age_sec, {age} / {eff} AS urgency
+      FROM {table}
+    ) WHERE urgency >= 1.0
+    """
