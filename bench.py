@@ -38,10 +38,22 @@ from spider_spark.operators.dedupe import (  # noqa: E402
     lsh_candidate_pairs,
     simhash,
 )
+from spider_spark.operators.cuckoo import (  # noqa: E402
+    build_cuckoo,
+    delete_from,
+    filter_unseen_cuckoo,
+)
 from spider_spark.operators.graph import connected_components, pagerank  # noqa: E402
+from spider_spark.operators.recrawl import recrawl_due  # noqa: E402
 from spider_spark.operators.similarity import cosine_topk, lsh_near_dup_pairs  # noqa: E402
+from spider_spark.operators.spans import span_dup_stats  # noqa: E402
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine  # noqa: E402
-from spider_spark.sources.pages import host_expr, synthetic_pages, url_expr  # noqa: E402
+from spider_spark.sources.pages import (  # noqa: E402
+    PAGES_EPOCH,
+    host_expr,
+    synthetic_pages,
+    url_expr,
+)
 from spider_spark.functions.text import quality_score, token_count  # noqa: E402
 from spider_spark.session import get_spark  # noqa: E402
 
@@ -241,6 +253,28 @@ def main() -> None:
     queries["host_pagerank"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    force(span_dup_stats(docs, width=8, stride=2))
+    queries["dup_spans"] = round(time.perf_counter() - t0, 3)
+
+    # continuous-crawl seen-set maintenance at the 1M-URL scale: cuckoo
+    # build over every page url, freshness scan, expiry-wave delete
+    # (~10% of the table), unseen gate re-admission — the operator loop a
+    # maintained corpus runs between crawl waves
+    urls = pages.select("url", "warc_ts")
+    t0 = time.perf_counter()
+    ck = build_cuckoo(urls, "url", expected=n_pages, n_shards=8)
+    due = recrawl_due(
+        pages, PAGES_EPOCH + n_pages, ttl_sec=int(n_pages * 0.95),
+        jitter_frac=0.1,
+    ).localCheckpoint(eager=True)
+    delete_from(ck, due, "url")
+    fresh_seen = urls.join(due, on="url", how="left_anti")
+    force(filter_unseen_cuckoo(urls, "url", fresh_seen, ck))
+    queries["recrawl_loop"] = round(time.perf_counter() - t0, 3)
+    n_due = due.count()
+    ck.destroy_broadcasts()
+
+    t0 = time.perf_counter()
     force(cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
     queries["ann_topk"] = round(time.perf_counter() - t0, 3)
 
@@ -263,6 +297,7 @@ def main() -> None:
                 "polite_pages_per_sec": round(polite_pps, 1),
                 "polite_rounds": len(presult.metrics),
                 "polite_carryover": sum(m.carryover for m in presult.metrics),
+                "recrawl_due_urls": n_due,
                 "n_pages_table": n_pages,
                 "cpus": cpus,
                 "crawl_frontier_all_runs": [round(s, 3) for s in crawl_runs],
