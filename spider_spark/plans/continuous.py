@@ -1,0 +1,137 @@
+"""Continuous crawling: bootstrap once, then periodic freshness waves.
+
+The reference crawls to a depth bound and exits (crawler.py:93-119); a
+maintained web corpus instead loops forever: pages age, a scheduler picks
+the stale slice, the seen-set *forgets* it, and a new crawl wave re-fetches
+it — re-gating every discovered link against the full historical seen set.
+This module composes the engine's parts into that loop:
+
+* :func:`~spider_spark.operators.recrawl.recrawl_due` picks the wave —
+  deterministic hash-jittered TTLs, no thundering herd;
+* the :class:`~spider_spark.operators.cuckoo.ShardedCuckoo` seen filter
+  lives ACROSS waves — stale URLs are *deleted* from it
+  (``delete_from``), which is the whole reason the continuous path uses
+  cuckoo over bloom: a bloom filter would need a full seen-table rebuild
+  every wave (O(corpus) scans at 10^10 URLs), the cuckoo pays O(wave);
+* :meth:`CrawlEngine.crawl` runs the wave with ``prior_seen`` +
+  ``start_rank``, so admission ranks keep counting monotonically across
+  the corpus lifetime (a refetch is a new admission) and the wave's link
+  expansion is gated against everything ever seen minus the expired
+  slice.
+
+Scale shape per wave: one scan-local freshness filter, one cuckoo delete
+keyed by shard, one anti-join to trim the exact seen set, then ordinary
+crawl rounds (which shuffle only deltas). Nothing in the wave loop scans
+the full corpus except the crawl's own fetch-join, which is the
+broadcast-frontier / bucketed-table join the engine already uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_spark.operators.cuckoo import ShardedCuckoo, delete_from
+from spider_spark.operators.recrawl import recrawl_due
+from spider_spark.plans.crawl import (
+    CHECKPOINT_LEVEL,
+    CrawlConfig,
+    CrawlEngine,
+    CrawlResult,
+)
+
+
+@dataclass
+class WaveReport:
+    wave: int
+    due: int            # URLs expired + re-seeded this wave
+    fetched: int
+    new_links: int
+    result: CrawlResult = field(repr=False, default=None)
+
+
+class ContinuousCrawler:
+    """Owns the cross-wave state of a maintained corpus: the exact seen
+    table (checkpointed DataFrame), the deletable cuckoo filter, and the
+    monotone admission-rank counter. ``pages`` is the corpus being
+    maintained (url, warc_ts, html, ...); ``warc_ts`` is each page's last
+    snapshot time and drives freshness."""
+
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 config: CrawlConfig | None = None,
+                 expected_urls: int | None = None, n_shards: int = 1):
+        self.spark = spark
+        self.pages = pages
+        self.config = config or CrawlConfig()
+        self.expected = expected_urls or 1_000_000
+        self.n_shards = n_shards
+        self.seen: DataFrame | None = None   # (canon_url, depth, admission_rank)
+        self.filter = None                   # ShardedCuckoo, built at bootstrap
+        self.next_rank = 0
+        self.waves: list[WaveReport] = []
+
+    def _engine(self) -> CrawlEngine:
+        return CrawlEngine(
+            self.spark, self.pages, self.config, seen_filter=self.filter
+        )
+
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+
+    def bootstrap(self, seeds) -> CrawlResult:
+        """Initial corpus build: a normal crawl whose admissions populate
+        both the exact seen table and the long-lived cuckoo filter."""
+        if self.seen is not None:
+            raise ValueError("already bootstrapped; use wave()")
+        self.filter = ShardedCuckoo(self.expected, n_shards=self.n_shards)
+        engine = self._engine()
+        result = engine.crawl(seeds)
+        self.filter = engine.seen_filter  # may have grown
+        self.seen = self._ckpt(result.seen)
+        self.next_rank = sum(m.admitted for m in result.metrics)
+        self.waves.append(
+            WaveReport(0, due=0, fetched=result.successful_crawls,
+                       new_links=sum(m.new_links for m in result.metrics),
+                       result=result)
+        )
+        return result
+
+    def wave(self, now_epoch: int, ttl_sec: int,
+             jitter_frac: float = 0.1) -> WaveReport:
+        """One freshness wave at logical time ``now_epoch``: expire the due
+        slice from the seen set (exact table + cuckoo fingerprints), then
+        re-crawl it as seeds. Deterministic — same (now, ttl, jitter) on
+        the same corpus replays bit-identically."""
+        if self.seen is None:
+            raise ValueError("bootstrap() first")
+        due = recrawl_due(
+            self.pages, now_epoch, ttl_sec, jitter_frac=jitter_frac
+        ).select(F.col("url").alias("canon_url"))
+        # only URLs we actually hold can be refreshed (recrawl_due scans
+        # the corpus; the seen set may lag it after partial bootstraps)
+        due = self._ckpt(
+            due.join(self.seen.select("canon_url"), on="canon_url", how="left_semi")
+        )
+        n_due = due.count()
+        if n_due:
+            delete_from(self.filter, due, "canon_url", count_items=True)
+            self.seen = self._ckpt(
+                self.seen.join(due, on="canon_url", how="left_anti")
+            )
+        engine = self._engine()
+        result = engine.crawl(
+            due.select(F.col("canon_url").alias("url")),
+            seeds_canonical=True, seeds_unique=True,
+            prior_seen=self.seen, start_rank=self.next_rank,
+        )
+        self.filter = engine.seen_filter
+        self.seen = self._ckpt(result.seen)
+        self.next_rank += sum(m.admitted for m in result.metrics)
+        report = WaveReport(
+            len(self.waves), due=n_due, fetched=result.successful_crawls,
+            new_links=sum(m.new_links for m in result.metrics), result=result,
+        )
+        self.waves.append(report)
+        return report

@@ -60,6 +60,12 @@ from spider_spark.operators.bloom import (
     filter_unseen,
     make_fill_stats_collector,
 )
+from spider_spark.operators.cuckoo import (
+    ShardedCuckoo,
+    add_into,
+    build_cuckoo,
+    filter_unseen_cuckoo,
+)
 
 # serialized checkpoint storage: ~5× smaller than deserialized rows, far
 # less GC pressure, and the extra ser/deser CPU parallelizes with cores
@@ -201,6 +207,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         robots_now=None,            # datetime for TTL evaluation
         robots_ttl_sec: float | None = None,
+        seen_filter: ShardedCuckoo | None = None,
     ):
         self.spark = spark
         self.pages = pages
@@ -208,6 +215,14 @@ class CrawlEngine:
         self.io = io
         self.rules = RobotsRules.from_df(robots, now=robots_now, ttl_sec=robots_ttl_sec)
         self.phase_times: dict[str, float] = {}  # cumulative sec per phase
+        # externally-owned DELETABLE seen filter (continuous-crawl mode):
+        # must already contain exactly prior_seen's keys; the engine adds
+        # this crawl's admissions to it and replaces it on growth (read it
+        # back via self.seen_filter after crawl()). Overrides use_bloom.
+        # Price of deletability: per-round admissions can't fold into the
+        # ranking stats pass (cuckoo tables don't OR-merge), so cuckoo mode
+        # pays one extra keyed job per round vs the bloom fill fold.
+        self.seen_filter = seen_filter
         if self.config.durable and io is None:
             raise ValueError("durable crawl requires a TableIO")
 
@@ -237,9 +252,9 @@ class CrawlEngine:
 
     # -- frontier bootstrap -------------------------------------------------
 
-    def _seed_frontier(self, seeds: list[str]) -> DataFrame:
+    def _seed_frontier(self, seeds: list[str], start_rank: int = 0) -> DataFrame:
         rows = []
-        for rank, raw in enumerate(seeds):
+        for rank, raw in enumerate(seeds, start=start_rank):
             cu = CanonURL.seed(raw)  # scheme default, crawler.py:51-52
             rows.append(
                 (str(cu), cu.host, 0, str(cu), cu.human_repr(), rank, 0)
@@ -248,7 +263,8 @@ class CrawlEngine:
 
     def _seed_frontier_df(self, seeds: DataFrame,
                           assume_canonical: bool = False,
-                          assume_unique: bool = False) -> tuple[DataFrame, int]:
+                          assume_unique: bool = False,
+                          start_rank: int = 0) -> tuple[DataFrame, int]:
         """Distributed seed ingestion (S1 at scale): a DataFrame with a
         ``url`` column; canonicalization runs in an Arrow UDF, admission
         rank is assigned by deterministic url order — the driver never
@@ -288,7 +304,7 @@ class CrawlEngine:
                 .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
             )
         ranked, n = with_global_rank(
-            canon, ["canon_url"], "admission_rank", start=0, with_count=True
+            canon, ["canon_url"], "admission_rank", start=start_rank, with_count=True
         )
         frontier = ranked.select(
             "canon_url",
@@ -305,7 +321,15 @@ class CrawlEngine:
 
     def crawl(self, seeds: str | list[str] | DataFrame,
               seeds_canonical: bool = False,
-              seeds_unique: bool = False) -> CrawlResult:
+              seeds_unique: bool = False,
+              prior_seen: DataFrame | None = None,
+              start_rank: int = 0) -> CrawlResult:
+        """``prior_seen``/``start_rank`` continue an existing corpus
+        (continuous-crawl waves): seeds rank from ``start_rank``, link
+        admissions are gated against ``prior_seen`` ∪ this crawl's
+        admissions, and — when an external ``seen_filter`` cuckoo is set —
+        the filter is trusted to already hold exactly ``prior_seen``'s
+        keys (the engine adds only the new admissions)."""
         if isinstance(seeds, str):
             seeds = [seeds]
         if isinstance(seeds, DataFrame):
@@ -315,14 +339,14 @@ class CrawlEngine:
                 "seed",
                 lambda: self._seed_frontier_df(
                     seeds, assume_canonical=seeds_canonical,
-                    assume_unique=seeds_unique,
+                    assume_unique=seeds_unique, start_rank=start_rank,
                 ),
             )
             seen = frontier.select("canon_url", "depth", "admission_rank")
         else:
             n_seeds = len(seeds)
             frontier = self._timed(
-                "seed", lambda: self._seed_frontier(seeds).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+                "seed", lambda: self._seed_frontier(seeds, start_rank).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
             )
             seen = self._timed(
                 "seed",
@@ -330,18 +354,45 @@ class CrawlEngine:
                     "canon_url", "depth", "admission_rank"
                 ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
             )
-        next_rank = n_seeds
+        if self.seen_filter is not None:
+            # external deletable filter: contains prior_seen already; add
+            # the seeds (a recrawl wave's due URLs re-enter here). Grow
+            # first if the seeds would push past the design load — the
+            # contract is that the filter holds exactly prior_seen's keys,
+            # so prior_seen is the full rebuild source (None ⇒ empty).
+            ck = self.seen_filter
+            if ck.n_items + n_seeds > ck.expected:
+                bigger = 4 * max(ck.n_items + n_seeds, 1)
+                grown = (
+                    build_cuckoo(prior_seen.select("canon_url"), "canon_url",
+                                 expected=bigger, n_shards=ck.n_shards)
+                    if prior_seen is not None
+                    else ShardedCuckoo(bigger, n_shards=ck.n_shards)
+                )
+                grown.n_items = ck.n_items
+                ck.destroy_broadcasts()
+                self.seen_filter = grown
+            add_into(self.seen_filter, seen.select("canon_url"), "canon_url",
+                     count_items=False)
+            self.seen_filter.n_items += n_seeds
+        if prior_seen is not None:
+            seen = prior_seen.select(
+                "canon_url", "depth", "admission_rank"
+            ).unionByName(seen)
+        next_rank = start_rank + n_seeds
         results_parts: list[DataFrame] = []
         metrics: list[RoundMetrics] = []
         bloom = (
             ShardedBloom(self.config.bloom_capacity, self.config.bloom_fpp,
                          self.config.bloom_shards)
-            if self.config.use_bloom
+            if self.config.use_bloom and self.seen_filter is None
             else None
         )
         if bloom is not None:
             build_into(bloom, seen, "canon_url", count_items=False)
-            bloom.n_items += n_seeds
+            bloom.n_items += n_seeds + (
+                prior_seen.count() if prior_seen is not None else 0
+            )
         if self.config.durable:
             # bootstrap commit: the mirror (and resume) read seen membership
             # from the manifest, so the seeds must be committed before the
@@ -350,6 +401,9 @@ class CrawlEngine:
                                      meta={"round": -1})
 
         r = 0
+        # round-0 admissions metric counts THIS crawl's seeds (ranks may
+        # start past zero when continuing a corpus via start_rank)
+        self._seed_count = n_seeds
         state = _RoundState(frontier, seen, next_rank, r, frontier_count=n_seeds)
         try:
             while True:
@@ -591,6 +645,16 @@ class CrawlEngine:
             # syncs O(delta) from the manifest (committed through round r-1
             # = exactly the membership this round must gate against).
             seen_side = self._seen_keys() if cfg.durable else state.seen
+            ckpt = lambda df: df.localCheckpoint(  # noqa: E731
+                eager=True, storageLevel=CHECKPOINT_LEVEL
+            )
+            if self.seen_filter is not None:
+                # continuous mode: the deletable cuckoo prefilters; same
+                # one-materialization / fold-into-ranking shape as bloom
+                return filter_unseen_cuckoo(
+                    candidates, "canon_url", seen_side, self.seen_filter,
+                    materialize=ckpt, materialize_confirmed=False,
+                )
             if bloom is None:
                 # no prefilter: one anti-join over the full candidate set,
                 # folded into the ranking job
@@ -600,9 +664,6 @@ class CrawlEngine:
             # JVM filters over that checkpoint; the suspects' confirming
             # anti-join folds into the ranking job (materialize_confirmed
             # off — bucket mode reads the union exactly once).
-            ckpt = lambda df: df.localCheckpoint(  # noqa: E731
-                eager=True, storageLevel=CHECKPOINT_LEVEL
-            )
             return filter_unseen(
                 candidates, "canon_url", seen_side, bloom, materialize=ckpt,
                 materialize_confirmed=False,
@@ -615,6 +676,8 @@ class CrawlEngine:
             # this round's broadcasts are dead weight now — destroy them
             # before they accumulate across rounds
             bloom.destroy_broadcasts()
+        if self.seen_filter is not None and cfg.use_cache:
+            self.seen_filter.destroy_broadcasts()
         # ONE driver job closes the round's bookkeeping: the ranking stats
         # pass doubles as the n_new count AND (when a bloom is live) the
         # bloom-shard fill — mapInPandas over the ranking checkpoint, no
@@ -679,6 +742,30 @@ class CrawlEngine:
                     return self._grow_bloom(bloom, seen) if bloom.saturated else bloom
 
                 bloom = self._timed("bloom", _add)
+            if self.seen_filter is not None and cfg.use_cache:
+                # cuckoo tables don't OR-merge, so the round's admissions
+                # are a keyed add job of their own (deletability's price).
+                # Growth must happen BEFORE the add — a batch past the 95%
+                # design load can physically overflow buckets — and the
+                # rebuild source (seen) already includes this round's
+                # admissions, so the grown filter needs no separate add.
+                def _ck_add():
+                    ck = self.seen_filter
+                    if ck.n_items + n_new > ck.expected:
+                        grown = build_cuckoo(
+                            seen.select("canon_url"), "canon_url",
+                            expected=4 * max(ck.n_items + n_new, 1),
+                            n_shards=ck.n_shards,
+                        )
+                        grown.n_items = ck.n_items + n_new
+                        ck.destroy_broadcasts()
+                        self.seen_filter = grown
+                    else:
+                        add_into(ck, ranked.select("canon_url"), "canon_url",
+                                 count_items=False)
+                        ck.n_items += n_new
+
+                self._timed("bloom", _ck_add)
             if no_politeness:
                 frontier = admitted  # carryover statically empty
             else:
@@ -707,7 +794,8 @@ class CrawlEngine:
         # Round 0 additionally accounts for the seeds admitted at bootstrap.
         m = RoundMetrics(
             round=r,
-            admitted=(state.next_rank if r == 0 else 0) + n_new,
+            admitted=(getattr(self, "_seed_count", state.next_rank) if r == 0 else 0)
+            + n_new,
             fetched=n_fetched,
             new_links=n_new,
             carryover=n_carry,
@@ -793,7 +881,18 @@ class CrawlEngine:
         # marker are gone with the rollback) — nothing to rebuild here, and
         # a non-durable config never writes one (ADVICE r2)
         bloom = None
-        if self.config.use_bloom:
+        if self.seen_filter is not None:
+            # the in-memory cuckoo died with the killed driver — rebuild it
+            # from the rolled-back seen table at the same shard layout
+            old = self.seen_filter
+            rebuilt = build_cuckoo(
+                seen.select("canon_url"), "canon_url",
+                expected=max(old.expected, 2 * meta["next_rank"]),
+                n_shards=old.n_shards,
+            )
+            rebuilt.n_items = meta["next_rank"]
+            self.seen_filter = rebuilt
+        elif self.config.use_bloom:
             # size from the resumed crawl's exact seen count (next_rank IS
             # the number of URLs ever admitted), not the config hint
             bloom = ShardedBloom(
