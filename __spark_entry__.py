@@ -78,6 +78,7 @@ from spider_spark.operators.similarity import (
     lsh_near_dup_pairs_sql,
 )
 from spider_spark.operators.recrawl import recrawl_due, recrawl_due_sql
+from spider_spark.operators.search import bm25_topk, bm25_topk_sql
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
 from spider_spark.sources.pages import (
     PAGES_EPOCH,
@@ -702,6 +703,20 @@ _SQL_RECRAWL_DUE = recrawl_due_sql(
     table="documents",
 )
 
+BM25_QUERY = ["spark", "join", "window", "vector"]
+BM25_K = 15
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical BM25 top-k over the corpus (k1=1.2, b=0.75) — the keyword
+    half of a hybrid retrieval stack (ANN queries are the other half).
+    One explode + term/doc-keyed aggs + TakeOrderedAndProject top-k; the
+    idf table is O(|query|) and broadcast."""
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=BM25_K)
+
+
+_SQL_BM25 = bm25_topk_sql(BM25_QUERY, k=BM25_K)
+
 PR_ITERS = 10
 
 
@@ -1325,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
+        "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -1383,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "recrawl_due": _SQL_RECRAWL_DUE,
+        "bm25_search": _SQL_BM25,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,

@@ -61,7 +61,10 @@ def _open(args):
     return spark, io
 
 
-RESULTS_TABLE = "results"
+# the reference's one persistent relation is the `url` table (SURVEY §1.1);
+# it must NOT collide with the durable engine's internal per-round log,
+# which is also called "results" in the same store root
+RESULTS_TABLE = "url"
 
 
 # -- subcommand handlers -----------------------------------------------------
@@ -122,6 +125,70 @@ def cmd_crawl(args) -> int:
     # end-of-run counters (crawler.py:87-90)
     logger.log(CRAWL_SUCCESS, "crawled: %d", result.successful_crawls)
     logger.log(CRAWL_INFO, "total calls: %d", result.total_calls)
+    if args.log_time:
+        logger.log(CRAWL_INFO, "elapsed: %.2fs", time.perf_counter() - t0)
+    return 0
+
+
+def cmd_recrawl(args) -> int:
+    """Freshness wave over a DURABLE store: expire the stale slice of the
+    committed seen set and refetch it, continuing admission ranks from the
+    store's counter. Each CLI wave is its own process, so the seen
+    prefilter is rebuilt from the committed seen table (the long-running
+    in-driver loop that keeps a deletable cuckoo across waves is
+    plans/continuous.py — this command is its durable, process-per-wave
+    analog)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.recrawl import recrawl_due
+    from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    spark, io = _open(args)
+    if args.pages.startswith("synthetic:"):
+        from spider_spark.sources.pages import synthetic_pages
+
+        pages = synthetic_pages(spark, int(args.pages.split(":", 1)[1]))
+        pages = pages.localCheckpoint(eager=True)
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        logger.warning("no pages table configured (--pages or config [STORE].pages)")
+        return 2
+    meta = io.latest_meta("metrics")
+    if not meta:
+        logger.warning("nothing to recrawl: run `crawl --durable` first")
+        return 1
+    seen = io.read("seen")
+    due = recrawl_due(
+        pages, args.now, args.ttl, jitter_frac=args.jitter
+    ).select(F.col("url").alias("canon_url"))
+    due = due.join(
+        seen.select("canon_url"), on="canon_url", how="left_semi"
+    ).localCheckpoint(eager=True)
+    n_due = due.count()
+    logger.log(CRAWL_INFO, "due for refetch: %d", n_due)
+    trimmed = seen.join(due, on="canon_url", how="left_anti").localCheckpoint(
+        eager=True
+    )
+    cfg = CrawlConfig(
+        depth=args.depth,
+        budget=args.concur if args.concur and args.concur > 0 else None,
+        verify_text=False,
+        durable=True,
+    )
+    engine = CrawlEngine(spark, pages, cfg, io=io)
+    t0 = time.perf_counter()
+    result = engine.crawl(
+        due.select(F.col("canon_url").alias("url")),
+        seeds_canonical=True, seeds_unique=True,
+        prior_seen=trimmed, start_rank=meta["next_rank"],
+    )
+    batch = result.results.filter(F.col("fetched")).select(
+        "url", "title", "parent", "content_ref", "depth", "crawl_round",
+        "admission_rank",
+    )
+    io.merge_upsert(RESULTS_TABLE, batch, key="url", overwrite=True)
+    logger.log(CRAWL_SUCCESS, "refetched: %d", result.successful_crawls)
     if args.log_time:
         logger.log(CRAWL_INFO, "elapsed: %.2fs", time.perf_counter() - t0)
     return 0
@@ -228,6 +295,24 @@ def build_parser(config: ConfigController) -> argparse.ArgumentParser:
                    help="durable mode: expire superseded round snapshots "
                         "every K rounds (0 = never; keeps the store O(live))")
     s.set_defaults(func=cmd_crawl)
+
+    r = sub.add_parser("recrawl", help="Refetch the stale slice of a "
+                                       "durable crawl's corpus.")
+    r.add_argument("--now", type=int, required=True,
+                   help="logical 'now' as a unix epoch (explicit for "
+                        "deterministic, replayable waves)")
+    r.add_argument("--ttl", type=int, required=True,
+                   help="freshness TTL in seconds")
+    r.add_argument("--jitter", type=float, default=0.1,
+                   help="TTL jitter fraction in [0,1) — spreads the expiry "
+                        "wave so burst-ingested pages don't refetch at once")
+    r.add_argument("--depth", type=int, default=1,
+                   help="expansion depth for refetched pages (default=1)")
+    r.add_argument("--concur", type=int, default=cfg.concurrency_limit,
+                   help="per-host politeness budget per round (0 = unlimited)")
+    r.add_argument("--no-logtime", dest="log_time", action="store_false")
+    r.add_argument("--silent", action="store_true", default=False)
+    r.set_defaults(func=cmd_recrawl)
 
     d = sub.add_parser("cobweb", help="Store operations.")
     d.add_argument("action", choices=["create", "drop", "count"])

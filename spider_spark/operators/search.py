@@ -1,0 +1,127 @@
+"""Lexical (BM25) keyword search over the document corpus.
+
+The reference stores crawled pages and queries them by parent URL
+(postgres_database.py:144-160); a corpus engine's natural next query
+surface is *content* search. This operator scores documents against a
+term query with BM25 (Robertson-Spärck Jones, the TREC standard) as a
+pure DataFrame plan, complementing the embedding-based ANN family in
+:mod:`.similarity` with the lexical half of a hybrid retrieval stack.
+
+Plan shape (all JVM Column expressions, shuffles keyed by term or doc):
+
+1. one explode over the corpus → distinct-per-doc term frequencies
+   (``groupBy(doc, term)`` — map-side combinable);
+2. doc lengths ride the same pass (``groupBy(doc)``);
+3. the query's document frequencies come from the tf rows FILTERED to
+   the query terms first — the df agg and the idf table are O(|query|),
+   broadcast back;
+4. per-(doc, matched term) partial scores → one doc-keyed sum → global
+   top-k via ``orderBy().limit(k)`` (Spark's TakeOrderedAndProject —
+   per-partition heaps + driver merge of k rows, never a global sort).
+
+Corpus-wide scalars (N, avgdl) are a two-value driver collect — scan
+metadata, not data. Hot terms (stopwords in the query) cost one skewed
+agg, never a pair join; BM25's idf makes them near-zero-weight anyway.
+
+Determinism across engines: scores are doubles; the final score is
+rounded to 6 decimals and ties break on doc_id, so the top-k row set and
+the oracle's agree bit-for-bit (sub-ulp libm differences vanish at 6
+decimals; ranking never depends on raw float order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.functions.text import normalized_text
+from spider_spark.operators.dedupe import NORM_SQL
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` by BM25 (k1=1.2, b=0.75):
+    ``(id, n_matched, score)``, score rounded to 6 decimals, ties broken
+    by ascending id."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = scalars["n_docs"], scalars["avgdl"]
+    qt = [t.lower() for t in query_terms]
+    qtf = tf.filter(F.col("term").isin(qt))
+    dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    scored = (
+        qtf.join(F.broadcast(idf), on="term")
+        .join(dl, on=id_col)
+        .select(
+            id_col,
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("part"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"), F.round(F.sum("part"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_topk_sql(query_terms: list[str], k: int = 10, id_col: str = "doc_id",
+                  text_col: str = "text", table: str = "documents") -> str:
+    """DuckDB mirror of :func:`bm25_topk` — same constants, same expression
+    order, same 6-decimal rounding and (score desc, id asc) tie-break."""
+    norm = NORM_SQL.format(x=text_col)
+    qlist = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    return f"""
+    WITH terms AS (
+      SELECT {id_col}, unnest(string_split({norm}, ' ')) AS term FROM {table}
+    ),
+    tf AS (SELECT {id_col}, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dl AS (SELECT {id_col}, count(*) AS dl FROM terms GROUP BY 1),
+    scalars AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ({qlist})),
+    idf AS (
+      SELECT term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT term, count(*) AS df FROM qtf GROUP BY 1), scalars
+    ),
+    scored AS (
+      SELECT qtf.{id_col},
+             count(*) AS n_matched,
+             round(sum(
+               idf * (tf * {K1 + 1.0!r})
+               / (tf + {K1!r} * ({1.0 - B!r} + {B!r} * dl / avgdl))
+             ), 6) AS score
+      FROM qtf
+      JOIN idf USING (term)
+      JOIN dl USING ({id_col})
+      CROSS JOIN scalars
+      GROUP BY qtf.{id_col}
+    )
+    SELECT {id_col}, n_matched::BIGINT AS n_matched, score
+    FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {k}
+    """

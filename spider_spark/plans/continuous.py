@@ -116,7 +116,8 @@ class ContinuousCrawler:
         )
         n_due = due.count()
         if n_due:
-            delete_from(self.filter, due, "canon_url", count_items=True)
+            delete_from(self.filter, due, "canon_url", count_items=False)
+            self.filter.n_items -= n_due
             self.seen = self._ckpt(
                 self.seen.join(due, on="canon_url", how="left_anti")
             )

@@ -100,9 +100,46 @@ class TestCrawlCatch:
 
         assert run("--pages", "synthetic:50", "crawl", "h1.example/d/1") == 0
         io = ParquetManifestIO(spark, store)
-        before = {r["url"]: r["content_ref"] for r in io.read("results").collect()}
+        before = {r["url"]: r["content_ref"] for r in io.read(cli.RESULTS_TABLE).collect()}
         assert run(
             "--pages", "synthetic:50", "crawl", "h1.example/d/1", "--no-overwrite"
         ) == 0
-        after = {r["url"]: r["content_ref"] for r in io.read("results").collect()}
+        after = {r["url"]: r["content_ref"] for r in io.read(cli.RESULTS_TABLE).collect()}
         assert before == after
+
+
+class TestRecrawlCommand:
+    def test_durable_wave_refetches_and_continues_ranks(self, run, store, spark, caplog):
+        from pyspark.sql import functions as F
+
+        from spider_spark.sources.pages import PAGES_EPOCH
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        with caplog.at_level(cli.DB_INFO, logger="spider_spark"):
+            assert run("--pages", "synthetic:60", "crawl",
+                       "https://h0.example/d/0", "--depth", "3",
+                       "--durable") == 0
+        io = ParquetManifestIO(spark, store)
+        rank_before = io.latest_meta("metrics")["next_rank"]
+        n_seen = io.read("seen").count()
+        caplog.clear()
+        with caplog.at_level(cli.DB_INFO, logger="spider_spark"):
+            assert run("--pages", "synthetic:60", "recrawl",
+                       "--now", str(PAGES_EPOCH + 100), "--ttl", "60",
+                       "--jitter", "0.2", "--depth", "0") == 0
+        assert any("due for refetch" in m for m in caplog.messages)
+        # the wave replaced rows, never grew the corpus
+        assert io.read("seen").count() == n_seen
+        assert io.latest_meta("metrics")["next_rank"] > rank_before
+        refreshed = io.read("seen").filter(
+            F.col("admission_rank") >= rank_before
+        ).count()
+        assert refreshed == io.latest_meta("metrics")["next_rank"] - rank_before
+
+    def test_recrawl_without_store_fails_cleanly(self, run, caplog):
+        from spider_spark.sources.pages import PAGES_EPOCH
+
+        with caplog.at_level(logging.WARNING, logger="spider_spark"):
+            assert run("--pages", "synthetic:10", "recrawl",
+                       "--now", str(PAGES_EPOCH), "--ttl", "60") == 1
+        assert any("nothing to recrawl" in m for m in caplog.messages)
