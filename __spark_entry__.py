@@ -78,7 +78,7 @@ from spider_spark.operators.similarity import (
     lsh_near_dup_pairs_sql,
 )
 from spider_spark.operators.recrawl import recrawl_due, recrawl_due_sql
-from spider_spark.operators.search import bm25_topk, bm25_topk_sql
+from spider_spark.operators.search import bm25_topk, bm25_topk_sql, hybrid_topk, hybrid_topk_sql
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
 from spider_spark.sources.pages import (
     PAGES_EPOCH,
@@ -717,6 +717,22 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BM25 = bm25_topk_sql(BM25_QUERY, k=BM25_K)
 
+HYBRID_QVEC = 3
+
+
+def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-50
+    and the cosine semantic top-50 (vec_id ≡ doc_id linkage). Fusion is a
+    full-outer join of two k-row frames — driver-scale."""
+    return hybrid_topk(
+        _docs(spark, sf_dir), _embeddings(spark, sf_dir),
+        BM25_QUERY, HYBRID_QVEC, k_each=50, k=10,
+    )
+
+
+_SQL_HYBRID = hybrid_topk_sql(BM25_QUERY, HYBRID_QVEC, k_each=50, k=10,
+                              dim=EMBED_DIM)
+
 PR_ITERS = 10
 
 
@@ -1341,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
+        "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -1400,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "recrawl_due": _SQL_RECRAWL_DUE,
         "bm25_search": _SQL_BM25,
+        "hybrid_search": _SQL_HYBRID,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,

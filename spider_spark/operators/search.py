@@ -125,3 +125,89 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10, id_col: str = "doc_id",
     SELECT {id_col}, n_matched::BIGINT AS n_matched, score
     FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of lexical + semantic top-k
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR'09)
+
+
+def hybrid_topk(docs: DataFrame, embeddings: DataFrame,
+                query_terms: list[str], query_vec_id: int,
+                k_each: int = 50, k: int = 10,
+                id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 lexical top-``k_each`` and the
+    cosine semantic top-``k_each`` (query = the embedding row whose
+    ``vec_id == query_vec_id``; ``vec_id ≡ doc_id`` is the corpus
+    linkage): ``rrf = Σ 1/(60 + rank_i)`` over the lists a doc appears
+    in. Output ``(id, rrf, lex_rank, sem_rank)``, ties broken by id.
+
+    Cost: both halves are the already-k-bounded operators; fusion is a
+    full-outer join of two k-row frames — driver-scale, not data-scale."""
+    from pyspark.sql import Window
+
+    from spider_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=k_each, id_col=id_col)
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        ).cast("long"),
+    ).select(id_col, "lex_rank")
+    sem = cosine_topk(
+        embeddings, embeddings.filter(F.col("vec_id") == query_vec_id), k=k_each
+    ).select(F.col("nid").alias(id_col), F.col("rank").alias("sem_rank"))
+    fused = (
+        lex.join(sem, on=id_col, how="full_outer")
+        .select(
+            id_col,
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("lex_rank")),
+                           F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("sem_rank")),
+                             F.lit(0.0))
+            ).alias("rrf"),
+            F.coalesce("lex_rank", F.lit(-1)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(-1)).alias("sem_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hybrid_topk_sql(query_terms: list[str], query_vec_id: int,
+                    k_each: int = 50, k: int = 10, dim: int = 64,
+                    id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`hybrid_topk` — composes the two halves'
+    mirrors and fuses with the same constants and tie-breaks. Requires
+    ``query_vec_id + 1`` as the cosine mirror's n_queries bound with a
+    single-id equality filter."""
+    from spider_spark.operators.similarity import cosine_topk_sql
+
+    bm25 = bm25_topk_sql(query_terms, k=k_each, id_col=id_col)
+    cos = cosine_topk_sql(k=k_each, n_queries=query_vec_id + 1, dim=dim)
+    return f"""
+    WITH lex0 AS ({bm25}),
+    lex AS (
+      SELECT {id_col},
+             row_number() OVER (ORDER BY score DESC, {id_col}) AS lex_rank
+      FROM lex0
+    ),
+    sem AS (
+      SELECT nid AS {id_col}, rank AS sem_rank FROM ({cos})
+      WHERE qid = {query_vec_id}
+    ),
+    fused AS (
+      SELECT coalesce(lex.{id_col}, sem.{id_col}) AS {id_col},
+             coalesce(1.0 / ({float(RRF_K)!r} + lex_rank), 0.0)
+               + coalesce(1.0 / ({float(RRF_K)!r} + sem_rank), 0.0) AS rrf,
+             coalesce(lex_rank, -1) AS lex_rank,
+             coalesce(sem_rank, -1) AS sem_rank
+      FROM lex FULL OUTER JOIN sem USING ({id_col})
+    )
+    SELECT {id_col}, rrf, lex_rank::BIGINT AS lex_rank,
+           sem_rank::BIGINT AS sem_rank
+    FROM fused ORDER BY rrf DESC, {id_col} LIMIT {k}
+    """

@@ -59,3 +59,50 @@ class TestBM25:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "TakeOrderedAndProject" in plan, "top-k must be heap-based, not a sort"
+
+
+class TestHybridRRF:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        words = ["spark", "join", "vector", "table", "scan", "agg", "row"]
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choice(words, size=12))) for i in range(40)],
+            "doc_id long, text string",
+        ).cache()
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        ).cache()
+        return docs, emb
+
+    def test_matches_duckdb_mirror(self, spark, corpus):
+        from spider_spark.operators.search import hybrid_topk, hybrid_topk_sql
+
+        docs, emb = corpus
+        got = [tuple(r) for r in hybrid_topk(docs, emb, ["spark", "vector"], 3,
+                                             k_each=15, k=8).collect()]
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        con.register("embeddings", emb.toPandas())
+        sql = hybrid_topk_sql(["spark", "vector"], 3, k_each=15, k=8, dim=8)
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert [(d, round(s, 9), a, b) for d, s, a, b in got] == [
+            (d, round(s, 9), a, b) for d, s, a, b in want
+        ]
+
+    def test_doc_in_both_lists_outranks_single_list(self, spark, corpus):
+        from spider_spark.operators.search import hybrid_topk
+
+        docs, emb = corpus
+        rows = hybrid_topk(docs, emb, ["spark", "vector"], 3,
+                           k_each=15, k=40).collect()
+        both = [r for r in rows if r["lex_rank"] > 0 and r["sem_rank"] > 0]
+        only = [r for r in rows if (r["lex_rank"] > 0) != (r["sem_rank"] > 0)]
+        if both and only:
+            # a doc near the top of BOTH lists must beat the best
+            # bottom-of-one-list doc (the point of fusion)
+            best_both = max(r["rrf"] for r in both)
+            assert best_both > min(r["rrf"] for r in only)
