@@ -232,9 +232,11 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
     def run(batches):
         local: dict[int, CuckooTable] = {}
         failed = 0
+        n_keys = 0
         for pdf in batches:
             if not len(pdf):
                 continue
+            n_keys += len(pdf)
             hv = pdf["__h"].to_numpy(dtype=np.int64).view(np.uint64)
             shv = pdf["__shard"].to_numpy(dtype=np.int32)
             for s in np.unique(shv):
@@ -259,10 +261,13 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
                     "shard": list(local),
                     "slots": [t.slots.tobytes() for t in local.values()],
                     "failed": [failed] + [0] * (len(local) - 1),
+                    "n_keys": [n_keys] + [0] * (len(local) - 1),
                 }
             )
 
-    rows = hashed.mapInPandas(run, schema="shard int, slots binary, failed long").collect()
+    rows = hashed.mapInPandas(
+        run, schema="shard int, slots binary, failed long, n_keys long"
+    ).collect()
     failures = 0
     for r in rows:
         cuckoo.shards[r["shard"]] = CuckooTable(
@@ -277,24 +282,26 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
             f"cuckoo filter overflow: {failures} keys unplaceable — rebuild "
             "bigger (saturated should have triggered growth first)"
         )
-    return len(rows)
+    return sum(r["n_keys"] for r in rows)
 
 
 def build_cuckoo(df: DataFrame, col: str, expected: int | None = None,
                  n_shards: int = 1) -> ShardedCuckoo:
+    """``expected`` is a CAPACITY hint only; ``n_items`` is always set from
+    the actual key count observed by the build pass, so the ``saturated``
+    growth signal stays truthful when a caller over-provisions."""
     if expected is None:
         expected = df.count()
     ck = ShardedCuckoo(expected, n_shards)
-    add_into(ck, df, col, count_items=False)
-    ck.n_items = expected
+    ck.n_items = _apply_sharded(ck, df, col, "add")
     return ck
 
 
 def add_into(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
              count_items: bool = True) -> ShardedCuckoo:
+    n = _apply_sharded(cuckoo, df, col, "add")
     if count_items:
-        cuckoo.n_items += df.count()
-    _apply_sharded(cuckoo, df, col, "add")
+        cuckoo.n_items += n
     return cuckoo
 
 
@@ -303,9 +310,9 @@ def delete_from(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
     """Expire keys: their fingerprints leave the filter, so the unseen
     gate re-admits them (the recrawl path). Collision caveat in the
     module docstring — a collided survivor is re-fetched, never lost."""
+    n = _apply_sharded(cuckoo, df, col, "delete")
     if count_items:
-        cuckoo.n_items -= df.count()
-    _apply_sharded(cuckoo, df, col, "delete")
+        cuckoo.n_items -= n
     return cuckoo
 
 

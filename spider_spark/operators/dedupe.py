@@ -355,9 +355,10 @@ def minhash_signatures_sql(n: int = 3, table: str = "documents",
 
 
 def simhash_near_pairs_sql(max_hamming: int = 3, table: str = "documents",
-                           id_col: str = "doc_id", text_col: str = "text") -> str:
+                           id_col: str = "doc_id", text_col: str = "text",
+                           max_bucket: int = 200) -> str:
     """DuckDB mirror of :func:`simhash_near_pairs`: same 15-bit bands, same
-    exact hamming confirmation via ``bit_count(xor)``."""
+    hot-bucket cap, same exact hamming confirmation via ``bit_count(xor)``."""
     base = simhash_sql(table=table, id_col=id_col, text_col=text_col)
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT {id_col}, simhash, {b} AS band, "
@@ -366,8 +367,13 @@ def simhash_near_pairs_sql(max_hamming: int = 3, table: str = "documents",
     )
     return f"""
     WITH sh AS ({base}),
-    bands AS (
+    bands_all AS (
       {band_selects}
+    ),
+    bands AS (
+      SELECT * FROM bands_all WHERE (band, bucket) NOT IN (
+        SELECT (band, bucket) FROM bands_all GROUP BY band, bucket
+        HAVING count(*) > {max_bucket})
     )
     SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
            bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
@@ -378,10 +384,18 @@ def simhash_near_pairs_sql(max_hamming: int = 3, table: str = "documents",
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_bucket: int = 200) -> DataFrame:
     """Near-dup pairs by SimHash: 15-bit band buckets (any pair within
     hamming ≤ 3 of a 60-bit hash must agree on at least one of 4 bands),
-    confirmed with an exact ``bit_count(xor)`` check."""
+    confirmed with an exact ``bit_count(xor)`` check.
+
+    ``max_bucket`` is the same skew guard the jaccard and LSH paths carry:
+    a degenerate corpus (thousands of templated or near-empty pages that
+    share a band value) would otherwise make one (band, bucket) self-join
+    B² rows on a single task. Buckets over the cap are dropped via a
+    broadcast anti-join before the pair join; the SQL mirror applies the
+    identical cap so the oracle still hash-matches."""
     sh = simhash(docs, id_col=id_col, text_col=text_col)
     # single-pass banding (explode, not per-band union: a union would
     # recompute the 60-aggregate simhash once per band)
@@ -398,6 +412,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         id_col, "simhash",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
+    hot = bands.groupBy("band", "bucket").agg(F.count("*").alias("c")).filter(
+        F.col("c") > max_bucket
+    )
+    bands = bands.join(F.broadcast(hot.select("band", "bucket")),
+                       on=["band", "bucket"], how="left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, on=["band", "bucket"])

@@ -147,10 +147,14 @@ def token_budget_sample(df: DataFrame, group_col: str, key_col: str,
     one group."""
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
-    step = (1 << 60) // n_buckets
+    # Integer shift, not float division: _h is a 60-bit value, beyond
+    # double's 53-bit exact range, so `/ step` could round hashes near a
+    # bucket boundary into the wrong bucket and perturb the prefix-sum
+    # order at the budget cutoff.
+    shift = 60 - (n_buckets.bit_length() - 1)
     h = md5_60(F.col(key_col))
     rows = df.withColumn("_h", h).withColumn(
-        "_b", (F.col("_h") / F.lit(step)).cast("long")
+        "_b", F.shiftrightunsigned(F.col("_h"), shift)
     )
     win = (
         Window.partitionBy(group_col, "_b")

@@ -11,6 +11,7 @@ from spider_spark.operators.dedupe import (
     shingles,
     simhash,
     simhash_near_pairs,
+    simhash_near_pairs_sql,
 )
 
 
@@ -141,3 +142,59 @@ class TestSimHash:
         # near-dup doc 2 within a few bits of doc 0
         assert (0, 2) in got and got[(0, 2)] <= 10
         assert not any(3 in p for p in got)
+
+
+class TestSimHashHotBucket:
+    """A templated corpus where one simhash band bucket holds more docs than
+    max_bucket (VERDICT r3 finding #2): the guard must drop those buckets,
+    Spark must still hash-match the DuckDB mirror under the cap, and a
+    legitimate duplicate pair outside the hot bucket must survive."""
+
+    @pytest.fixture(scope="class")
+    def hot_docs(self, spark):
+        # 8 byte-identical templated pages -> identical simhash -> every
+        # band bucket holds 8 > max_bucket=5
+        rows = [(i, "subscribe to our newsletter today for daily updates")
+                for i in range(8)]
+        # a genuine duplicate pair with different content: identical
+        # simhash (hamming 0), bucket population 2 <= max_bucket
+        rows += [
+            (100, "spark engines process parquet files across many executors"),
+            (101, "spark engines process parquet files across many executors"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_guard_fires(self, hot_docs):
+        counts = (
+            simhash(hot_docs)
+            .groupBy("simhash")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        assert max(r["c"] for r in counts) > 5, \
+            "fixture must make a band bucket hotter than max_bucket"
+
+    def test_matches_oracle_under_hot_bucket(self, hot_docs):
+        import duckdb
+
+        max_bucket, max_hamming = 5, 3
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_pairs(
+                hot_docs, max_hamming=max_hamming, max_bucket=max_bucket
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register("documents", hot_docs.toPandas())
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                simhash_near_pairs_sql(
+                    max_hamming=max_hamming, max_bucket=max_bucket
+                )
+            ).fetchall()
+        }
+        assert got == want
+        # the hot templated pairs are gone; the legitimate pair survives
+        assert (100, 101) in got and got[(100, 101)] == 0
+        assert not any(a < 100 for a, _ in got)
