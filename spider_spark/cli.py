@@ -158,6 +158,17 @@ def cmd_recrawl(args) -> int:
     if not meta:
         logger.warning("nothing to recrawl: run `crawl --durable` first")
         return 1
+    cfg = CrawlConfig(
+        depth=args.depth,
+        budget=args.concur if args.concur and args.concur > 0 else None,
+        verify_text=False,
+        durable=True,
+    )
+    engine = CrawlEngine(spark, pages, cfg, io=io)
+    # a previous wave killed before its first metrics commit leaves a
+    # half-applied seen overwrite standing; roll tables back to the last
+    # completed (epoch, round) marker before reading seen (ADVICE r3)
+    meta = engine.rollback_dangling() or meta
     seen = io.read("seen")
     due = recrawl_due(
         pages, args.now, args.ttl, jitter_frac=args.jitter
@@ -170,13 +181,6 @@ def cmd_recrawl(args) -> int:
     trimmed = seen.join(due, on="canon_url", how="left_anti").localCheckpoint(
         eager=True
     )
-    cfg = CrawlConfig(
-        depth=args.depth,
-        budget=args.concur if args.concur and args.concur > 0 else None,
-        verify_text=False,
-        durable=True,
-    )
-    engine = CrawlEngine(spark, pages, cfg, io=io)
     t0 = time.perf_counter()
     result = engine.crawl(
         due.select(F.col("canon_url").alias("url")),

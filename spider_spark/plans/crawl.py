@@ -223,6 +223,12 @@ class CrawlEngine:
         # ranking stats pass (cuckoo tables don't OR-merge), so cuckoo mode
         # pays one extra keyed job per round vs the bloom fill fold.
         self.seen_filter = seen_filter
+        # durable commits carry a monotone (epoch, round) marker: each
+        # crawl() on a store with prior metrics opens a new epoch, so a
+        # recrawl wave's round -1/0/… commits can never be mistaken for a
+        # previous crawl's (whose round numbers may be higher) — see
+        # _rollback_to_marker (ADVICE r3)
+        self._epoch = 0
         if self.config.durable and io is None:
             raise ValueError("durable crawl requires a TableIO")
 
@@ -394,11 +400,17 @@ class CrawlEngine:
                 prior_seen.count() if prior_seen is not None else 0
             )
         if self.config.durable:
+            # open a new epoch after any prior crawl in this store; the
+            # seeds commit below is this wave's first durable write, so a
+            # kill at any later point leaves commits tagged (epoch > prior)
+            # that resume()/rollback can always identify as the wave's
+            prev = self.io.latest_meta("metrics")
+            self._epoch = (prev.get("epoch") or 0) + 1 if prev else 0
             # bootstrap commit: the mirror (and resume) read seen membership
             # from the manifest, so the seeds must be committed before the
             # first round's dedupe
             self.io.commit_overwrite("seen", seen, bucket_by="canon_url",
-                                     meta={"round": -1})
+                                     meta={"round": -1, "epoch": self._epoch})
 
         r = 0
         # round-0 admissions metric counts THIS crawl's seeds (ranks may
@@ -826,7 +838,7 @@ class CrawlEngine:
         *completed* round (the metrics commit is the completion marker) —
         a kill between commits can therefore never double-append."""
         io = self.io
-        rmeta = {"round": m.round}
+        rmeta = {"round": m.round, "epoch": self._epoch}
         io.commit_overwrite("frontier", state.frontier, bucket_by="canon_url",
                             meta=rmeta)
         if not io.exists("seen"):
@@ -844,24 +856,49 @@ class CrawlEngine:
         )
         io.append(
             "metrics", mrow,
-            meta={"round": m.round, "next_rank": state.next_rank,
+            meta={"round": m.round, "epoch": self._epoch,
+                  "next_rank": state.next_rank,
                   "done": state.frontier_count == 0},
         )
 
-    def _rollback_to_round(self, name: str, committed_round: int) -> None:
-        """Restore ``name`` to its latest version whose commit round is ≤
-        the metrics marker — undoing any table commits of a round that was
-        killed before its metrics commit (so the replay starts clean)."""
+    def _rollback_to_marker(self, name: str, committed_epoch: int,
+                            committed_round: int) -> None:
+        """Restore ``name`` to its latest version whose commit marker is ≤
+        the metrics marker under the monotone ``(epoch, round)`` order —
+        undoing any table commits of a round (or a whole recrawl wave)
+        that was killed before its metrics commit. Comparing rounds alone
+        is NOT enough: a recrawl wave restarts the round counter at -1 in
+        a store whose previous crawl committed higher rounds, so a killed
+        wave's seen overwrite would look 'already covered' (ADVICE r3).
+        Pre-epoch history entries read as epoch 0."""
         io = self.io
         if not io.exists(name):
             return
         good = None
         for e in io.history(name):
-            r = (e.get("meta") or {}).get("round")
-            if r is not None and r <= committed_round:
+            meta = e.get("meta") or {}
+            r = meta.get("round")
+            if r is not None and (meta.get("epoch") or 0, r) <= (
+                committed_epoch, committed_round
+            ):
                 good = e["version"]
         if good is not None and good != io.current_version(name):
             io.restore(name, good)
+
+    def rollback_dangling(self) -> dict:
+        """Roll frontier/seen/results back to the latest metrics marker,
+        discarding commits from a crawl or recrawl wave killed before its
+        first metrics commit. Manifest-pointer ops only (no data moves).
+        Safe to call on a clean store (no-op); callers that read the seen
+        table before starting a wave (CLI recrawl) run this first so a
+        half-applied predecessor can never feed them. Returns the marker."""
+        io = self.io
+        meta = io.latest_meta("metrics")
+        if not meta:
+            return {}
+        for t in ("frontier", "seen", "results"):
+            self._rollback_to_marker(t, meta.get("epoch") or 0, meta["round"])
+        return meta
 
     def resume(self) -> CrawlResult:
         """Continue a killed durable crawl from its last committed round.
@@ -872,8 +909,9 @@ class CrawlEngine:
         meta = io.latest_meta("metrics")
         if not meta:
             raise ValueError("nothing to resume: no committed rounds")
+        self._epoch = meta.get("epoch") or 0
         for t in ("frontier", "seen", "results"):
-            self._rollback_to_round(t, meta["round"])
+            self._rollback_to_marker(t, self._epoch, meta["round"])
         frontier = io.read("frontier").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         seen = io.read("seen").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         # the bucketed seen mirror resyncs itself from the rolled-back

@@ -312,3 +312,81 @@ class TestKillResume:
         got_seen = {r["canon_url"] for r in resumed.seen.collect()}
         assert got_results == expect_results
         assert got_seen == expect_seen
+
+
+class TestWaveEpochRollback:
+    """ADVICE r3 (medium): a recrawl wave restarts the round counter at -1
+    in a store whose previous crawl committed higher rounds, so a wave
+    killed before its first metrics commit leaves a half-applied seen
+    overwrite that a round-only rollback cannot see. The monotone
+    (epoch, round) marker must identify and undo it, and the reissued
+    wave must produce no duplicate admission ranks."""
+
+    def test_killed_wave_is_rolled_back_and_reissues_cleanly(self, spark, tmp_path):
+        pages = synthetic_pages(spark, 200).localCheckpoint(eager=True)
+        io = ParquetManifestIO(spark, str(tmp_path / "store"))
+        cfg = CrawlConfig(depth=3, verify_text=False, durable=True)
+        CrawlEngine(spark, pages, cfg, io=io).crawl("https://h0.example/d/0")
+        meta0 = io.latest_meta("metrics")
+        assert meta0.get("done"), "fixture crawl must complete"
+        pre_seen = {
+            (r["canon_url"], r["admission_rank"])
+            for r in io.read("seen").collect()
+        }
+
+        # wave: expire 5 URLs, refetch them — killed before ANY metrics commit
+        seen_df = io.read("seen")
+        due = (
+            seen_df.orderBy("admission_rank").limit(5)
+            .select("canon_url").localCheckpoint(eager=True)
+        )
+        trimmed = seen_df.join(due, "canon_url", "left_anti").localCheckpoint(
+            eager=True
+        )
+        wave = CrawlEngine(spark, pages, cfg, io=io)
+
+        def boom(*a, **k):
+            raise RuntimeError("killed before metrics commit")
+
+        wave._checkpoint = boom
+        with pytest.raises(RuntimeError):
+            wave.crawl(
+                due.select(F.col("canon_url").alias("url")),
+                seeds_canonical=True, seeds_unique=True,
+                prior_seen=trimmed, start_rank=meta0["next_rank"],
+            )
+        # the wave's round -1 seen overwrite is standing (trimmed + reseeded)
+        dangling = {
+            (r["canon_url"], r["admission_rank"])
+            for r in io.read("seen").collect()
+        }
+        assert dangling != pre_seen
+
+        # sanitize: any new engine rolls back to the last completed marker
+        marker = CrawlEngine(spark, pages, cfg, io=io).rollback_dangling()
+        assert marker["next_rank"] == meta0["next_rank"]
+        restored = {
+            (r["canon_url"], r["admission_rank"])
+            for r in io.read("seen").collect()
+        }
+        assert restored == pre_seen
+
+        # resume() on the sanitized store sees done=true and changes nothing
+        resumed = CrawlEngine(spark, pages, cfg, io=io).resume()
+        assert resumed.metrics[-1].round == meta0["round"]
+
+        # reissued wave completes; admission ranks stay globally unique
+        seen_df = io.read("seen")
+        trimmed = seen_df.join(due, "canon_url", "left_anti").localCheckpoint(
+            eager=True
+        )
+        redo = CrawlEngine(spark, pages, cfg, io=io)
+        redo.crawl(
+            due.select(F.col("canon_url").alias("url")),
+            seeds_canonical=True, seeds_unique=True,
+            prior_seen=trimmed, start_rank=meta0["next_rank"],
+        )
+        ranks = [r["admission_rank"] for r in io.read("seen").collect()]
+        assert len(ranks) == len(set(ranks)), "duplicate admission ranks"
+        m = io.latest_meta("metrics")
+        assert (m.get("epoch") or 0) > (meta0.get("epoch") or 0)
