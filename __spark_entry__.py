@@ -733,6 +733,54 @@ def _q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_HYBRID = hybrid_topk_sql(BM25_QUERY, HYBRID_QVEC, k_each=50, k=10,
                               dim=EMBED_DIM)
 
+
+def _tmp_store(spark):
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.sources.tableio import ParquetManifestIO
+
+    tmp = tempfile.mkdtemp(prefix="idx_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return ParquetManifestIO(spark, tmp)
+
+
+def _q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 postings index (build once / probe many): postings +
+    termstats Hive-partitioned by term_bucket so a search's planning-time
+    partition filter reads only the query's buckets (the IVFIndex pattern
+    applied to lexical retrieval — VERDICT r3 #5). The search is
+    bit-identical to the inline bm25_topk, so the SAME DuckDB mirror
+    oracles this path (pruning + parity pinned in tests/test_lexindex.py)."""
+    from spider_spark.operators.lexindex import LexicalIndex
+
+    idx = LexicalIndex(_tmp_store(spark), n_buckets=16)
+    idx.build(_docs(spark, sf_dir))
+    return idx.search(BM25_QUERY, k=BM25_K)
+
+
+def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF retrieval where BOTH halves probe persisted indexes
+    (VERDICT r3 #4): the lexical half through the term-bucket-pruned
+    postings index (exact), the semantic half through the list_id-pruned
+    IVF index at full probe (nprobe == n_centroids ⇒ exact) — so the
+    inline hybrid's DuckDB mirror oracles the indexed plan too. Reduced
+    nprobe is the approximate scale path (overlap pinned in
+    tests/test_lexindex.py)."""
+    from spider_spark.operators.ivf_index import IVFIndex
+    from spider_spark.operators.lexindex import LexicalIndex
+
+    docs, emb = _docs(spark, sf_dir), _embeddings(spark, sf_dir)
+    lex = LexicalIndex(_tmp_store(spark), n_buckets=16)
+    lex.build(docs)
+    ivf = IVFIndex(_tmp_store(spark))
+    ivf.build(emb, n_centroids=16, n_iters=3)
+    return hybrid_topk(
+        docs, emb, BM25_QUERY, HYBRID_QVEC, k_each=50, k=10,
+        lex_index=lex, sem_index=ivf, nprobe=16,
+    )
+
 PR_ITERS = 10
 
 
@@ -1357,7 +1405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
+        "bm25_index_search": _q_bm25_index_search,  # persisted postings index
         "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
+        "hybrid_search_indexed": _q_hybrid_search_indexed,  # index-probing RRF
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -1417,7 +1467,9 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "recrawl_due": _SQL_RECRAWL_DUE,
         "bm25_search": _SQL_BM25,
+        "bm25_index_search": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,
+        "hybrid_search_indexed": _SQL_HYBRID,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,

@@ -137,29 +137,48 @@ RRF_K = 60  # the standard fusion constant (Cormack et al., SIGIR'09)
 def hybrid_topk(docs: DataFrame, embeddings: DataFrame,
                 query_terms: list[str], query_vec_id: int,
                 k_each: int = 50, k: int = 10,
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                lex_index=None, sem_index=None,
+                nprobe: int = 4) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 lexical top-``k_each`` and the
     cosine semantic top-``k_each`` (query = the embedding row whose
     ``vec_id == query_vec_id``; ``vec_id ≡ doc_id`` is the corpus
     linkage): ``rrf = Σ 1/(60 + rank_i)`` over the lists a doc appears
     in. Output ``(id, rrf, lex_rank, sem_rank)``, ties broken by id.
 
-    Cost: both halves are the already-k-bounded operators; fusion is a
-    full-outer join of two k-row frames — driver-scale, not data-scale."""
+    ``lex_index`` / ``sem_index`` (a built
+    :class:`~spider_spark.operators.lexindex.LexicalIndex` /
+    :class:`~spider_spark.operators.ivf_index.IVFIndex`) swap each half
+    for its persisted, partition-pruned form — the 100 TB probe-many path
+    (VERDICT r3 finding #4). The lexical index is exact (bit-identical to
+    ``bm25_topk``); the IVF half is exact when ``nprobe`` covers every
+    list and approximate below that. Without indexes both halves are the
+    inline full-scan operators (the oracle baseline).
+
+    Cost: both halves are already k-bounded; fusion is a full-outer join
+    of two k-row frames — driver-scale, not data-scale."""
     from pyspark.sql import Window
 
     from spider_spark.operators.similarity import cosine_topk
 
-    lex = bm25_topk(docs, query_terms, k=k_each, id_col=id_col)
+    if lex_index is not None:
+        lex = lex_index.search(query_terms, k=k_each)
+    else:
+        lex = bm25_topk(docs, query_terms, k=k_each, id_col=id_col)
     lex = lex.withColumn(
         "lex_rank",
         F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
         ).cast("long"),
     ).select(id_col, "lex_rank")
-    sem = cosine_topk(
-        embeddings, embeddings.filter(F.col("vec_id") == query_vec_id), k=k_each
-    ).select(F.col("nid").alias(id_col), F.col("rank").alias("sem_rank"))
+    q_vec = embeddings.filter(F.col("vec_id") == query_vec_id)
+    if sem_index is not None:
+        sem_raw = sem_index.search(q_vec, k=k_each, nprobe=nprobe)
+    else:
+        sem_raw = cosine_topk(embeddings, q_vec, k=k_each)
+    sem = sem_raw.select(
+        F.col("nid").alias(id_col), F.col("rank").alias("sem_rank")
+    )
     fused = (
         lex.join(sem, on=id_col, how="full_outer")
         .select(
