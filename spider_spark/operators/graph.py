@@ -139,13 +139,21 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     weight). ``rank_fp`` is integer fixed-point: initial mass ``scale //
     n_nodes`` per node, per-iteration update
 
-        rank'(v) = (15*scale) div (100*n)  +  (85 * Σ_in contrib) div 100
+        rank'(v) = (15*scale) div (100*n)
+                   + (85 * (Σ_in contrib + dangling div n)) div 100
         contrib(u→v) = (rank(u) div deg(u)) * w(u,v)
+        dangling    = Σ rank(u) over nodes with no out-edges
 
     — all integer division, so the DuckDB mirror reproduces it exactly.
-    ``(rank div deg) * w ≤ rank`` keeps everything inside int64 regardless
-    of graph size. One contribution shuffle per iteration over the
-    host-level (pre-aggregated) edge list."""
+    Dangling (sink) mass is redistributed uniformly, the standard
+    formulation: web graphs are full of sinks, and dropping their mass
+    shrinks total rank per iteration and distorts rankings (VERDICT r3
+    finding #6). The per-node share is ``dangling div n`` — the ≤ n-1
+    fixed-point units lost to the floor are deterministic on both
+    engines. ``(rank div deg) * w ≤ rank`` and ``85*(inc + share) <
+    2^63`` keep everything inside int64 regardless of graph size. Per
+    iteration: one contribution shuffle over the host-level
+    (pre-aggregated) edge list plus a one-row dangling-sum broadcast."""
     wedges = (
         edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
     )
@@ -162,6 +170,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         "rank", F.lit(scale // n_nodes).cast("long")
     ).localCheckpoint(eager=True)
     srcs = wedges.join(deg, on="src")
+    out_nodes = deg.select(F.col("src").alias("node"))
     for _ in range(n_iter):
         contrib = (
             srcs.join(ranks, srcs["src"] == ranks["node"])
@@ -173,14 +182,21 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         incoming = contrib.groupBy(F.col("dst").alias("inode")).agg(
             F.sum("c").alias("inc")
         )
+        # sink mass: one-row aggregate, broadcast into the update
+        dangling = (
+            ranks.join(out_nodes, on="node", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang"))
+        )
         ranks = (
             nodes.join(incoming, nodes["node"] == incoming["inode"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 F.col("node"),
                 (
                     F.lit(base).cast("long")
                     + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(inc, 0L)) div {PR_DAMP_DEN}"
+                        f"({PR_DAMP_NUM} * (coalesce(inc, 0L)"
+                        f" + (dang div {n_nodes}L))) div {PR_DAMP_DEN}"
                     )
                 ).alias("rank"),
             )
@@ -194,16 +210,24 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
 def pagerank_sql(edges_sql: str, n_iter: int = 10,
                  scale: int = PR_SCALE) -> str:
     """DuckDB mirror of :func:`pagerank`: the iteration chain is unrolled
-    as CTEs r0..r{n_iter} with the identical integer arithmetic."""
+    as CTEs r0..r{n_iter} with the identical integer arithmetic, including
+    the uniform dangling-mass redistribution. Every chain CTE is
+    MATERIALIZED: each r{k} is referenced twice (contributions + dangling
+    sum), and DuckDB's default inlining would expand the chain
+    exponentially (and re-scan the base parquet per expansion)."""
     steps = []
     for k in range(n_iter):
         steps.append(f"""
-    r{k + 1} AS (
+    d{k} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0)::BIGINT AS dang FROM r{k}
+      WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{k + 1} AS MATERIALIZED (
       SELECT n.node,
              ((({PR_DAMP_DEN - PR_DAMP_NUM}::BIGINT * {scale}) // ({PR_DAMP_DEN} * nn.n))
-              + ({PR_DAMP_NUM} * coalesce(s.inc, 0)) // {PR_DAMP_DEN}
+              + ({PR_DAMP_NUM} * (coalesce(s.inc, 0) + dd.dang // nn.n)) // {PR_DAMP_DEN}
              )::BIGINT AS rank
-      FROM nodes n CROSS JOIN nn
+      FROM nodes n CROSS JOIN nn CROSS JOIN d{k} dd
       LEFT JOIN (
         SELECT w.dst AS node, sum((r.rank // d.deg) * w.w) AS inc
         FROM wed w
@@ -214,13 +238,16 @@ def pagerank_sql(edges_sql: str, n_iter: int = 10,
     )""")
     chain = ",".join(steps)
     return f"""
-    WITH edges AS ({edges_sql}),
-    wed AS (SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
-    deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
-              UNION SELECT DISTINCT dst FROM edges),
-    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
-    r0 AS (SELECT node, ({scale} // nn.n)::BIGINT AS rank
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    wed AS MATERIALIZED (
+      SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+    deg AS MATERIALIZED (
+      SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges),
+    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, ({scale} // nn.n)::BIGINT AS rank
            FROM nodes CROSS JOIN nn),{chain}
     SELECT node, rank AS rank_fp FROM r{n_iter}
     """

@@ -62,7 +62,11 @@ def _reference_pagerank(edges, n_iter):
         inc = {v: 0 for v in nodes}
         for (s, d), w in wed.items():
             inc[d] += (rank[s] // deg[s]) * w
-        rank = {v: base + (PR_DAMP_NUM * inc[v]) // PR_DAMP_DEN for v in nodes}
+        share = sum(rank[v] for v in nodes if v not in deg) // n
+        rank = {
+            v: base + (PR_DAMP_NUM * (inc[v] + share)) // PR_DAMP_DEN
+            for v in nodes
+        }
     return rank
 
 
@@ -129,3 +133,30 @@ class TestPagerank:
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["rank_fp"] for r in pagerank(df, n_iter=10).collect()}
         assert got[0] == max(got.values())
+
+    def test_sink_mass_is_redistributed_not_dropped(self, spark):
+        # a pure sink graph: every node points at 9, which has no
+        # out-edges — without redistribution total mass decays ~0.85^k
+        # (VERDICT r3 finding #6); with it mass stays ~scale
+        edges = [(i, 9) for i in range(9)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = pagerank(df, n_iter=10)
+        total = out.agg(F.sum("rank_fp").alias("t")).collect()[0]["t"]
+        assert PR_SCALE * 0.999 <= total <= PR_SCALE
+        got = {r["node"]: r["rank_fp"] for r in out.collect()}
+        assert got == _reference_pagerank(edges, n_iter=10)
+
+    def test_matches_duckdb_mirror_with_sinks(self, spark):
+        import duckdb
+
+        from spider_spark.operators.graph import pagerank_sql
+
+        edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)]  # 4 is a sink
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank_fp"] for r in pagerank(df, n_iter=6).collect()}
+        vals = ", ".join(f"({s}, {d})" for s, d in edges)
+        sql = pagerank_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", n_iter=6
+        )
+        want = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
+        assert got == want
