@@ -109,3 +109,85 @@ class TestContinuousWaves:
         # stable and the seen set keeps its cardinality through both waves
         assert rep2.due == rep1.due and rep2.fetched == rep1.fetched
         assert cc.seen.count() == n_seen
+
+
+class TestDurableContinuous:
+    """Durable mode (VERDICT r3 #7): the cross-wave corpus state lives in
+    the TableIO store through the engine's per-round persistence, so a
+    process restart between (or during) waves loses nothing — attach()
+    reloads seen + rank counter and rebuilds the cuckoo filter."""
+
+    def test_attach_after_restart_matches_unbroken_run(self, spark, pages,
+                                                       tmp_path):
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        cfg = CrawlConfig(depth=6, bloom_capacity=10_000)
+        # reference: one long-lived in-memory crawler, two waves
+        ref = ContinuousCrawler(spark, pages, cfg,
+                                expected_urls=10_000, n_shards=2)
+        ref.bootstrap(SEEDS)
+        ref.wave(PAGES_EPOCH + 400, ttl_sec=300, jitter_frac=0.2)
+        ref_rep2 = ref.wave(PAGES_EPOCH + 500, ttl_sec=300, jitter_frac=0.2)
+        want = _rows(ref.seen, "canon_url", "depth", "admission_rank")
+
+        # durable: bootstrap + wave 1, then the process "dies"
+        io = ParquetManifestIO(spark, str(tmp_path / "corpus"))
+        cc1 = ContinuousCrawler(spark, pages, cfg, expected_urls=10_000,
+                                n_shards=2, io=io)
+        cc1.bootstrap(SEEDS)
+        cc1.wave(PAGES_EPOCH + 400, ttl_sec=300, jitter_frac=0.2)
+        saved_rank = cc1.next_rank
+        del cc1
+
+        # restart: attach() reloads everything from the store
+        cc2 = ContinuousCrawler(spark, pages, cfg, expected_urls=10_000,
+                                n_shards=2, io=io)
+        cc2.attach()
+        assert cc2.next_rank == saved_rank
+        assert cc2.filter.n_items == cc2.seen.count()
+        rep2 = cc2.wave(PAGES_EPOCH + 500, ttl_sec=300, jitter_frac=0.2)
+        assert (rep2.due, rep2.fetched, rep2.new_links) == (
+            ref_rep2.due, ref_rep2.fetched, ref_rep2.new_links
+        )
+        assert _rows(cc2.seen, "canon_url", "depth", "admission_rank") == want
+        # and the STORE carries the same state (not just the live frame)
+        assert _rows(io.read("seen"), "canon_url", "depth",
+                     "admission_rank") == want
+
+    def test_attach_sanitizes_killed_wave(self, spark, pages, tmp_path):
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        cfg = CrawlConfig(depth=6, bloom_capacity=10_000)
+        io = ParquetManifestIO(spark, str(tmp_path / "corpus"))
+        cc = ContinuousCrawler(spark, pages, cfg, expected_urls=10_000,
+                               n_shards=2, io=io)
+        cc.bootstrap(SEEDS)
+        pre = _rows(io.read("seen"), "canon_url", "depth", "admission_rank")
+
+        # wave killed before its first metrics commit
+        broken = ContinuousCrawler(spark, pages, cfg, expected_urls=10_000,
+                                   n_shards=2, io=io)
+        broken.attach()
+
+        def boom(*a, **k):
+            raise RuntimeError("killed")
+
+        eng = broken._engine()
+        eng._checkpoint = boom
+        broken._engine = lambda: eng
+        with pytest.raises(RuntimeError):
+            broken.wave(PAGES_EPOCH + 400, ttl_sec=300, jitter_frac=0.2)
+
+        fresh = ContinuousCrawler(spark, pages, cfg, expected_urls=10_000,
+                                  n_shards=2, io=io)
+        fresh.attach()
+        assert _rows(io.read("seen"), "canon_url", "depth",
+                     "admission_rank") == pre
+        # the reissued wave completes with globally unique ranks
+        fresh.wave(PAGES_EPOCH + 400, ttl_sec=300, jitter_frac=0.2)
+        ranks = [r["admission_rank"] for r in io.read("seen").collect()]
+        assert len(ranks) == len(set(ranks))
+
+    def test_durable_config_requires_io(self, spark, pages):
+        with pytest.raises(ValueError):
+            ContinuousCrawler(spark, pages, CrawlConfig(durable=True))
