@@ -45,6 +45,11 @@ from pyspark.sql.types import BooleanType
 _SALT2 = 0x9E3779B9
 _SHARD_SALT = 0x5BD1E995
 
+# in-memory mode holds every shard on the driver simultaneously; past this
+# bound the build fails loudly and points at spill mode (VERDICT r3 #3).
+# 4 GiB ≈ a 1%-fpp bloom for ~3.6e9 keys; beyond that, spill_dir=.
+MAX_DRIVER_FILTER_BYTES = 4 << 30
+
 
 class BloomFilter:
     """Double-hashing bloom filter over two 64-bit hashes (numpy bit ops)."""
@@ -86,7 +91,9 @@ class ShardedBloom:
     running key count (maintained by the caller, who knows every batch's
     cardinality); ``saturated`` signals the rebuild-bigger point."""
 
-    def __init__(self, expected: int, fpp: float = 0.01, n_shards: int = 1):
+    def __init__(self, expected: int, fpp: float = 0.01, n_shards: int = 1,
+                 spill_dir: str | None = None,
+                 max_driver_bytes: int = MAX_DRIVER_FILTER_BYTES):
         self.n_shards = max(1, n_shards)
         self.fpp = fpp
         self.expected = max(1, expected)
@@ -94,7 +101,29 @@ class ShardedBloom:
         n_bits, n_hashes = BloomFilter.sized_for(per_shard, fpp)
         self.n_bits = n_bits
         self.n_hashes = n_hashes
-        self.shards = [BloomFilter(n_bits, n_hashes) for _ in range(self.n_shards)]
+        self.spill_dir = spill_dir
+        shard_bytes = (n_bits + 7) // 8
+        if spill_dir is None:
+            total = self.n_shards * shard_bytes
+            if total > max_driver_bytes:
+                raise ValueError(
+                    f"in-memory ShardedBloom would hold {total / 2**30:.1f} GiB "
+                    f"on the driver ({self.n_shards} shards × {shard_bytes} B "
+                    f"for {self.expected:,} keys at fpp={fpp}), over the "
+                    f"{max_driver_bytes / 2**30:.1f} GiB bound — pass "
+                    "spill_dir= (shared-filesystem shard store: driver holds "
+                    "only paths, executors build/probe shards directly) or "
+                    "raise max_driver_bytes explicitly"
+                )
+            self.shards = [BloomFilter(n_bits, n_hashes)
+                           for _ in range(self.n_shards)]
+        else:
+            from spider_spark.operators.shardstore import ShardStore
+
+            self.store = ShardStore(spill_dir, dtype="uint8")
+            # None = shard never written (empty filter: definite miss)
+            self.shard_paths: list[str | None] = [None] * self.n_shards
+            self.version = 0
         self.n_items = 0
         # broadcast handles created by filter_unseen probes against this
         # filter; the engine destroys them once the round's jobs have
@@ -106,6 +135,15 @@ class ShardedBloom:
     @property
     def saturated(self) -> bool:
         return self.n_items > self.expected
+
+    @property
+    def spilled(self) -> bool:
+        return self.spill_dir is not None
+
+    def gc_spill(self) -> int:
+        """Drop superseded shard files (call once the jobs that probed the
+        previous version have run — the broadcast-destroy point)."""
+        return self.store.gc(self.shard_paths) if self.spilled else 0
 
     def register_broadcasts(self, handles: list) -> None:
         self._live_bcasts.extend(handles)
@@ -177,8 +215,55 @@ def build_into(bloom: ShardedBloom, df: DataFrame, col: str,
                 }
             )
 
-    partials = hashed.mapInPandas(fill, schema="shard int, bits binary, n long").collect()
-    for row in partials:
+    partials = hashed.mapInPandas(fill, schema="shard int, bits binary, n long")
+    if bloom.spilled:
+        # per-partition partials never land on the driver: they shuffle to
+        # one task per shard, which ORs them with the shard's current file
+        # and writes the next version (atomic). The driver collects only
+        # (shard, path, n) rows.
+        store = bloom.store
+        version = bloom.version + 1
+        base_paths = list(bloom.shard_paths)
+
+        def merge(batches):
+            acc: dict[int, np.ndarray] = {}
+            n = 0
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    s = int(row["shard"])
+                    bits = np.frombuffer(row["bits"], dtype=np.uint8)
+                    cur = acc.get(s)
+                    if cur is None:
+                        base = base_paths[s]
+                        cur = acc[s] = (
+                            store.read(base, use_cache=False)
+                            if base is not None
+                            else np.zeros(len(bits), dtype=np.uint8)
+                        )
+                    np.bitwise_or(cur, bits, out=cur)
+                    n += int(row["n"])
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "shard": list(acc),
+                        "path": [store.write(s, version, a)
+                                 for s, a in acc.items()],
+                        "n": [n] + [0] * (len(acc) - 1),
+                    }
+                )
+
+        rows = (
+            partials.repartition(bloom.n_shards, F.col("shard"))
+            .mapInPandas(merge, schema="shard int, path string, n long")
+            .collect()
+        )
+        bloom.version = version
+        for r in rows:
+            bloom.shard_paths[r["shard"]] = r["path"]
+            if count_items:
+                bloom.n_items += r["n"]
+        return bloom
+    for row in partials.collect():
         bloom.union_shard_inplace(
             row["shard"], np.frombuffer(row["bits"], dtype=np.uint8)
         )
@@ -244,15 +329,68 @@ def make_fill_stats_collector(bloom: ShardedBloom, col: str):
                 }
             )
 
-        rows = hashed.mapInPandas(
+        out = hashed.mapInPandas(
             fill_and_stats,
             schema=(
                 "rkey long, cnt long, min_mid long, max_mid long, "
                 "shard int, bits binary"
             ),
-        ).collect()
+        )
+        if bloom.spilled:
+            # the shard partials must not land on the driver: persist the
+            # fold output, pull back only the tiny stats rows, and OR the
+            # bit partials into the shard files with one shard-keyed job
+            out = out.persist()
+            try:
+                rows = out.filter(F.col("shard") < 0).drop("shard", "bits").collect()
+                stats = [
+                    {"__rkey": r["rkey"], "cnt": r["cnt"],
+                     "min_mid": r["min_mid"], "max_mid": r["max_mid"]}
+                    for r in rows
+                ]
+                store = bloom.store
+                version = bloom.version + 1
+                base_paths = list(bloom.shard_paths)
+
+                def merge(batches):
+                    acc: dict[int, np.ndarray] = {}
+                    for pdf in batches:
+                        for _, row in pdf.iterrows():
+                            s = int(row["shard"])
+                            bits = np.frombuffer(row["bits"], dtype=np.uint8)
+                            cur = acc.get(s)
+                            if cur is None:
+                                base = base_paths[s]
+                                cur = acc[s] = (
+                                    store.read(base, use_cache=False)
+                                    if base is not None
+                                    else np.zeros(len(bits), dtype=np.uint8)
+                                )
+                            np.bitwise_or(cur, bits, out=cur)
+                    if acc:
+                        yield pd.DataFrame(
+                            {
+                                "shard": list(acc),
+                                "path": [store.write(s, version, a)
+                                         for s, a in acc.items()],
+                            }
+                        )
+
+                merged = (
+                    out.filter(F.col("shard") >= 0)
+                    .select("shard", "bits")
+                    .repartition(bloom.n_shards, F.col("shard"))
+                    .mapInPandas(merge, schema="shard int, path string")
+                    .collect()
+                )
+                bloom.version = version
+                for r in merged:
+                    bloom.shard_paths[r["shard"]] = r["path"]
+            finally:
+                out.unpersist()
+            return stats
         stats = []
-        for r in rows:
+        for r in out.collect():
             if r["shard"] < 0:
                 stats.append(
                     {"__rkey": r["rkey"], "cnt": r["cnt"],
@@ -268,12 +406,15 @@ def make_fill_stats_collector(bloom: ShardedBloom, col: str):
 
 
 def build_bloom(df: DataFrame, col: str, expected: int | None = None,
-                fpp: float = 0.01, n_shards: int = 1) -> ShardedBloom:
+                fpp: float = 0.01, n_shards: int = 1,
+                spill_dir: str | None = None) -> ShardedBloom:
     """Build a fresh sharded bloom of ``df[col]`` (sized for ``expected``,
     defaulting to an exact count of ``df``)."""
     if expected is None:
         expected = df.count()
-    return build_into(ShardedBloom(expected, fpp, n_shards), df, col)
+    return build_into(
+        ShardedBloom(expected, fpp, n_shards, spill_dir=spill_dir), df, col
+    )
 
 
 def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
@@ -301,33 +442,57 @@ def filter_unseen(candidates: DataFrame, col: str, seen: DataFrame,
     if bloom is None:
         return candidates.join(seen.select(F.col(col)), on=col, how="left_anti")
 
-    sc = candidates.sparkSession.sparkContext
-    # one broadcast variable PER SHARD: broadcasts materialize lazily on
-    # first .value access, so a task whose batch never touches shard s
-    # never pulls shard s's bits — the property that keeps a 12 GB
-    # aggregate filter usable on executors with a fraction of that memory
-    shard_bcasts = [sc.broadcast(bf.bits.tobytes()) for bf in bloom.shards]
-    # tracked so the caller can destroy them once the probe's jobs ran —
-    # each round otherwise leaks a full filter-size broadcast generation
-    bloom.register_broadcasts(shard_bcasts)
     n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+    if bloom.spilled:
+        # spill mode: no broadcasts and no driver copy — tasks read the
+        # shards their rows hash to straight from the shard store through
+        # the per-worker cache (versioned paths, never stale)
+        store = bloom.store
+        shard_paths = list(bloom.shard_paths)
 
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(h1: pd.Series, h2: pd.Series, sh: pd.Series) -> pd.Series:
-        if not len(h1):
-            return pd.Series([], dtype=bool)
-        h1v = h1.to_numpy(dtype=np.int64).view(np.uint64)
-        h2v = h2.to_numpy(dtype=np.int64).view(np.uint64)
-        shv = sh.to_numpy(dtype=np.int32)
-        out = np.zeros(len(h1v), dtype=bool)
-        for s in np.unique(shv):
-            bf = BloomFilter(
-                n_bits, n_hashes,
-                np.frombuffer(shard_bcasts[int(s)].value, dtype=np.uint8),
-            )
-            m = shv == s
-            out[m] = bf.contains_many(h1v[m], h2v[m])
-        return pd.Series(out)
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h1: pd.Series, h2: pd.Series, sh: pd.Series) -> pd.Series:
+            if not len(h1):
+                return pd.Series([], dtype=bool)
+            h1v = h1.to_numpy(dtype=np.int64).view(np.uint64)
+            h2v = h2.to_numpy(dtype=np.int64).view(np.uint64)
+            shv = sh.to_numpy(dtype=np.int32)
+            out = np.zeros(len(h1v), dtype=bool)
+            for s in np.unique(shv):
+                path = shard_paths[int(s)]
+                if path is None:
+                    continue  # empty shard: definite miss
+                bf = BloomFilter(n_bits, n_hashes, store.read(path))
+                m = shv == s
+                out[m] = bf.contains_many(h1v[m], h2v[m])
+            return pd.Series(out)
+    else:
+        sc = candidates.sparkSession.sparkContext
+        # one broadcast variable PER SHARD: broadcasts materialize lazily on
+        # first .value access, so a task whose batch never touches shard s
+        # never pulls shard s's bits — the property that keeps a 12 GB
+        # aggregate filter usable on executors with a fraction of that memory
+        shard_bcasts = [sc.broadcast(bf.bits.tobytes()) for bf in bloom.shards]
+        # tracked so the caller can destroy them once the probe's jobs ran —
+        # each round otherwise leaks a full filter-size broadcast generation
+        bloom.register_broadcasts(shard_bcasts)
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h1: pd.Series, h2: pd.Series, sh: pd.Series) -> pd.Series:
+            if not len(h1):
+                return pd.Series([], dtype=bool)
+            h1v = h1.to_numpy(dtype=np.int64).view(np.uint64)
+            h2v = h2.to_numpy(dtype=np.int64).view(np.uint64)
+            shv = sh.to_numpy(dtype=np.int32)
+            out = np.zeros(len(h1v), dtype=bool)
+            for s in np.unique(shv):
+                bf = BloomFilter(
+                    n_bits, n_hashes,
+                    np.frombuffer(shard_bcasts[int(s)].value, dtype=np.uint8),
+                )
+                m = shv == s
+                out[m] = bf.contains_many(h1v[m], h2v[m])
+            return pd.Series(out)
 
     h1, h2, sh = _hash_cols(col, bloom.n_shards)
     flagged = candidates.withColumn("__maybe", maybe_seen(h1, h2, sh))

@@ -178,15 +178,52 @@ class ShardedCuckoo:
     count (caller-maintained, adds minus deletes); ``saturated`` signals
     the rebuild-bigger point at the 95% design load."""
 
-    def __init__(self, expected: int, n_shards: int = 1):
+    def __init__(self, expected: int, n_shards: int = 1,
+                 spill_dir: str | None = None,
+                 max_driver_bytes: int | None = None):
+        from spider_spark.operators.bloom import MAX_DRIVER_FILTER_BYTES
+
         self.n_shards = max(1, n_shards)
         self.expected = max(1, expected)
         self.n_buckets = CuckooTable.sized_for(
             max(1, self.expected // self.n_shards)
         )
-        self.shards = [CuckooTable(self.n_buckets) for _ in range(self.n_shards)]
+        self.spill_dir = spill_dir
+        shard_bytes = self.n_buckets * _SLOTS * 2
+        bound = (MAX_DRIVER_FILTER_BYTES
+                 if max_driver_bytes is None else max_driver_bytes)
+        if spill_dir is None:
+            total = self.n_shards * shard_bytes
+            if total > bound:
+                raise ValueError(
+                    f"in-memory ShardedCuckoo would hold {total / 2**30:.1f} "
+                    f"GiB on the driver ({self.n_shards} shards × "
+                    f"{shard_bytes} B for {self.expected:,} keys), over the "
+                    f"{bound / 2**30:.1f} GiB bound — pass spill_dir= "
+                    "(shared-filesystem shard store: driver holds only "
+                    "paths, executors build/mutate/probe shards directly) "
+                    "or raise max_driver_bytes explicitly"
+                )
+            self.shards = [CuckooTable(self.n_buckets)
+                           for _ in range(self.n_shards)]
+        else:
+            from spider_spark.operators.shardstore import ShardStore
+
+            self.store = ShardStore(spill_dir, dtype="uint16")
+            # None = shard never written (empty table: definite miss)
+            self.shard_paths: list[str | None] = [None] * self.n_shards
+            self.version = 0
         self.n_items = 0
         self._live_bcasts: list = []
+
+    @property
+    def spilled(self) -> bool:
+        return self.spill_dir is not None
+
+    def gc_spill(self) -> int:
+        """Drop superseded shard files (call once the jobs that probed the
+        previous version have run — the broadcast-destroy point)."""
+        return self.store.gc(self.shard_paths) if self.spilled else 0
 
     @property
     def saturated(self) -> bool:
@@ -216,14 +253,25 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
                    op: str) -> int:
     """Run ``add`` or ``delete`` for ``df[col]`` against the owning shard
     tables: keys repartition BY SHARD, each task mutates the tables of the
-    shards it owns (shipped in via broadcast for adds into a non-empty
-    filter), and returns whole replacement tables to the driver."""
+    shards it owns and commits whole replacement tables — to the driver
+    (in-memory mode, shipped in via broadcast for adds into a non-empty
+    filter) or to the shard store (spill mode: the task reads the shard's
+    current file, mutates, writes the next version; the driver sees only
+    paths)."""
     n_buckets, n_shards = cuckoo.n_buckets, cuckoo.n_shards
     sc = df.sparkSession.sparkContext
-    empty = not any(t.slots.any() for t in cuckoo.shards)
-    tables_bc = (
-        None if empty else sc.broadcast([t.slots.tobytes() for t in cuckoo.shards])
-    )
+    spilled = cuckoo.spilled
+    if spilled:
+        tables_bc = None
+        store = cuckoo.store
+        version = cuckoo.version + 1
+        base_paths = list(cuckoo.shard_paths)
+    else:
+        empty = not any(t.slots.any() for t in cuckoo.shards)
+        tables_bc = (
+            None if empty
+            else sc.broadcast([t.slots.tobytes() for t in cuckoo.shards])
+        )
     hashed = (
         df.select(*_key_cols(col, n_shards))
         .repartition(n_shards, F.col("__shard"))
@@ -242,13 +290,22 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
             for s in np.unique(shv):
                 t = local.get(int(s))
                 if t is None:
-                    base = (
-                        np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
-                        if tables_bc is None
-                        else np.frombuffer(
-                            tables_bc.value[int(s)], dtype=np.uint16
-                        ).reshape(n_buckets, _SLOTS).copy()
-                    )
+                    if spilled:
+                        p = base_paths[int(s)]
+                        base = (
+                            np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+                            if p is None
+                            else store.read(p, use_cache=False)
+                            .reshape(n_buckets, _SLOTS)
+                        )
+                    else:
+                        base = (
+                            np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
+                            if tables_bc is None
+                            else np.frombuffer(
+                                tables_bc.value[int(s)], dtype=np.uint16
+                            ).reshape(n_buckets, _SLOTS).copy()
+                        )
                     t = local[int(s)] = CuckooTable(n_buckets, base)
                 m = shv == s
                 if op == "add":
@@ -259,22 +316,36 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
             yield pd.DataFrame(
                 {
                     "shard": list(local),
-                    "slots": [t.slots.tobytes() for t in local.values()],
+                    "slots": (
+                        [store.write(s, version, t.slots)
+                         for s, t in local.items()]
+                        if spilled
+                        else [t.slots.tobytes() for t in local.values()]
+                    ),
                     "failed": [failed] + [0] * (len(local) - 1),
                     "n_keys": [n_keys] + [0] * (len(local) - 1),
                 }
             )
 
-    rows = hashed.mapInPandas(
-        run, schema="shard int, slots binary, failed long, n_keys long"
-    ).collect()
+    schema = (
+        "shard int, slots string, failed long, n_keys long"
+        if spilled
+        else "shard int, slots binary, failed long, n_keys long"
+    )
+    rows = hashed.mapInPandas(run, schema=schema).collect()
     failures = 0
     for r in rows:
-        cuckoo.shards[r["shard"]] = CuckooTable(
-            n_buckets,
-            np.frombuffer(r["slots"], dtype=np.uint16).reshape(n_buckets, _SLOTS).copy(),
-        )
+        if spilled:
+            cuckoo.shard_paths[r["shard"]] = r["slots"]
+        else:
+            cuckoo.shards[r["shard"]] = CuckooTable(
+                n_buckets,
+                np.frombuffer(r["slots"], dtype=np.uint16)
+                .reshape(n_buckets, _SLOTS).copy(),
+            )
         failures += r["failed"]
+    if spilled:
+        cuckoo.version = version
     if tables_bc is not None:
         tables_bc.destroy()
     if failures:
@@ -286,13 +357,14 @@ def _apply_sharded(cuckoo: ShardedCuckoo, df: DataFrame, col: str,
 
 
 def build_cuckoo(df: DataFrame, col: str, expected: int | None = None,
-                 n_shards: int = 1) -> ShardedCuckoo:
+                 n_shards: int = 1,
+                 spill_dir: str | None = None) -> ShardedCuckoo:
     """``expected`` is a CAPACITY hint only; ``n_items`` is always set from
     the actual key count observed by the build pass, so the ``saturated``
     growth signal stays truthful when a caller over-provisions."""
     if expected is None:
         expected = df.count()
-    ck = ShardedCuckoo(expected, n_shards)
+    ck = ShardedCuckoo(expected, n_shards, spill_dir=spill_dir)
     ck.n_items = _apply_sharded(ck, df, col, "add")
     return ck
 
@@ -323,28 +395,52 @@ def filter_unseen_cuckoo(candidates: DataFrame, col: str, seen: DataFrame,
     cuckoo filter: definitely-new candidates bypass the shuffle, maybe-seen
     candidates are confirmed by the exact anti-join. Same broadcast
     lifecycle contract (caller destroys after the probe's jobs ran)."""
-    sc = candidates.sparkSession.sparkContext
-    shard_bcasts = [sc.broadcast(t.slots.tobytes()) for t in cuckoo.shards]
-    cuckoo.register_broadcasts(shard_bcasts)
     n_buckets = cuckoo.n_buckets
+    if cuckoo.spilled:
+        # spill mode: tasks read the shards their rows hash to straight
+        # from the shard store (per-worker cache, versioned paths)
+        store = cuckoo.store
+        shard_paths = list(cuckoo.shard_paths)
 
-    @F.pandas_udf(BooleanType())
-    def maybe_seen(h: pd.Series, sh: pd.Series) -> pd.Series:
-        if not len(h):
-            return pd.Series([], dtype=bool)
-        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
-        shv = sh.to_numpy(dtype=np.int32)
-        out = np.zeros(len(hv), dtype=bool)
-        for s in np.unique(shv):
-            t = CuckooTable(
-                n_buckets,
-                np.frombuffer(shard_bcasts[int(s)].value, dtype=np.uint16).reshape(
-                    n_buckets, _SLOTS
-                ),
-            )
-            m = shv == s
-            out[m] = t.contains_many(hv[m])
-        return pd.Series(out)
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h: pd.Series, sh: pd.Series) -> pd.Series:
+            if not len(h):
+                return pd.Series([], dtype=bool)
+            hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+            shv = sh.to_numpy(dtype=np.int32)
+            out = np.zeros(len(hv), dtype=bool)
+            for s in np.unique(shv):
+                path = shard_paths[int(s)]
+                if path is None:
+                    continue  # empty shard: definite miss
+                t = CuckooTable(
+                    n_buckets, store.read(path).reshape(n_buckets, _SLOTS)
+                )
+                m = shv == s
+                out[m] = t.contains_many(hv[m])
+            return pd.Series(out)
+    else:
+        sc = candidates.sparkSession.sparkContext
+        shard_bcasts = [sc.broadcast(t.slots.tobytes()) for t in cuckoo.shards]
+        cuckoo.register_broadcasts(shard_bcasts)
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h: pd.Series, sh: pd.Series) -> pd.Series:
+            if not len(h):
+                return pd.Series([], dtype=bool)
+            hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+            shv = sh.to_numpy(dtype=np.int32)
+            out = np.zeros(len(hv), dtype=bool)
+            for s in np.unique(shv):
+                t = CuckooTable(
+                    n_buckets,
+                    np.frombuffer(
+                        shard_bcasts[int(s)].value, dtype=np.uint16
+                    ).reshape(n_buckets, _SLOTS),
+                )
+                m = shv == s
+                out[m] = t.contains_many(hv[m])
+            return pd.Series(out)
 
     h, sh = _key_cols(col, cuckoo.n_shards)
     flagged = candidates.withColumn("__maybe", maybe_seen(h, sh))

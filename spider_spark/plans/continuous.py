@@ -73,7 +73,7 @@ class ContinuousCrawler:
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  config: CrawlConfig | None = None,
                  expected_urls: int | None = None, n_shards: int = 1,
-                 io=None):
+                 io=None, spill_dir: str | None = None):
         self.spark = spark
         self.pages = pages
         self.config = config or CrawlConfig()
@@ -82,6 +82,14 @@ class ContinuousCrawler:
             self.config = replace(self.config, durable=True)
         if io is None and self.config.durable:
             raise ValueError("durable config requires io=")
+        # corpus-lifetime filter: at 10^10 URLs it must not live on the
+        # driver — durable mode spills shards next to the store by default
+        # (same shared filesystem the warehouse already requires)
+        if spill_dir is None and io is not None and hasattr(io, "root"):
+            import os
+
+            spill_dir = os.path.join(io.root, "_filters")
+        self.spill_dir = spill_dir
         self.expected = expected_urls or 1_000_000
         self.n_shards = n_shards
         self.seen: DataFrame | None = None   # (canon_url, depth, admission_rank)
@@ -103,6 +111,7 @@ class ContinuousCrawler:
             raise ValueError("attach() requires durable mode (io=)")
         if self.seen is not None:
             raise ValueError("already bootstrapped/attached")
+        self._reset_spill()
         probe = CrawlEngine(self.spark, self.pages, self.config, io=self.io)
         meta = probe.rollback_dangling()
         if not meta:
@@ -114,18 +123,29 @@ class ContinuousCrawler:
         self.filter = build_cuckoo(
             self.seen.select("canon_url"), "canon_url",
             expected=max(self.expected, 2 * meta["next_rank"]),
-            n_shards=self.n_shards,
+            n_shards=self.n_shards, spill_dir=self.spill_dir,
         )
 
     def _ckpt(self, df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+
+    def _reset_spill(self) -> None:
+        """The spill dir holds only derived filter state (rebuildable from
+        the seen table) and is dedicated to this crawler — a fresh
+        bootstrap/attach clears dead predecessors' shard files."""
+        if self.spill_dir is not None:
+            import shutil
+
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
 
     def bootstrap(self, seeds) -> CrawlResult:
         """Initial corpus build: a normal crawl whose admissions populate
         both the exact seen table and the long-lived cuckoo filter."""
         if self.seen is not None:
             raise ValueError("already bootstrapped; use wave()")
-        self.filter = ShardedCuckoo(self.expected, n_shards=self.n_shards)
+        self._reset_spill()
+        self.filter = ShardedCuckoo(self.expected, n_shards=self.n_shards,
+                                    spill_dir=self.spill_dir)
         engine = self._engine()
         result = engine.crawl(seeds)
         self.filter = engine.seen_filter  # may have grown
@@ -158,6 +178,8 @@ class ContinuousCrawler:
         if n_due:
             delete_from(self.filter, due, "canon_url", count_items=False)
             self.filter.n_items -= n_due
+            if self.filter.spilled:
+                self.filter.gc_spill()
             self.seen = self._ckpt(
                 self.seen.join(due, on="canon_url", how="left_anti")
             )

@@ -112,6 +112,15 @@ class CrawlConfig:
     bloom_shards: int = 1           # 10^10 path: shard by url-hash so each
                                     # executor task pulls only the broadcast
                                     # shards its rows touch (bloom.py)
+    filter_spill_dir: str | None = None  # 10^10 path, part 2: seen-filter
+                                    # shards live as versioned files on a
+                                    # shared filesystem (built/mutated/probed
+                                    # executor-side); the driver holds only
+                                    # paths — without this an in-memory
+                                    # filter puts the WHOLE aggregate on the
+                                    # driver at every build/grow (~12 GB
+                                    # bloom / ~21 GB cuckoo at 10^10 URLs)
+                                    # and fails loudly past 4 GiB (bloom.py)
     salt: int = 8                   # politeness salting factor (H4)
     strict_bfs: bool = True         # budgeted rounds fetch min-depth level only:
                                     # preserves min-depth discovery, making the
@@ -371,9 +380,11 @@ class CrawlEngine:
                 bigger = 4 * max(ck.n_items + n_seeds, 1)
                 grown = (
                     build_cuckoo(prior_seen.select("canon_url"), "canon_url",
-                                 expected=bigger, n_shards=ck.n_shards)
+                                 expected=bigger, n_shards=ck.n_shards,
+                                 spill_dir=ck.spill_dir)
                     if prior_seen is not None
-                    else ShardedCuckoo(bigger, n_shards=ck.n_shards)
+                    else ShardedCuckoo(bigger, n_shards=ck.n_shards,
+                                       spill_dir=ck.spill_dir)
                 )
                 grown.n_items = ck.n_items
                 ck.destroy_broadcasts()
@@ -390,7 +401,8 @@ class CrawlEngine:
         metrics: list[RoundMetrics] = []
         bloom = (
             ShardedBloom(self.config.bloom_capacity, self.config.bloom_fpp,
-                         self.config.bloom_shards)
+                         self.config.bloom_shards,
+                         spill_dir=self.config.filter_spill_dir)
             if self.config.use_bloom and self.seen_filter is None
             else None
         )
@@ -469,10 +481,13 @@ class CrawlEngine:
         near nominal instead of silently saturating (VERDICT r1 wrong-1)."""
         bloom.destroy_broadcasts()  # the superseded filter's handles die here
         bigger = ShardedBloom(
-            4 * max(bloom.n_items, 1), self.config.bloom_fpp, bloom.n_shards
+            4 * max(bloom.n_items, 1), self.config.bloom_fpp, bloom.n_shards,
+            spill_dir=bloom.spill_dir,
         )
         build_into(bigger, seen, "canon_url", count_items=False)
         bigger.n_items = bloom.n_items
+        if bloom.spilled:
+            bloom.store.gc([])  # superseded filter's shard files
         return bigger
 
     def _run_round(self, state: "_RoundState", bloom: ShardedBloom | None):
@@ -723,6 +738,10 @@ class CrawlEngine:
                 stats_collector=collector, bucket_expr=bucket,
             ),
         )
+        if bloom is not None and bloom.spilled:
+            # the fill job just wrote the next shard version; the probe jobs
+            # that read the previous one ran inside _dedupe — drop it
+            bloom.gc_spill()
 
         if n_new:
             # pure-JVM projection over the ranking's checkpoint — host came
@@ -767,15 +786,19 @@ class CrawlEngine:
                         grown = build_cuckoo(
                             seen.select("canon_url"), "canon_url",
                             expected=4 * max(ck.n_items + n_new, 1),
-                            n_shards=ck.n_shards,
+                            n_shards=ck.n_shards, spill_dir=ck.spill_dir,
                         )
                         grown.n_items = ck.n_items + n_new
                         ck.destroy_broadcasts()
+                        if ck.spilled:
+                            ck.store.gc([])  # superseded filter's files
                         self.seen_filter = grown
                     else:
                         add_into(ck, ranked.select("canon_url"), "canon_url",
                                  count_items=False)
                         ck.n_items += n_new
+                        if ck.spilled:
+                            ck.gc_spill()
 
                 self._timed("bloom", _ck_add)
             if no_politeness:
@@ -926,7 +949,7 @@ class CrawlEngine:
             rebuilt = build_cuckoo(
                 seen.select("canon_url"), "canon_url",
                 expected=max(old.expected, 2 * meta["next_rank"]),
-                n_shards=old.n_shards,
+                n_shards=old.n_shards, spill_dir=old.spill_dir,
             )
             rebuilt.n_items = meta["next_rank"]
             self.seen_filter = rebuilt
@@ -936,6 +959,7 @@ class CrawlEngine:
             bloom = ShardedBloom(
                 max(self.config.bloom_capacity, 2 * meta["next_rank"]),
                 self.config.bloom_fpp, self.config.bloom_shards,
+                spill_dir=self.config.filter_spill_dir,
             )
             build_into(bloom, seen, "canon_url", count_items=False)
             bloom.n_items = meta["next_rank"]

@@ -106,3 +106,41 @@ class TestShardedCuckoo:
         ck = ShardedCuckoo(expected=8, n_shards=1)
         with pytest.raises(RuntimeError, match="overflow"):
             add_into(ck, seen, "url")
+
+
+class TestSpillMode:
+    """VERDICT r3 #3 (cuckoo side): spilled shards are built, mutated and
+    probed executor-side through versioned files; the driver holds paths."""
+
+    def test_build_delete_probe_parity(self, spark, tmp_path):
+        seen = spark.createDataFrame(
+            [(f"https://h{i % 19}.example/p/{i}",) for i in range(2_000)],
+            "url string",
+        ).cache()
+        mem = build_cuckoo(seen, "url", n_shards=4)
+        spl = build_cuckoo(seen, "url", n_shards=4, spill_dir=str(tmp_path))
+        assert spl.spilled and not hasattr(spl, "shards")
+        assert spl.n_items == mem.n_items == 2_000
+
+        due = seen.filter(F.col("url").rlike("/p/1[0-4][0-9][0-9]$"))
+        delete_from(mem, due, "url")
+        delete_from(spl, due, "url")
+        remaining = seen.join(due, on="url", how="left_anti")
+        got_m = {r["url"] for r in
+                 filter_unseen_cuckoo(seen, "url", remaining, mem).collect()}
+        got_s = {r["url"] for r in
+                 filter_unseen_cuckoo(seen, "url", remaining, spl).collect()}
+        want = {r["url"] for r in due.collect()}
+        assert got_s == got_m == want
+        # delete bumped the version; gc drops the superseded files
+        assert spl.version == 2
+        assert spl.gc_spill() > 0
+        got_after = {r["url"] for r in
+                     filter_unseen_cuckoo(seen, "url", remaining, spl).collect()}
+        assert got_after == want
+
+    def test_driver_bytes_bound_fires_loudly(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="spill_dir"):
+            ShardedCuckoo(expected=1_000_000, max_driver_bytes=1024)
+        ShardedCuckoo(expected=1_000_000, spill_dir=str(tmp_path),
+                      max_driver_bytes=1024)
