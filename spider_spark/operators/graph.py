@@ -166,11 +166,24 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     )
     n_nodes = nodes.count()
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n_nodes)
-    ranks = nodes.withColumn(
-        "rank", F.lit(scale // n_nodes).cast("long")
-    ).localCheckpoint(eager=True)
+    # the dangling-node set is fixed (deg never changes), so the rank state
+    # carries a has-out-edges flag: per iteration the sink mass is a scan +
+    # 1-row aggregate over the checkpointed ranks, never a repeated
+    # anti-join against deg
+    ranks = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"),
+                       F.lit(True).alias("__out")),
+            on="node", how="left",
+        )
+        .select(
+            "node",
+            F.lit(scale // n_nodes).cast("long").alias("rank"),
+            F.coalesce("__out", F.lit(False)).alias("__out"),
+        )
+        .localCheckpoint(eager=True)
+    )
     srcs = wedges.join(deg, on="src")
-    out_nodes = deg.select(F.col("src").alias("node"))
     for _ in range(n_iter):
         contrib = (
             srcs.join(ranks, srcs["src"] == ranks["node"])
@@ -183,12 +196,12 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             F.sum("c").alias("inc")
         )
         # sink mass: one-row aggregate, broadcast into the update
-        dangling = (
-            ranks.join(out_nodes, on="node", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang"))
+        dangling = ranks.filter(~F.col("__out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang")
         )
         ranks = (
-            nodes.join(incoming, nodes["node"] == incoming["inode"], "left")
+            ranks.select("node", "__out")
+            .join(incoming, F.col("node") == incoming["inode"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 F.col("node"),
@@ -199,6 +212,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
                         f" + (dang div {n_nodes}L))) div {PR_DAMP_DEN}"
                     )
                 ).alias("rank"),
+                F.col("__out"),
             )
             .localCheckpoint(eager=True)
         )
