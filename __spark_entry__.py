@@ -458,6 +458,28 @@ def _q_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+DECONTAM_N = 8
+
+
+def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / The Pile): flag every
+    training doc sharing a word 8-gram with the benchmark set (here the
+    deterministic doc_id % 97 == 0 slice, standing in for an eval suite).
+    Benchmark shingles broadcast; per-doc overlap counts are one keyed
+    agg — exact integers, full hash oracle (operators/decontam.py)."""
+    from spider_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=DECONTAM_N)
+
+
+def _sql_decontamination() -> str:
+    from spider_spark.operators.decontam import decontaminate_sql
+
+    return decontaminate_sql("doc_id % 97 = 0", n=DECONTAM_N)
+
+
 _SQL_EXACT_DUPES = f"""
 WITH fp AS (SELECT doc_id, md5({NORM_SQL.format(x='text')}) AS fingerprint
             FROM documents)
@@ -1364,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_breakdown": _q_lang_breakdown,
         # dedup suite
         "exact_dupes": _q_exact_dupes,
+        "decontamination_stats": _q_decontamination,  # benchmark n-gram leak scan
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -1428,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
         "host_page_counts": _SQL_HOST_COUNTS,
         "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,
+        "decontamination_stats": _sql_decontamination(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
         "minhash_signatures": minhash_signatures_sql(),
