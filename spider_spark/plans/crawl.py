@@ -388,6 +388,8 @@ class CrawlEngine:
                 )
                 grown.n_items = ck.n_items
                 ck.destroy_broadcasts()
+                if ck.spilled:
+                    ck.store.gc([])  # superseded filter's shard files
                 self.seen_filter = grown
             add_into(self.seen_filter, seen.select("canon_url"), "canon_url",
                      count_items=False)
