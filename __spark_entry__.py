@@ -577,6 +577,66 @@ SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
+def _q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end training-data pipeline composition:
+    dedup survivors (exact fingerprints + MinHash-LSH→CC clusters) minus
+    benchmark-contaminated docs (8-gram overlap with the doc_id%97 eval
+    slice), filled per source domain to a char budget in hash order
+    (two-stage prefix sum), hash-split 90/7/3, summarized per (split,
+    source). Every stage is the already-oracled operator; the composition
+    itself is what a user runs to cut a training mix from a crawled
+    corpus — one bounded-key shuffle per stage, no all-pairs, no rand()."""
+    from spider_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    surv = docs.join(
+        _q_corpus_survivors(spark, sf_dir).select("doc_id"),
+        on="doc_id", how="left_semi",
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # contamination is a per-doc property vs the external benchmark, so the
+    # full-corpus scan (the decontamination_stats query) reuses verbatim
+    contaminated = decontaminate(docs, bench, n=DECONTAM_N).filter(
+        F.col("contaminated")
+    ).select("doc_id")
+    clean = surv.join(contaminated, on="doc_id", how="left_anti")
+    keyed = clean.withColumn("k", F.col("doc_id").cast("string"))
+    budgeted = token_budget_sample(keyed, "source", "k", "n_chars",
+                                   BUDGET_CHARS)
+    out = hash_split(budgeted, key_col="k", splits=SPLITS)
+    return out.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def _sql_training_mix() -> str:
+    from spider_spark.operators.decontam import decontaminate_sql
+
+    budget_sql = token_budget_sample_sql(
+        "source", "doc_id::VARCHAR", "n_chars", BUDGET_CHARS,
+        "source, doc_id, n_chars", table="clean",
+    )
+    return f"""
+    WITH survivors AS MATERIALIZED (
+      SELECT doc_id FROM ({_SQL_CORPUS_SURVIVORS})
+    ),
+    contaminated AS MATERIALIZED (
+      SELECT doc_id FROM ({decontaminate_sql("doc_id % 97 = 0", n=DECONTAM_N)})
+      WHERE contaminated
+    ),
+    clean AS MATERIALIZED (
+      SELECT * FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM survivors)
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    budgeted AS ({budget_sql})
+    SELECT {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split, source,
+           count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+    FROM budgeted GROUP BY 1, 2
+    """
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every error event with the latest click by the same user
     at or before it (trailing-context attachment — the temporal primitive
@@ -1426,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_clean": _q_segment_dedup_clean,  # CCNet line-level dedup
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
+        "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -1489,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_clean": _SQL_SEGMENT_DEDUP,
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
+        "training_mix": _sql_training_mix(),
         "recrawl_due": _SQL_RECRAWL_DUE,
         "bm25_search": _SQL_BM25,
         "bm25_index_search": _SQL_BM25,
