@@ -23,6 +23,7 @@ from spider_spark.functions.multimodal import extract_features, sample_frames, s
 from spider_spark.functions.text import (
     alpha_ratio,
     bpe_ish_token_count,
+    gopher_rules_sql,
     lang_id_sql,
     make_lang_id_udf,
     repetition_stats_sql,
@@ -459,6 +460,17 @@ def _q_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAM_N = 8
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality-rule bundle (Rae et al. 2021 §A1.1): word
+    count / mean word length / symbol ratio / bullet / ellipsis / alpha
+    words / stopword rules per document, every ratio as integer
+    cross-multiplication so both engines agree bit-for-bit. One projection,
+    no shuffle, no UDF (functions/text.py:gopher_rules)."""
+    from spider_spark.functions.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
 
 
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite
         "exact_dupes": _q_exact_dupes,
         "decontamination_stats": _q_decontamination,  # benchmark n-gram leak scan
+        "gopher_quality": _q_gopher_quality,      # published rule-bundle filter
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -1513,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,
         "decontamination_stats": _sql_decontamination(),
+        "gopher_quality": gopher_rules_sql(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
         "minhash_signatures": minhash_signatures_sql(),

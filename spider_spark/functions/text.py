@@ -124,6 +124,126 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
 # ---------------------------------------------------------------------------
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document evaluation of the published Gopher quality rules (Rae
+    et al. 2021, §A1.1) — the standard webtext pre-filter bundle, distinct
+    from the cheap composite :func:`quality_score`:
+
+    1. 50 ≤ word count ≤ 100,000;
+    2. mean word length in [3, 10];
+    3. symbol-to-word ratio (``#`` or ``...``) ≤ 0.1;
+    4. ≤ 10% of lines start with a bullet (``-``/``*``);
+    5. ≤ 30% of lines end with an ellipsis;
+    6. ≥ 80% of words contain an alphabetic character;
+    7. at least 2 of the 8 Gopher stop words present.
+
+    Every ratio test is integer cross-multiplication (``10*symbols ≤
+    words``), never a float division, so the DuckDB mirror
+    (:func:`gopher_rules_sql`) agrees bit-for-bit. Pure Column
+    expressions — one projection, no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    raw = F.col(text_col)
+    norm = normalized_text(raw)
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    # chars across words = len(norm) - (n_words - 1) separators
+    word_chars = F.length(norm) - (n_words - F.lit(1))
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).startswith("-")
+                 | F.ltrim(l).startswith("*"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = sum(
+        (F.array_contains(words, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    rules = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words),
+        "symbol_ratio_ok": 10 * n_symbols <= n_words.cast("long"),
+        "bullet_ok": 10 * n_bullet <= n_lines,
+        "ellipsis_ok": 10 * n_ell_end <= 3 * n_lines,
+        "alpha_words_ok": 10 * n_alpha_words >= 8 * n_words,
+        "stopwords_ok": n_stop >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else passes & c
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )
+
+
+def gopher_rules_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`gopher_rules` — identical integer tests."""
+    from spider_spark.operators.dedupe import NORM_SQL
+
+    norm = NORM_SQL.format(x=text_col)
+    stop_sum = " + ".join(
+        f"list_contains(words, '{w}')::INT" for w in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {text_col} AS raw, {norm} AS norm,
+             string_split({norm}, ' ') AS words,
+             string_split({text_col}, chr(10)) AS lines
+      FROM {table}
+    ),
+    m AS (
+      SELECT {id_col},
+             len(words)::BIGINT AS n_words,
+             (length(norm) - (len(words) - 1))::BIGINT AS word_chars,
+             (length(raw) - length(replace(raw, '#', '')))::BIGINT
+               + (length(raw) - length(replace(raw, '...', ''))) // 3
+               AS n_symbols,
+             len(lines)::BIGINT AS n_lines,
+             len(list_filter(lines, l -> ltrim(l) LIKE '-%'
+                                      OR ltrim(l) LIKE '*%'))::BIGINT
+               AS n_bullet,
+             len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::BIGINT
+               AS n_ell_end,
+             len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::BIGINT
+               AS n_alpha_words,
+             ({stop_sum})::BIGINT AS n_stop
+      FROM base
+    )
+    SELECT {id_col}, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+             AS mean_word_len_ok,
+           (10 * n_symbols <= n_words) AS symbol_ratio_ok,
+           (10 * n_bullet <= n_lines) AS bullet_ok,
+           (10 * n_ell_end <= 3 * n_lines) AS ellipsis_ok,
+           (10 * n_alpha_words >= 8 * n_words) AS alpha_words_ok,
+           (n_stop >= 2) AS stopwords_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (10 * n_bullet <= n_lines)
+            AND (10 * n_ell_end <= 3 * n_lines)
+            AND (10 * n_alpha_words >= 8 * n_words)
+            AND (n_stop >= 2)) AS passes
+    FROM m
+    """
+
+
 def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document repetition signals used by webtext quality filters
     (the Gopher-rules family): the fraction of duplicated lines and the

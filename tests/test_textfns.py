@@ -146,3 +146,46 @@ class TestLangIDHeldOut:
         con.register("documents", df.toPandas())
         want = dict(con.execute(lang_id_sql()).fetchall())
         assert got == want
+
+
+class TestGopherRules:
+    """Published Gopher rule bundle: hand-checkable rule firings + DuckDB
+    mirror parity (integer cross-multiplication tests, no float ratios)."""
+
+    @pytest.fixture(scope="class")
+    def crafted(self, spark):
+        good = " ".join(
+            "the quick brown fox jumps over with that have lazy dogs".split()
+            * 6
+        )  # 60 words, stopwords present, all-alpha, mean len ~4
+        rows = [
+            (0, good),
+            (1, "short doc"),                          # fails word count
+            (2, " ".join(["####"] * 60)),              # symbols + no alpha + no stopwords
+            (3, good + "\n" + "\n".join(["- item"] * 20)),  # bullet-heavy
+            (4, good.replace("dogs", "dogs...") + " " +
+                " ".join(["filler"] * 0)),             # a few ellipses, still ok
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_rule_firings(self, crafted):
+        got = {r["doc_id"]: r.asDict() for r in
+               __import__("spider_spark.functions.text",
+                          fromlist=["gopher_rules"]).gopher_rules(crafted).collect()}
+        assert got[0]["passes"] is True
+        assert got[1]["word_count_ok"] is False and got[1]["passes"] is False
+        assert got[2]["alpha_words_ok"] is False
+        assert got[2]["stopwords_ok"] is False
+        assert got[3]["bullet_ok"] is False and got[3]["passes"] is False
+
+    def test_matches_duckdb_mirror(self, spark, crafted, sf_dir):
+        import duckdb
+
+        from spider_spark.functions.text import gopher_rules, gopher_rules_sql
+
+        for df in (crafted, spark.read.parquet(f"{sf_dir}/documents.parquet")):
+            got = {tuple(r) for r in gopher_rules(df).collect()}
+            con = duckdb.connect()
+            con.register("documents", df.toPandas())
+            want = {tuple(r) for r in con.execute(gopher_rules_sql()).fetchall()}
+            assert got == want
