@@ -252,6 +252,42 @@ def main() -> None:
     force(pagerank(host_edges, n_iter=10))
     queries["host_pagerank"] = round(time.perf_counter() - t0, 3)
 
+    # ---- graph ops at web scale: 10^6 nodes / 10^7 edges ----------------
+    # The sf0.1 entries above exercise correctness-scale graphs; this block
+    # measures the O(log d) CC claim and the per-iteration PageRank shuffle
+    # on a graph sized like a real host graph. Deterministic structure:
+    # nodes partitioned into blocks of G_BLOCK, each node linking to the
+    # nodes at +2^j (mod block) for j in 0..deg-1 — a ring plus binary
+    # chords, so every block is one component of logarithmic diameter and
+    # the expected cluster count is exactly n_nodes / G_BLOCK (asserted).
+    g_nodes = int(os.environ.get("SPARK_GRAFT_GRAPH_NODES", "1000000"))
+    G_DEG, G_BLOCK = 10, 1000
+    v = F.col("id")
+    blk = (v / G_BLOCK).cast("long") * G_BLOCK
+    off = v - blk
+    gedges = (
+        spark.range(g_nodes)
+        .select(
+            v.alias("src"),
+            F.explode(
+                F.array(*[blk + (off + (1 << j)) % G_BLOCK for j in range(G_DEG)])
+            ).alias("dst"),
+        )
+        .localCheckpoint(eager=True)  # generation is un-timed setup
+    )
+    cc_stats: dict = {}
+    t0 = time.perf_counter()
+    gcc = connected_components(
+        gedges, id_a="src", id_b="dst", stats=cc_stats
+    ).localCheckpoint(eager=True)
+    queries["graph_cc_1m"] = round(time.perf_counter() - t0, 3)
+    n_clusters = gcc.select("cluster_id").distinct().count()
+    assert n_clusters == g_nodes // G_BLOCK, n_clusters
+
+    t0 = time.perf_counter()
+    force(pagerank(gedges, n_iter=10))
+    queries["graph_pagerank_1m"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     force(span_dup_stats(docs, width=8, stride=2))
     queries["dup_spans"] = round(time.perf_counter() - t0, 3)
@@ -298,6 +334,10 @@ def main() -> None:
                 "polite_rounds": len(presult.metrics),
                 "polite_carryover": sum(m.carryover for m in presult.metrics),
                 "recrawl_due_urls": n_due,
+                "graph_nodes": g_nodes,
+                "graph_edges": g_nodes * G_DEG,
+                "graph_cc_rounds": cc_stats.get("rounds"),
+                "graph_cc_clusters": n_clusters,
                 "n_pages_table": n_pages,
                 "cpus": cpus,
                 "crawl_frontier_all_runs": [round(s, 3) for s in crawl_runs],

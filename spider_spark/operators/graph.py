@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50,
+                         stats: dict | None = None) -> DataFrame:
     """``(id, cluster_id)`` for every node appearing in ``pairs``, where
     ``cluster_id`` is the minimum node id of the connected component.
 
@@ -51,7 +52,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     rounds (d = component diameter), two shuffles per round, state is one
     (id, label) row per node. Near-dup components are shallow (dups of a
     page are dups of each other), so this terminates in a handful of
-    rounds on real corpora; ``max_iter`` is a defensive bound."""
+    rounds on real corpora; ``max_iter`` is a defensive bound. When a
+    ``stats`` dict is supplied, the executed round count is written to
+    ``stats['rounds']`` (the measurable form of the O(log d) claim)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -64,7 +67,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min label among neighbors, one groupBy(dst) shuffle
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -102,6 +107,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = jumped
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 

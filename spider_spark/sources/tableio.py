@@ -587,6 +587,33 @@ class IcebergTableIO(TableIO):
     def count(self, name: str) -> int:
         return self.read(name).count()
 
+    def current_version(self, name: str) -> int:
+        """The table's current snapshot id (Iceberg's analog of the
+        manifest version): newest row of the ``.history`` metadata table
+        that is a current ancestor."""
+        if not self.exists(name):
+            raise TableNotFoundError(name)
+        row = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self._qn(name)}.history "
+                f"WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
+            ).collect()
+        )
+        if not row:
+            raise TableNotFoundError(f"{name}: no snapshots")
+        return int(row[0]["snapshot_id"])
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll the table back to snapshot ``version`` via the
+        ``rollback_to_snapshot`` stored procedure (needs the Iceberg SQL
+        extensions on the session)."""
+        if not self.exists(name):
+            raise TableNotFoundError(name)
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rollback_to_snapshot("
+            f"'{self.namespace}.{name}', {int(version)})"
+        )
+
     def drop(self, name: str, *, check_first: bool = True) -> None:
         if not self.exists(name) and not check_first:
             raise TableNotFoundError(name)

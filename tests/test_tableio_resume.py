@@ -1,6 +1,13 @@
 """TableIO merge/DDL semantics (S3/U1/S9) and durable crawl kill/resume
 (E6 analog: per-round atomic commit makes interruption safe anywhere)."""
 
+import glob
+import os
+import pathlib
+import subprocess
+import sys
+import textwrap
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -240,6 +247,114 @@ class TestIcebergMergeSQL:
         )
         assert "ON t.k = s.k" in sql
         assert "t.a = s.a" in sql and "t.b" not in sql
+
+
+def _iceberg_jar():
+    """Locate an iceberg-spark-runtime jar if one is installed (env
+    override, Spark's jars dir, or the ivy cache). None in this sandbox —
+    the e2e test below lights up the moment an environment ships it."""
+    cands = []
+    env = os.environ.get("SPIDER_ICEBERG_JAR")
+    if env:
+        cands += glob.glob(env)
+    try:
+        import pyspark
+
+        cands += glob.glob(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                         "iceberg-spark-runtime*.jar")
+        )
+    except ImportError:
+        pass
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        cands += glob.glob(os.path.join(spark_home, "jars",
+                                        "iceberg-spark-runtime*.jar"))
+    cands += glob.glob(
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*.jar")
+    )
+    return cands[0] if cands else None
+
+
+@pytest.mark.skipif(
+    _iceberg_jar() is None,
+    reason="no iceberg-spark-runtime jar in this environment (VERDICT r3 "
+    "next-9: gated e2e, green where the runtime exists)",
+)
+class TestIcebergEndToEnd:
+    """The production storage path, end-to-end: create → MERGE upsert
+    (both overwrite modes) → snapshot → rollback_to_snapshot → hidden
+    bucket-partitioned rewrite + join. Runs in a subprocess because the
+    Iceberg catalog + SQL extensions must be set at JVM launch, and the
+    suite's shared SparkSession is already up without them."""
+
+    def test_create_merge_snapshot_restore_bucketed_join(self, tmp_path):
+        repo = str(pathlib.Path(__file__).resolve().parents[1])
+        script = textwrap.dedent(f"""
+            import sys
+            sys.path.insert(0, {repo!r})
+            from pyspark.sql import SparkSession
+            spark = (
+                SparkSession.builder.master("local[2]")
+                .config("spark.jars", {_iceberg_jar()!r})
+                .config("spark.sql.extensions",
+                        "org.apache.iceberg.spark.extensions"
+                        ".IcebergSparkSessionExtensions")
+                .config("spark.sql.catalog.ice",
+                        "org.apache.iceberg.spark.SparkCatalog")
+                .config("spark.sql.catalog.ice.type", "hadoop")
+                .config("spark.sql.catalog.ice.warehouse",
+                        "file://{tmp_path}/ice_wh")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            from spider_spark.sources.tableio import IcebergTableIO, open_tableio
+
+            io = open_tableio(spark, "{tmp_path}/unused")
+            assert isinstance(io, IcebergTableIO), type(io)
+
+            def rows(xs):
+                return spark.createDataFrame(
+                    xs, "url string, title string, parent string, "
+                        "content_ref string")
+
+            io.create("results", rows([("u1", "A", "p", "f1"),
+                                       ("u2", "B", "p", "f2")]))
+            v1 = io.current_version("results")
+            io.merge_upsert("results", rows([("u1", "A2", "p", "f9"),
+                                             ("u3", "C", "p", "f3")]))
+            got = {{r["url"]: (r["title"], r["content_ref"])
+                   for r in io.read("results").collect()}}
+            assert got == {{"u1": ("A2", "f9"), "u2": ("B", "f2"),
+                           "u3": ("C", "f3")}}, got
+            # --no-overwrite: blob pointer keeps its stored value (U1)
+            io.merge_upsert("results", rows([("u1", "A3", "p", "fX")]),
+                            overwrite=False)
+            got = {{r["url"]: (r["title"], r["content_ref"])
+                   for r in io.read("results").collect()}}
+            assert got["u1"] == ("A3", "f9"), got
+            # snapshot rollback restores the pre-merge state
+            io.restore("results", v1)
+            got = {{r["url"]: r["title"] for r in io.read("results").collect()}}
+            assert got == {{"u1": "A", "u2": "B"}}, got
+            # hidden bucket partitioning + join on the bucket key
+            io.commit_overwrite(
+                "results",
+                rows([(f"u{{i}}", "T", "p", "f") for i in range(20)]),
+                bucket_by="url", buckets=8)
+            other = spark.createDataFrame(
+                [(f"u{{i}}",) for i in range(0, 20, 2)], "url string")
+            assert io.read("results").join(other, "url").count() == 10
+            io.drop("results")
+            print("ICEBERG_E2E_OK")
+        """)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=540,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "ICEBERG_E2E_OK" in proc.stdout
 
 
 class TestVacuumInCrawl:
