@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_spark.functions.multimodal import extract_features, sample_frames, synth_media
+from spider_spark.functions.clean import (
+    c4_clean_sql as _c4_clean_sql,
+    pii_redact_sql as _pii_redact_sql,
+)
 from spider_spark.functions.text import (
     alpha_ratio,
     bpe_ish_token_count,
@@ -460,6 +464,25 @@ def _q_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAM_N = 8
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published C4 cleaning bundle (Raffel et al. 2020 §2.2): terminal-
+    punctuation + ≥5-word + no-javascript line filter, ≥3-sentence /
+    lorem-ipsum / curly-brace page rules. One projection, no shuffle, no
+    UDF (functions/clean.py:c4_clean)."""
+    from spider_spark.functions.clean import c4_clean
+
+    return c4_clean(_docs(spark, sf_dir))
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → IPv4 → phone digit runs, in that order)
+    with per-type counts; regexes from the Java∩RE2 subset so the DuckDB
+    mirror is bit-identical (functions/clean.py:pii_redact)."""
+    from spider_spark.functions.clean import pii_redact
+
+    return pii_redact(_docs(spark, sf_dir))
 
 
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1460,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dupes": _q_exact_dupes,
         "decontamination_stats": _q_decontamination,  # benchmark n-gram leak scan
         "gopher_quality": _q_gopher_quality,      # published rule-bundle filter
+        "c4_clean": _q_c4_clean,                  # published line-level cleaner
+        "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "minhash_signatures": _q_minhash_sigs,
@@ -1527,6 +1552,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dupes": _SQL_EXACT_DUPES,
         "decontamination_stats": _sql_decontamination(),
         "gopher_quality": gopher_rules_sql(),
+        "c4_clean": _c4_clean_sql(),
+        "pii_redact": _pii_redact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
         "minhash_signatures": minhash_signatures_sql(),
