@@ -56,11 +56,14 @@ from spider_spark.operators.graph import (
     pagerank,
     pagerank_sql,
 )
+from spider_spark.operators.blocklist import blocklist_filter, blocklist_filter_sql
 from spider_spark.operators.sampling import (
     hash_split,
     hash_split_sql,
     stratified_sample,
     stratified_sample_sql,
+    temperature_mix_sample,
+    temperature_mix_sample_sql,
     token_budget_sample,
     token_budget_sample_sql,
 )
@@ -798,6 +801,45 @@ _SQL_TOKEN_BUDGET = token_budget_sample_sql(
     "source, doc_id, n_chars",
 )
 
+TEMP_MIX_BUDGET = 250
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (α = 1/2): rebalance the corpus
+    across languages so tail languages are upsampled relative to
+    proportional sampling — keep probability ∝ √n_s / n_s per group,
+    deterministic via the shared md5 keep-threshold. One tiny count-agg
+    plus a zero-shuffle filter scan (operators/sampling.py)."""
+    docs = _docs(spark, sf_dir).withColumn("k", F.col("doc_id").cast("string"))
+    return temperature_mix_sample(
+        docs, "lang", "k", TEMP_MIX_BUDGET
+    ).select("lang", "doc_id")
+
+
+_SQL_TEMP_MIX = temperature_mix_sample_sql(
+    "lang", "doc_id::VARCHAR", TEMP_MIX_BUDGET, "lang, doc_id"
+)
+
+BLOCKED_DOMAINS = ["h3.example", "h7.example"]
+
+
+def _q_blocklist_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist scrub: drop every page whose URL host
+    falls under a blocked registrable domain (suffix semantics — a blocked
+    domain also blocks all its subdomains). Broadcast blocklist, bounded
+    suffix explode of a 2-column projection, keyed anti-join back
+    (operators/blocklist.py)."""
+    pages = pages_from_documents(spark, sf_dir).select("url")
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["domain"]
+    )
+    return blocklist_filter(pages, "url", blocked)
+
+
+_SQL_BLOCKLIST = blocklist_filter_sql(
+    f"SELECT {_url_sql('doc_id')} AS url FROM documents", BLOCKED_DOMAINS
+)
+
 RECRAWL_NOW_OFFSET, RECRAWL_TTL, RECRAWL_JITTER = 600, 300, 0.2
 
 
@@ -1524,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup_clean": _q_segment_dedup_clean,  # CCNet line-level dedup
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
+        "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
+        "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
@@ -1591,6 +1635,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_clean": _SQL_SEGMENT_DEDUP,
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
+        "temperature_mix_sample": _SQL_TEMP_MIX,
+        "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
         "recrawl_due": _SQL_RECRAWL_DUE,
         "bm25_search": _SQL_BM25,

@@ -17,7 +17,10 @@ exactly:
 * :func:`token_budget_sample` — fill each group up to a weight budget
   (tokens per source domain) in hash order, computed as a two-stage
   prefix sum: per-(group, hash-range-bucket) partial sums roll up to
-  tiny per-bucket offsets, so no single task ever scans a whole group.
+  tiny per-bucket offsets, so no single task ever scans a whole group;
+* :func:`temperature_mix_sample` — multi-corpus rebalancing with
+  temperature-flattened source weights (∝ √n_s), exact integer keep
+  thresholds, zero-shuffle keep/drop scan.
 """
 
 from __future__ import annotations
@@ -191,4 +194,74 @@ def token_budget_sample_sql(group_col: str, key_col: str, weight_col: str,
         ROWS UNBOUNDED PRECEDING
       ) AS _cum FROM {table}
     ) WHERE _cum - {weight_col} < {budget}
+    """
+
+
+def temperature_mix_sample(df: DataFrame, source_col: str, key_col: str,
+                           budget: int) -> DataFrame:
+    """Temperature-flattened source mixing (the multi-corpus rebalancing
+    step of training-data pipelines — sampling weights ∝ n_s^α with
+    α = 1/2, which upsamples tail sources relative to proportional
+    sampling): each source ``s`` keeps rows with probability
+
+        p_s = min(1, budget · w_s / (W · n_s)),   w_s = ⌊√n_s⌋, W = Σ w_s
+
+    so the expected sample size is ``budget`` rows distributed ∝ √n_s
+    (sources smaller than their allotment are taken whole). Deterministic:
+    a row is kept iff ``md5_60(key) < ⌊2^60 · p_s⌋`` — a pure function of
+    the row key, no ``rand()``.
+
+    α is fixed at 1/2 because ⌊√n⌋ is the one power law both engines
+    evaluate bit-identically (IEEE sqrt is correctly rounded; a general
+    ``pow`` is not) — the DuckDB mirror replays the thresholds exactly,
+    in 128-bit integer arithmetic.
+
+    Scale shape: one count-by-source aggregation (rows = #sources, tiny),
+    thresholds computed driver-side in exact integer math and broadcast;
+    the sample itself is a zero-shuffle filter scan."""
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    if not counts:
+        return df
+    big_w = sum(int(math.sqrt(n)) for n in counts.values())
+    two60 = 1 << 60
+    thr_rows = [
+        (s, min(two60, (two60 * budget * int(math.sqrt(n))) // (big_w * n)))
+        for s, n in counts.items()
+    ]
+    thr = df.sparkSession.createDataFrame(thr_rows, [source_col, "__thr"])
+    return (
+        df.join(F.broadcast(thr), on=source_col)
+        .filter(md5_60(F.col(key_col)) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def temperature_mix_sample_sql(source_col: str, key_col: str, budget: int,
+                               select_cols: str,
+                               table: str = "documents") -> str:
+    """DuckDB mirror of :func:`temperature_mix_sample`: identical integer
+    thresholds via HUGEINT (2^60·budget·w fits in 128 bits at any corpus
+    size this side of 10^18 rows)."""
+    h = md5_60_sql(key_col)
+    return f"""
+    WITH counts AS (
+      SELECT {source_col} AS s, count(*)::HUGEINT AS n
+      FROM {table} GROUP BY 1
+    ),
+    w AS (SELECT s, n, floor(sqrt(n))::HUGEINT AS w FROM counts),
+    thr AS (
+      SELECT s, least(
+        1152921504606846976::HUGEINT,
+        (1152921504606846976::HUGEINT * {budget} * w)
+          // ((SELECT sum(w) FROM w)::HUGEINT * n)
+      ) AS thr
+      FROM w
+    )
+    SELECT {select_cols}
+    FROM {table} d JOIN thr ON d.{source_col} = thr.s
+    WHERE ({h})::HUGEINT < thr
     """

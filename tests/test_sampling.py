@@ -11,6 +11,8 @@ from spider_spark.operators.dedupe import md5_60
 from spider_spark.operators.sampling import (
     stratified_sample,
     stratified_sample_sql,
+    temperature_mix_sample,
+    temperature_mix_sample_sql,
     token_budget_sample,
     token_budget_sample_sql,
 )
@@ -117,3 +119,89 @@ class TestTokenBudgetSample:
     def test_rejects_non_power_of_two_buckets(self, corpus):
         with pytest.raises(ValueError):
             token_budget_sample(corpus, "grp", "key", "w", 10, n_buckets=12)
+
+
+class TestTemperatureMix:
+    """temperature_mix_sample: √n source flattening with exact integer
+    keep thresholds — a pure function of (source counts, row key)."""
+
+    @pytest.fixture(scope="class")
+    def mix(self, spark):
+        # heavily skewed source sizes: 400 / 49 / 4
+        rows = [("head", f"h{i:04d}") for i in range(400)]
+        rows += [("mid", f"m{i:03d}") for i in range(49)]
+        rows += [("tail", f"t{i}") for i in range(4)]
+        return spark.createDataFrame(rows, "src string, key string").cache()
+
+    @staticmethod
+    def _py_reference(rows, budget):
+        """Independent Python replay: exact integer thresholds +
+        hashlib md5 (not the Spark expression)."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        counts = Counter(s for s, _ in rows)
+        big_w = sum(int(math.sqrt(n)) for n in counts.values())
+        two60 = 1 << 60
+        thr = {
+            s: min(two60, (two60 * budget * int(math.sqrt(n))) // (big_w * n))
+            for s, n in counts.items()
+        }
+        return {
+            (s, k)
+            for s, k in rows
+            if int(hashlib.md5(k.encode()).hexdigest()[:15], 16) < thr[s]
+        }
+
+    def test_matches_python_reference(self, spark, mix):
+        rows = [(r["src"], r["key"]) for r in mix.collect()]
+        for budget in (10, 100, 450):
+            got = {
+                tuple(r)
+                for r in temperature_mix_sample(mix, "src", "key", budget).collect()
+            }
+            assert got == self._py_reference(rows, budget), f"budget={budget}"
+
+    def test_matches_duckdb_mirror(self, spark, mix):
+        got = {
+            tuple(r)
+            for r in temperature_mix_sample(mix, "src", "key", 120).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", mix.toPandas())
+        sql = temperature_mix_sample_sql("src", "key", 120, "src, key", table="t")
+        want = set(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_small_sources_taken_whole_tails_upsampled(self, spark, mix):
+        # budget 120 over sizes 400/49/4 (w = 20/7/2, W = 29):
+        # tail allotment = 120·2/29 ≈ 8.3 > 4  → kept whole;
+        # head keep-rate ≈ 120·20/(29·400) ≈ 0.207 ≪ proportional (400/453).
+        out = temperature_mix_sample(mix, "src", "key", 120)
+        by = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+        assert by.get("tail", 0) == 4
+        assert 0 < by["head"] < 400
+        # flattening: head's keep-rate is strictly below mid's and tail's
+        assert by["head"] / 400 < by["mid"] / 49 < by.get("tail", 0) / 4
+
+    def test_budget_monotone_and_deterministic(self, spark, mix):
+        small = {
+            tuple(r)
+            for r in temperature_mix_sample(mix, "src", "key", 50).collect()
+        }
+        big = {
+            tuple(r)
+            for r in temperature_mix_sample(mix, "src", "key", 300).collect()
+        }
+        again = {
+            tuple(r)
+            for r in temperature_mix_sample(
+                mix.repartition(7), "src", "key", 50
+            ).collect()
+        }
+        assert small <= big
+        assert small == again
+
+    def test_huge_budget_keeps_everything(self, spark, mix):
+        assert temperature_mix_sample(mix, "src", "key", 10**6).count() == mix.count()
