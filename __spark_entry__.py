@@ -24,6 +24,10 @@ from spider_spark.functions.clean import (
     c4_clean_sql as _c4_clean_sql,
     pii_redact_sql as _pii_redact_sql,
 )
+from spider_spark.functions.perplexity import (
+    perplexity_buckets,
+    perplexity_buckets_sql,
+)
 from spider_spark.functions.text import (
     alpha_ratio,
     bpe_ish_token_count,
@@ -1051,6 +1055,17 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing: per-document integer milli-nat
+    perplexity under the frozen char-trigram LM of the document's own
+    ``lang`` column, split per-language into equal-count head/middle/tail
+    buckets (head = lowest perplexity); unmodeled languages and empty
+    docs → 'unscored'. Gram explode + broadcast weights + one doc-keyed
+    agg; tercile cutoffs from a value-range-bounded histogram
+    (functions/perplexity.py)."""
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
@@ -1542,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_then_clean": _q_crawl_then_clean,  # composed pipeline
         "rolling_fingerprint": _q_rolling_fp,
         "lang_id_counts": _q_lang_id,
+        "ccnet_perplexity_buckets": _q_ccnet_buckets,  # LM quality terciles
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1611,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,
         "lang_id_counts": lang_id_sql(),
+        "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
         "ann_ivf_topk": ivf_topk_sql(
             k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM
