@@ -101,6 +101,7 @@ from spider_spark.sources.pages import (
     oracle_results_sql,
     pages_from_documents,
     seed_url_for,
+    url_expr,
 )
 
 CRAWL_DEPTH = 5
@@ -676,6 +677,108 @@ def _sql_training_mix() -> str:
     SELECT {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split, source,
            count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
     FROM budgeted GROUP BY 1, 2
+    """
+
+
+WEB_CURATION_BUDGET = 150
+
+
+def _q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed FineWeb/RefinedWeb-style curation pipeline over the raw
+    corpus — the filter chain a webtext pipeline runs BEFORE the dedup+mix
+    cut of ``training_mix``:
+
+      1. domain blocklist scrub (suffix semantics, broadcast list);
+      2. Gopher structural quality rules (integer-exact bundle; the
+         English-stopword rule is deliberately NOT gated on — the corpus
+         is multilingual and that rule is language-specific, exactly why
+         Gopher applies it to English text only);
+      3. CCNet perplexity terciles, keeping head+middle (cutoffs computed
+         corpus-wide, as CCNet does, then intersected);
+      4. exact-dup keeper (min-id per normalized fingerprint);
+      5. temperature-flattened language rebalance (∝ √n, exact integer
+         thresholds).
+
+    Every stage is an already-oracled operator; stages 1-4 are semi/anti
+    joins on doc_id against tiny or keyed sides, stage 5 is a zero-shuffle
+    filter scan — no all-pairs, no rand(), no Python in the hot path."""
+    from spider_spark.functions.text import gopher_rules, normalized_text
+
+    docs = _docs(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], ["domain"]
+    )
+    unblocked = blocklist_filter(
+        docs.withColumn("url", url_expr(F.col("doc_id"))), "url", blocked
+    ).drop("url")
+    structural = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_words_ok",
+    ]
+    passing = gopher_rules(docs).filter(
+        " AND ".join(structural)
+    ).select("doc_id")
+    buckets = (
+        perplexity_buckets(docs)
+        .filter(F.col("bucket").isin("head", "middle"))
+        .select("doc_id", "bucket")
+    )
+    fp = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    exact_drop = (
+        fp.join(exact_duplicates(docs), on="fingerprint")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    curated = (
+        unblocked.join(passing, "doc_id", "left_semi")
+        .join(exact_drop, "doc_id", "left_anti")
+        .join(buckets, "doc_id")
+        .withColumn("k", F.col("doc_id").cast("string"))
+    )
+    mixed = temperature_mix_sample(curated, "lang", "k", WEB_CURATION_BUDGET)
+    return mixed.select("doc_id", "lang", "bucket")
+
+
+def _sql_web_curation() -> str:
+    from spider_spark.functions.text import gopher_rules_sql
+
+    bl = blocklist_filter_sql(
+        f"SELECT doc_id, {_url_sql('doc_id')} AS url FROM documents",
+        BLOCKED_DOMAINS, select_cols="doc_id",
+    )
+    mix = temperature_mix_sample_sql(
+        "lang", "doc_id::VARCHAR", WEB_CURATION_BUDGET,
+        "doc_id, lang, bucket", table="curated",
+    )
+    return f"""
+    WITH unblocked AS MATERIALIZED ({bl}),
+    gopher AS MATERIALIZED (
+      SELECT doc_id FROM ({gopher_rules_sql()})
+      WHERE word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+        AND bullet_ok AND ellipsis_ok AND alpha_words_ok
+    ),
+    buckets AS MATERIALIZED (
+      SELECT doc_id, bucket FROM ({perplexity_buckets_sql()})
+      WHERE bucket IN ('head', 'middle')
+    ),
+    fp AS (SELECT doc_id, md5({NORM_SQL.format(x='text')}) AS fingerprint
+           FROM documents),
+    grp AS (SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS c
+            FROM fp GROUP BY 1),
+    exact_drop AS (
+      SELECT f.doc_id FROM fp f JOIN grp g USING (fingerprint)
+      WHERE g.c > 1 AND f.doc_id <> g.keep_id),
+    curated AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, b.bucket
+      FROM documents d
+      JOIN unblocked u ON u.doc_id = d.doc_id
+      JOIN gopher g ON g.doc_id = d.doc_id
+      JOIN buckets b ON b.doc_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+    )
+    SELECT * FROM ({mix})
     """
 
 
@@ -1585,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
+        "web_curation": _q_web_curation,  # blocklist→gopher→ccnet→dedup→mix
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -1655,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_sample": _SQL_TEMP_MIX,
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
+        "web_curation": _sql_web_curation(),
         "recrawl_due": _SQL_RECRAWL_DUE,
         "bm25_search": _SQL_BM25,
         "bm25_index_search": _SQL_BM25,

@@ -66,12 +66,15 @@ def blocklist_filter(df: DataFrame, url_col: str, blocked: DataFrame,
 
 def blocklist_filter_sql(pages_sql: str, domains: list[str],
                          url_col: str = "url", max_labels: int = 6,
-                         keep_blocked: bool = False) -> str:
+                         keep_blocked: bool = False,
+                         select_cols: str | None = None) -> str:
     """DuckDB mirror of :func:`blocklist_filter` over ``pages_sql`` (must
     yield ``url_col``) with an inline literal blocklist — identical host
-    regex and suffix generation."""
+    regex and suffix generation. ``select_cols`` projects extra columns
+    of ``pages_sql`` through the filter (defaults to ``url_col``)."""
     vals = ", ".join(f"('{d.lower()}')" for d in domains)
     op = "IN" if keep_blocked else "NOT IN"
+    select_cols = select_cols or url_col
     return f"""
     WITH pages AS ({pages_sql}),
     b(domain) AS (VALUES {vals}),
@@ -90,5 +93,6 @@ def blocklist_filter_sql(pages_sql: str, domains: list[str],
       FROM hosts
     ),
     hit AS (SELECT DISTINCT {url_col} FROM sfx JOIN b ON s = domain)
-    SELECT {url_col} FROM pages WHERE {url_col} {op} (SELECT {url_col} FROM hit)
+    SELECT {select_cols} FROM pages
+    WHERE {url_col} {op} (SELECT {url_col} FROM hit)
     """
