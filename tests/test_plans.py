@@ -206,3 +206,38 @@ class TestDedupeShuffleKeys:
         assert exchanges and all("doc_id" in e for e in exchanges)
         # partial aggregation present (map-side combine before the shuffle)
         assert "partial_min" in plan or "HashAggregate" in plan
+
+
+class TestBlocklistPlan:
+    def test_broadcast_list_and_keyed_antijoin(self, spark, pages_path):
+        """Blocklist scrub: the domain list is the broadcast build side of
+        the suffix probe; the corpus-side joins are keyed on url — no
+        corpus-wide Exchange except the url-keyed anti-join, and no
+        Python evaluation anywhere."""
+        from spider_spark.operators.blocklist import blocklist_filter
+
+        pages = spark.read.parquet(pages_path).select("url")
+        blocked = spark.createDataFrame([("h1.example",)], ["domain"])
+        plan = plan_of(blocklist_filter(pages, "url", blocked))
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        # every exchange is over the hit set (url) or the tiny blocklist
+        # (__sfx) — the corpus side reaches the anti-join with NO shuffle
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+        assert all("url" in e or "__sfx" in e for e in exchanges), exchanges
+
+
+class TestPerplexityPlan:
+    def test_broadcast_weights_single_doc_keyed_agg(self, spark, sf_dir):
+        """LM scoring: weight/floor tables broadcast, the gram explode
+        aggregates with a map-side partial before ONE doc-keyed exchange,
+        and the whole path is JVM-only."""
+        from spider_spark.functions.perplexity import doc_perplexity
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = plan_of(doc_perplexity(docs))
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert "BroadcastHashJoin" in plan
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+        assert exchanges and all("doc_id" in e for e in exchanges), exchanges
+        assert "partial_sum" in plan or "HashAggregate" in plan
