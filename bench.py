@@ -232,6 +232,14 @@ def main() -> None:
     )
     queries["token_quality"] = round(time.perf_counter() - t0, 3)
 
+    # CCNet LM scoring: char-trigram explode (rows ~ corpus chars) +
+    # broadcast weight join + doc-keyed agg + histogram tercile cutoffs
+    from spider_spark.functions.perplexity import perplexity_buckets
+
+    t0 = time.perf_counter()
+    force(perplexity_buckets(docs))
+    queries["ccnet_ppl"] = round(time.perf_counter() - t0, 3)
+
     # CC timed on its own: pair generation is already the minhash_lsh entry
     pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
     t0 = time.perf_counter()

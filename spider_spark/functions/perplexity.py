@@ -129,7 +129,12 @@ def perplexity_buckets(docs: DataFrame, text_col: str = "text",
     """``(id_col, lang_col, ppl_milli, bucket)`` with per-language
     equal-count buckets ``head`` / ``middle`` / ``tail`` (CCNet order:
     head = lowest perplexity); ``unscored`` when ``ppl_milli`` is NULL."""
-    ppl = doc_perplexity(docs, text_col, lang_col, id_col)
+    # checkpoint the 3-column score projection: the histogram pass and the
+    # final bucket join both read it, and without this the gram-explode LM
+    # scan (the expensive part, ∝ corpus chars) would run twice
+    ppl = doc_perplexity(docs, text_col, lang_col, id_col).localCheckpoint(
+        eager=True
+    )
     hist = (
         ppl.filter(F.col("ppl_milli").isNotNull())
         .groupBy(lang_col, "ppl_milli")
