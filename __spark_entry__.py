@@ -1090,6 +1090,59 @@ SELECT node AS host, rank_fp FROM pr
 """
 
 
+def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host-level link graph extracted from the PAGES' ACTUAL
+    HTML through the engine's parse pipeline (Arrow-batched kernel, same
+    link filters as the crawl: no-href anchors skipped, query-string links
+    dropped, self-links dropped) — the edge list host_pagerank consumes,
+    derived rather than asserted. The oracle replays the synthetic link
+    arithmetic (c1 twice, c2, the dead-host link) with the identical
+    self-link rule, so a hash match proves the whole parse→resolve→filter
+    →aggregate path byte-for-byte. One (src,dst)-keyed agg with map-side
+    combine; parse cost is the crawl's own fetch-phase kernel."""
+    from spider_spark.functions.parse import make_parse_udf
+    from spider_spark.operators.blocklist import host_of
+
+    pages = pages_from_documents(spark, sf_dir)
+    parse = make_parse_udf(resolve_base="seed")
+    parsed = pages.select(
+        host_of(F.col("url")).alias("src_host"),
+        parse(F.col("html"), F.col("url")).alias("p"),
+    )
+    return (
+        parsed.select("src_host", F.explode("p.links").alias("l"))
+        .select("src_host", F.col("l.host").alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+_SQL_HOST_LINK_GRAPH = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+e AS (
+  SELECT {_url_sql('doc_id')} AS src_url, {_host_sql('doc_id')} AS src_host,
+         {_url_sql('(2*doc_id+1) % nn.n')} AS dst_url,
+         {_host_sql('(2*doc_id+1) % nn.n')} AS dst_host
+  FROM documents, nn
+  UNION ALL
+  SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+         {_url_sql('(2*doc_id+1) % nn.n')}, {_host_sql('(2*doc_id+1) % nn.n')}
+  FROM documents, nn
+  UNION ALL
+  SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+         {_url_sql('(3*doc_id+2) % nn.n')}, {_host_sql('(3*doc_id+2) % nn.n')}
+  FROM documents, nn
+  UNION ALL
+  SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+         'https://dead.example/d/' || doc_id, 'dead.example'
+  FROM documents
+)
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM e WHERE dst_url <> src_url
+GROUP BY 1, 2
+"""
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -1654,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_survivors": _q_corpus_survivors,  # composed exact+near dedup
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
+        "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -1726,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
+        "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
