@@ -61,6 +61,7 @@ from spider_spark.operators.graph import (
     pagerank_sql,
 )
 from spider_spark.operators.blocklist import blocklist_filter, blocklist_filter_sql
+from spider_spark.operators.dedup_index import minhash_probe_sql
 from spider_spark.operators.sampling import (
     hash_split,
     hash_split_sql,
@@ -537,6 +538,23 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup gate: a persisted MinHash-LSH band-key index
+    over 90% of the corpus (Hive-partitioned by bucket hash), probed with
+    the other 10% as the 'new crawl wave'. The probe's corpus-side scan is
+    planning-time partition-pruned to the batch's own band keys — nothing
+    scans the indexed corpus (operators/dedup_index.py; the dedup member
+    of the persisted-index trio with LexicalIndex and IVFIndex)."""
+    from spider_spark.operators.dedup_index import MinHashIndex
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = MinHashIndex(_tmp_store(spark), n_parts=16)
+    idx.build(corpus)
+    return idx.probe(batch)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1700,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        "minhash_index_probe": _q_minhash_index_probe,  # ingest-time dup gate
         "minhash_signatures": _q_minhash_sigs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -1774,6 +1793,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
+        "minhash_index_probe": minhash_probe_sql(
+            "doc_id % 10 <> 0", "doc_id % 10 = 0"
+        ),
         "minhash_signatures": minhash_signatures_sql(),
         "simhash_fingerprints": simhash_sql(),
         "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),

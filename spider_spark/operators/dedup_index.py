@@ -1,0 +1,139 @@
+"""Persisted MinHash-LSH near-duplicate index: build once, probe per batch.
+
+:func:`~spider_spark.operators.dedupe.lsh_candidate_pairs` recomputes
+signatures for the WHOLE corpus to answer "which documents are near-dups"
+— right for a one-shot dedup sweep, wrong for ingestion, where every crawl
+wave asks "is anything in this (small) batch a near-dup of the 100 TB
+corpus?". This module is the dedup member of the persisted-index trio
+(:class:`~spider_spark.operators.lexindex.LexicalIndex` for lexical,
+:class:`~spider_spark.operators.ivf_index.IVFIndex` for vectors): the
+corpus band keys are committed once through
+:class:`~spider_spark.sources.tableio.TableIO` (atomic snapshot swap,
+versioned), **Hive-partitioned by** ``bkt = md5_60(bucket) % n_parts``;
+a probe computes the batch's band keys (a batch-sized job — shingle
+explode + 32-way min over the batch only), collects the distinct
+partition ids it touches (≤ 8·|batch|, capped at ``n_parts``), and scans
+ONLY those partitions of the corpus index.
+
+Build-time hot-bucket guard: corpus buckets holding more than
+``max_bucket`` docs are dropped — the same skew guard as the one-shot
+sweep. A probe into a dropped bucket finds no candidates by design (such
+buckets are boilerplate-degenerate; at 10^10 docs one hot bucket would
+otherwise make a single probe fan out B candidate rows).
+
+Probe cost: batch-sized signature job + pruned scan of ≤ 8·|batch|
+partitions + one (band, bucket)-keyed join whose corpus side is bounded
+by ``max_bucket`` per key. Nothing scans the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from spider_spark.operators.dedupe import banded_keys, banded_keys_sql, md5_60
+from spider_spark.sources.tableio import TableIO
+
+__all__ = ["MinHashIndex", "minhash_probe_sql"]
+
+
+class MinHashIndex:
+    """A named, versioned LSH band-key index over a document corpus."""
+
+    def __init__(self, io: TableIO, name: str = "mhx",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3, n_parts: int = 64, max_bucket: int = 200):
+        self.io = io
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.n_parts = n_parts
+        self.max_bucket = max_bucket
+
+    @property
+    def _bands(self) -> str:
+        return f"{self.name}_bands"
+
+    def exists(self) -> bool:
+        return self.io.exists(self._bands)
+
+    def build(self, corpus: DataFrame) -> dict:
+        """Corpus band keys → hot-bucket drop → partitioned commit. One
+        signature pass over the corpus (the same cost as one LSH sweep);
+        the hot set is a (band, bucket)-keyed agg broadcast back."""
+        banded = banded_keys(corpus, n=self.n, id_col=self.id_col,
+                             text_col=self.text_col)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > self.max_bucket)
+            .select("band", "bucket")
+        )
+        kept = banded.join(F.broadcast(hot), on=["band", "bucket"],
+                           how="left_anti")
+        out = kept.withColumn(
+            "bkt", F.pmod(md5_60(F.col("bucket")), F.lit(self.n_parts))
+        )
+        meta = {"n_parts": int(self.n_parts), "n": int(self.n),
+                "max_bucket": int(self.max_bucket)}
+        self.io.commit_overwrite(self._bands, out, partition_by="bkt",
+                                 meta=meta)
+        return meta
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """``(probe_id, match_id)`` — every batch document paired with
+        every indexed document sharing at least one band bucket. The
+        corpus-side scan carries a planning-time ``bkt IN (...)``
+        partition filter derived from the batch's own band keys."""
+        q = banded_keys(batch, n=self.n, id_col=self.id_col,
+                        text_col=self.text_col).withColumn(
+            "bkt", F.pmod(md5_60(F.col("bucket")), F.lit(self.n_parts))
+        ).localCheckpoint(eager=True)  # batch-sized; read twice below
+        ids = sorted(r["bkt"] for r in q.select("bkt").distinct().collect())
+        try:
+            corp = self.io.read(self._bands).filter(F.col("bkt").isin(ids))
+        except AnalysisException:
+            # a fully-hot corpus commits ZERO band rows: the partitioned
+            # snapshot has no parquet files to infer a schema from — the
+            # index is legitimately empty, so every probe finds nothing
+            return q.select(
+                F.col(self.id_col).alias("probe_id"),
+                F.col(self.id_col).alias("match_id"),
+            ).limit(0)
+        return (
+            q.select(F.col(self.id_col).alias("probe_id"), "band", "bucket")
+            .join(
+                corp.select(F.col(self.id_col).alias("match_id"),
+                            "band", "bucket"),
+                on=["band", "bucket"],
+            )
+            .select("probe_id", "match_id")
+            .distinct()
+        )
+
+    def drop(self) -> None:
+        if self.io.exists(self._bands):
+            self.io.drop(self._bands, check_first=True)
+
+
+def minhash_probe_sql(corpus_pred: str, probe_pred: str, n: int = 3,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", max_bucket: int = 200) -> str:
+    """DuckDB mirror of ``MinHashIndex.build(corpus) + probe(batch)`` where
+    corpus and batch are predicate-defined slices of ``table``: identical
+    signatures/banding, the hot-bucket drop computed over the CORPUS side
+    only (the build-time guard), cross-set join."""
+    return f"""
+    WITH {banded_keys_sql(n=n, table=table, id_col=id_col, text_col=text_col)},
+    corpus AS (SELECT * FROM banded_all WHERE {corpus_pred}),
+    corpus_ok AS (
+      SELECT * FROM corpus WHERE (band, bucket) NOT IN (
+        SELECT (band, bucket) FROM corpus GROUP BY band, bucket
+        HAVING count(*) > {max_bucket})
+    ),
+    probe AS (SELECT * FROM banded_all WHERE {probe_pred})
+    SELECT DISTINCT p.{id_col} AS probe_id, c.{id_col} AS match_id
+    FROM probe p JOIN corpus_ok c USING (band, bucket)
+    """

@@ -207,16 +207,16 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text", max_bucket: int = 200) -> DataFrame:
-    """Near-duplicate *candidate* pairs: documents whose signatures collide
-    in at least one of the 8 bands (4 rows each). Buckets larger than
-    ``max_bucket`` are dropped (skew guard)."""
+def banded_keys(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """LSH band keys ``(id_col, band, bucket)`` — one row per (doc, band).
+    One pass: bands come from a single explode over the signature row — a
+    per-band union would recompute the whole signature aggregation
+    (shingle explode + 32-way min shuffle) once per band. Shared by the
+    one-shot :func:`lsh_candidate_pairs` sweep and the persisted
+    :class:`~spider_spark.operators.dedup_index.MinHashIndex`."""
     sig = minhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
     rows_per = _K_PERMS // _N_BANDS
-    # one pass: bands come from a single explode over the signature row —
-    # a per-band union would recompute the whole signature aggregation
-    # (shingle explode + 32-way min shuffle) once per band
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -228,9 +228,17 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         )
         for b in range(_N_BANDS)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text", max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate *candidate* pairs: documents whose signatures collide
+    in at least one of the 8 bands (4 rows each). Buckets larger than
+    ``max_bucket`` are dropped (skew guard)."""
+    banded = banded_keys(docs, n=n, id_col=id_col, text_col=text_col)
     hot = banded.groupBy("band", "bucket").agg(F.count("*").alias("c")).filter(
         F.col("c") > max_bucket
     )
@@ -247,9 +255,11 @@ def lsh_candidate_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
-def lsh_candidate_pairs_sql(n: int = 3, table: str = "documents",
-                            id_col: str = "doc_id", text_col: str = "text",
-                            max_bucket: int = 200) -> str:
+def banded_keys_sql(n: int = 3, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTE chain ``sh, hashed, sig, banded_all`` mirroring
+    :func:`banded_keys` — callers splice it after ``WITH`` and select from
+    ``banded_all``."""
     sh = shingles_sql(n=n, id_col=id_col, text_col=text_col, table=table)
     mins = ",\n      ".join(
         f"min(({PERM_A[i]}::BIGINT * h30 + {PERM_B[i]}) % {_P31}) AS mh{i}"
@@ -266,15 +276,21 @@ def lsh_candidate_pairs_sql(n: int = 3, table: str = "documents",
         )
         for b in range(_N_BANDS)
     )
-    return f"""
-    WITH sh AS ({sh}),
+    return f"""sh AS ({sh}),
     hashed AS (SELECT {id_col}, {md5_60_sql('shingle')} % {_P31} AS h30 FROM sh),
     sig AS (SELECT {id_col},
       {mins}
       FROM hashed GROUP BY {id_col}),
     banded_all AS (
       {band_selects}
-    ),
+    )"""
+
+
+def lsh_candidate_pairs_sql(n: int = 3, table: str = "documents",
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_bucket: int = 200) -> str:
+    return f"""
+    WITH {banded_keys_sql(n=n, table=table, id_col=id_col, text_col=text_col)},
     banded AS (
       SELECT * FROM banded_all WHERE (band, bucket) NOT IN (
         SELECT (band, bucket) FROM banded_all GROUP BY band, bucket

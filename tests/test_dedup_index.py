@@ -1,0 +1,122 @@
+"""Persisted MinHash-LSH index: probe semantics, pruning, hot-bucket guard."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators.dedup_index import MinHashIndex, minhash_probe_sql
+from spider_spark.sources.tableio import ParquetManifestIO
+
+
+def _doc(i: int, text: str) -> tuple:
+    return (i, text)
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+OTHER = "completely different subject matter about spark shuffle partitions and codegen"
+
+
+@pytest.fixture(scope="module")
+def io(spark, tmp_path_factory):
+    return ParquetManifestIO(spark, str(tmp_path_factory.mktemp("mhx_store")))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [_doc(i, f"{BASE} filler{i}") for i in range(20)]          # near-dup family
+    rows += [_doc(100 + i, f"{OTHER} variant {i} " + "x " * i) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def built(io, corpus):
+    idx = MinHashIndex(io, n_parts=8)
+    meta = idx.build(corpus)
+    return idx, meta
+
+
+class TestProbe:
+    def test_near_copy_matches_unrelated_does_not(self, spark, built):
+        idx, _ = built
+        batch = spark.createDataFrame(
+            [
+                _doc(900, f"{BASE} filler900"),  # near-copy of the family
+                _doc(901, "utterly unrelated text with zero shared shingles at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = idx.probe(batch).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r["probe_id"], set()).add(r["match_id"])
+        assert 900 in by and by[900] <= set(range(20)) and by[900]
+        assert 901 not in by
+
+    def test_probe_ids_never_matched_against_each_other(self, spark, built):
+        idx, _ = built
+        batch = spark.createDataFrame(
+            [_doc(910, f"{BASE} a"), _doc(911, f"{BASE} a")],
+            "doc_id long, text string",
+        )
+        got = idx.probe(batch).collect()
+        assert all(r["match_id"] < 100 or r["match_id"] >= 100 for r in got)
+        assert not any(r["match_id"] in (910, 911) for r in got)
+
+
+class TestMirrorParity:
+    def test_matches_duckdb_mirror_on_split(self, spark, io, corpus):
+        # index 2/3 of the docs, probe with the other 1/3 — the exact
+        # shape of the driver query, on this richer fixture
+        idx = MinHashIndex(io, name="par", n_parts=8)
+        idx.build(corpus.filter(F.col("doc_id") % 3 != 0))
+        got = {
+            tuple(r)
+            for r in idx.probe(corpus.filter(F.col("doc_id") % 3 == 0)).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", corpus.toPandas())
+        sql = minhash_probe_sql("doc_id % 3 <> 0", "doc_id % 3 = 0", table="t")
+        want = set(con.execute(sql).fetchall())
+        assert got == want and got
+
+
+class TestPartitionPruning:
+    def test_probe_scans_only_batch_buckets(self, spark, built):
+        idx, _ = built
+        from spider_spark.operators.dedupe import banded_keys, md5_60
+
+        batch = spark.createDataFrame(
+            [_doc(920, f"{BASE} filler920")], "doc_id long, text string"
+        )
+        ids = sorted(
+            r["bkt"]
+            for r in banded_keys(batch)
+            .select(F.pmod(md5_60(F.col("bucket")), F.lit(idx.n_parts)).alias("bkt"))
+            .distinct()
+            .collect()
+        )
+        pruned = idx.io.read(idx._bands).filter(F.col("bkt").isin(ids))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters: [bkt" in scan, scan
+        assert "DataFilters: []" in scan, scan
+        assert pruned.count() < idx.io.read(idx._bands).count()
+
+
+class TestHotBucketGuard:
+    def test_hot_bucket_dropped_at_build(self, spark, io):
+        # 30 byte-identical docs: every band bucket holds 30 > max_bucket=10
+        clones = spark.createDataFrame(
+            [_doc(i, BASE) for i in range(30)], "doc_id long, text string"
+        )
+        idx = MinHashIndex(io, name="hot", n_parts=8, max_bucket=10)
+        idx.build(clones)
+        # the committed index holds zero band rows; probe handles the
+        # schema-less empty snapshot and finds nothing
+        probe = spark.createDataFrame([_doc(99, BASE)], "doc_id long, text string")
+        out = idx.probe(probe)
+        assert out.columns == ["probe_id", "match_id"]
+        assert out.count() == 0
