@@ -62,6 +62,7 @@ from spider_spark.operators.graph import (
 )
 from spider_spark.operators.blocklist import blocklist_filter, blocklist_filter_sql
 from spider_spark.operators.dedup_index import minhash_probe_sql
+from spider_spark.operators.packing import pack_sequences, pack_sequences_sql
 from spider_spark.operators.sampling import (
     hash_split,
     hash_split_sql,
@@ -965,6 +966,25 @@ _SQL_BLOCKLIST = blocklist_filter_sql(
     f"SELECT {_url_sql('doc_id')} AS url FROM documents", BLOCKED_DOMAINS
 )
 
+PACK_SEQ_LEN = 4096
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-chop sequence packing (training-batch
+    assembly): per-source documents concatenated in the pipeline's shared
+    hash order and chopped into 4096-char windows; each doc reports the
+    window it starts in and its offset. Two-stage prefix sum — no
+    single-task group scan (operators/packing.py)."""
+    docs = _docs(spark, sf_dir).withColumn("k", F.col("doc_id").cast("string"))
+    return pack_sequences(docs, "source", "k", "n_chars", PACK_SEQ_LEN).select(
+        "doc_id", "source", "seq_id", "seq_offset"
+    )
+
+
+_SQL_PACKED = pack_sequences_sql(
+    "source", "doc_id::VARCHAR", "n_chars", PACK_SEQ_LEN, "doc_id, source"
+)
+
 RECRAWL_NOW_OFFSET, RECRAWL_TTL, RECRAWL_JITTER = 600, 300, 0.2
 
 
@@ -1759,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
+        "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "web_curation": _q_web_curation,  # blocklist→gopher→ccnet→dedup→mix
@@ -1834,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "temperature_mix_sample": _SQL_TEMP_MIX,
+        "packed_sequences": _SQL_PACKED,
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
         "web_curation": _sql_web_curation(),
