@@ -966,6 +966,50 @@ _SQL_BLOCKLIST = blocklist_filter_sql(
     f"SELECT {_url_sql('doc_id')} AS url FROM documents", BLOCKED_DOMAINS
 )
 
+def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the per-(lang, source) rollup a dataset release
+    ships — doc/char/token counts plus the exact-duplicate count (docs
+    that are not their fingerprint group's min-id keeper). All integer
+    aggregates; one fingerprint-keyed shuffle + one (lang, source) agg."""
+    from spider_spark.functions.text import normalized_text
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    dup = fp.join(keep, on="fingerprint").select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).alias("is_dup")
+    )
+    return (
+        docs.join(dup, on="doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_exact_dups"),
+        )
+    )
+
+
+_SQL_DATACARD = f"""
+WITH fp AS (SELECT doc_id, md5({NORM_SQL.format(x='text')}) AS fingerprint
+            FROM documents),
+keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY 1),
+dup AS (SELECT f.doc_id, (f.doc_id <> k.keep_id) AS is_dup
+        FROM fp f JOIN keep k USING (fingerprint))
+SELECT d.lang, d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(d.text), '\\s+')) END)::BIGINT
+         AS n_tokens,
+       sum(is_dup::INT)::BIGINT AS n_exact_dups
+FROM documents d JOIN dup USING (doc_id)
+GROUP BY 1, 2
+"""
+
 PACK_SEQ_LEN = 4096
 
 
@@ -1780,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
+        "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "web_curation": _q_web_curation,  # blocklist→gopher→ccnet→dedup→mix
@@ -1856,6 +1901,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "temperature_mix_sample": _SQL_TEMP_MIX,
         "packed_sequences": _SQL_PACKED,
+        "corpus_datacard": _SQL_DATACARD,
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
         "web_curation": _sql_web_curation(),
