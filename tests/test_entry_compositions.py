@@ -1,0 +1,73 @@
+"""Stage-semantics pins for the composed driver pipelines (the contract
+hash proves equality with the mirror; these make the semantics visible)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def curated(spark, sf_dir):
+    return entry._q_web_curation(spark, sf_dir).cache()
+
+
+class TestWebCuration:
+    def test_no_blocked_hosts_survive(self, spark, sf_dir, curated):
+        from spider_spark.operators.blocklist import host_of
+
+        from spider_spark.sources.pages import url_expr
+
+        hosts = {
+            r["h"]
+            for r in curated.select(
+                host_of(url_expr(F.col("doc_id"))).alias("h")
+            ).distinct().collect()
+        }
+        assert hosts and not any(
+            h == d or h.endswith("." + d)
+            for h in hosts
+            for d in entry.BLOCKED_DOMAINS
+        )
+
+    def test_only_head_middle_buckets(self, curated):
+        assert {r["bucket"] for r in curated.select("bucket").distinct().collect()} <= {
+            "head", "middle"
+        }
+
+    def test_every_survivor_passes_structural_gopher(self, spark, sf_dir, curated):
+        from spider_spark.functions.text import gopher_rules
+
+        rules = gopher_rules(entry._docs(spark, sf_dir))
+        joined = curated.join(rules, on="doc_id")
+        bad = joined.filter(
+            ~(
+                F.col("word_count_ok") & F.col("mean_word_len_ok")
+                & F.col("symbol_ratio_ok") & F.col("bullet_ok")
+                & F.col("ellipsis_ok") & F.col("alpha_words_ok")
+            )
+        ).count()
+        assert bad == 0
+
+    def test_no_non_keeper_exact_dups(self, spark, sf_dir, curated):
+        from spider_spark.functions.text import normalized_text
+        from spider_spark.operators.dedupe import exact_duplicates
+
+        docs = entry._docs(spark, sf_dir)
+        fp = docs.select(
+            "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+        )
+        non_keepers = (
+            fp.join(exact_duplicates(docs), on="fingerprint")
+            .filter(F.col("doc_id") != F.col("keep_id"))
+            .select("doc_id")
+        )
+        assert curated.join(non_keepers, on="doc_id", how="left_semi").count() == 0
+
+    def test_subset_of_corpus_and_nonempty(self, spark, sf_dir, curated):
+        docs = entry._docs(spark, sf_dir).select("doc_id")
+        n = curated.count()
+        assert 0 < n <= docs.count()
+        assert curated.join(docs, on="doc_id", how="left_anti").count() == 0
