@@ -82,6 +82,35 @@ class MinHashIndex:
                                  meta=meta)
         return meta
 
+    def add(self, batch: DataFrame) -> None:
+        """Incremental ingest: append the batch's band keys as an O(batch)
+        delta commit (no corpus rewrite — the manifest's delta-append is
+        exactly the Iceberg fast-append shape). The hot-bucket guard is
+        applied *within the batch* only: a bucket that becomes hot across
+        many small adds drifts past ``max_bucket`` until the next full
+        :meth:`build` (the compaction pass); probes into such a bucket
+        return more candidates, never fewer — a recall-safe drift. A
+        refetch of an already-indexed document appends fresh keys next to
+        its old ones (LSH band rows carry no tombstones); duplicate
+        (probe, match) candidates collapse in :meth:`probe`'s DISTINCT."""
+        banded = banded_keys(batch, n=self.n, id_col=self.id_col,
+                             text_col=self.text_col)
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > self.max_bucket)
+            .select("band", "bucket")
+        )
+        kept = banded.join(F.broadcast(hot), on=["band", "bucket"],
+                           how="left_anti")
+        out = kept.withColumn(
+            "bkt", F.pmod(md5_60(F.col("bucket")), F.lit(self.n_parts))
+        ).localCheckpoint(eager=True)  # batch-sized; isEmpty + write below
+        if out.isEmpty():
+            return
+        self.io.append(self._bands, out, partition_by="bkt",
+                       meta={"n_parts": int(self.n_parts)})
+
     def probe(self, batch: DataFrame) -> DataFrame:
         """``(probe_id, match_id)`` — every batch document paired with
         every indexed document sharing at least one band bucket. The

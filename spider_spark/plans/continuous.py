@@ -49,6 +49,7 @@ class WaveReport:
     due: int            # URLs expired + re-seeded this wave
     fetched: int
     new_links: int
+    near_dups: int = 0  # fetched pages whose content was gated (dedup_index)
     result: CrawlResult = field(repr=False, default=None)
 
 
@@ -73,9 +74,27 @@ class ContinuousCrawler:
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  config: CrawlConfig | None = None,
                  expected_urls: int | None = None, n_shards: int = 1,
-                 io=None, spill_dir: str | None = None):
+                 io=None, spill_dir: str | None = None, dedup_index=None):
         self.spark = spark
         self.pages = pages
+        # ingest-time content near-dup gate: a
+        # :class:`~spider_spark.operators.dedup_index.MinHashIndex` (keyed
+        # ``canon_url``/``text``). bootstrap() builds it from the initial
+        # corpus' fetched content; every wave() probes each round's parsed
+        # text against it BEFORE the round persists (near-dup content gets
+        # a NULL content_ref, the engine's "content not saved" signal) and
+        # appends the wave's surviving content as an O(wave) delta. A
+        # refetch never gates itself: probe matches on its own canon_url
+        # are discarded, so only cross-URL near-dups drop content.
+        if dedup_index is not None and (
+            dedup_index.id_col != "canon_url" or dedup_index.text_col != "text"
+        ):
+            raise ValueError(
+                "dedup_index must be keyed id_col='canon_url', "
+                "text_col='text' (the crawl's content columns); got "
+                f"({dedup_index.id_col!r}, {dedup_index.text_col!r})"
+            )
+        self.dedup_index = dedup_index
         self.config = config or CrawlConfig()
         self.io = io
         if io is not None and not self.config.durable:
@@ -97,11 +116,40 @@ class ContinuousCrawler:
         self.next_rank = 0
         self.waves: list[WaveReport] = []
 
-    def _engine(self) -> CrawlEngine:
+    def _engine(self, content_gate=None) -> CrawlEngine:
         return CrawlEngine(
             self.spark, self.pages, self.config, io=self.io,
-            seen_filter=self.filter,
+            seen_filter=self.filter, content_gate=content_gate,
         )
+
+    # -- ingest-time content dedup (MinHashIndex plumbing) -----------------
+
+    def _gate(self, batch: DataFrame) -> DataFrame:
+        """Round hook: batch = this round's fetched ``(canon_url, text)``;
+        returns the canon_urls whose content near-dups an ALREADY-indexed
+        document under a different URL. Probe cost is O(batch) plus a
+        partition-pruned scan of ≤ bands·|batch| index partitions — never
+        a corpus scan (dedup_index.py docstring)."""
+        pairs = self.dedup_index.probe(batch)
+        return (
+            pairs.filter(F.col("probe_id") != F.col("match_id"))
+            .select(F.col("probe_id").alias("canon_url"))
+            .distinct()
+        )
+
+    def _surviving_content(self, result: CrawlResult) -> DataFrame:
+        """The crawl's fetched pages that kept their content
+        (``content_ref`` non-null ⇒ not gated), re-joined to the corpus
+        text — the engine's byte-identical text invariant makes
+        ``pages.text`` the parsed content. Broadcast the result-key side
+        only when small; here the keys are wave-sized and the pages scan
+        prunes to 2 columns, so a plain keyed join is the scale shape."""
+        keys = result.results.filter(
+            F.col("fetched") & F.col("content_ref").isNotNull()
+        ).select(F.col("url").alias("canon_url"))
+        return self.pages.select(
+            F.col("url").alias("canon_url"), "text"
+        ).join(keys, on="canon_url", how="left_semi")
 
     def attach(self) -> None:
         """Reattach a restarted process to a durable store: sanitize any
@@ -151,6 +199,10 @@ class ContinuousCrawler:
         self.filter = engine.seen_filter  # may have grown
         self.seen = self._ckpt(result.seen)
         self.next_rank = sum(m.admitted for m in result.metrics)
+        if self.dedup_index is not None:
+            # full build (not add): bootstrap content is the corpus the
+            # hot-bucket guard must be computed over
+            self.dedup_index.build(self._surviving_content(result))
         self.waves.append(
             WaveReport(0, due=0, fetched=result.successful_crawls,
                        new_links=sum(m.new_links for m in result.metrics),
@@ -183,7 +235,11 @@ class ContinuousCrawler:
             self.seen = self._ckpt(
                 self.seen.join(due, on="canon_url", how="left_anti")
             )
-        engine = self._engine()
+        engine = (
+            self._engine(content_gate=self._gate)
+            if self.dedup_index is not None
+            else self._engine()
+        )
         result = engine.crawl(
             due.select(F.col("canon_url").alias("url")),
             seeds_canonical=True, seeds_unique=True,
@@ -192,9 +248,18 @@ class ContinuousCrawler:
         self.filter = engine.seen_filter
         self.seen = self._ckpt(result.seen)
         self.next_rank += sum(m.admitted for m in result.metrics)
+        n_gated = 0
+        if self.dedup_index is not None:
+            # results are checkpointed at crawl end — both scans below are
+            # cheap re-reads, not plan replays
+            n_gated = result.results.filter(
+                F.col("fetched") & F.col("content_ref").isNull()
+            ).count()
+            self.dedup_index.add(self._surviving_content(result))
         report = WaveReport(
             len(self.waves), due=n_due, fetched=result.successful_crawls,
-            new_links=sum(m.new_links for m in result.metrics), result=result,
+            new_links=sum(m.new_links for m in result.metrics),
+            near_dups=n_gated, result=result,
         )
         self.waves.append(report)
         return report

@@ -217,6 +217,7 @@ class CrawlEngine:
         robots_now=None,            # datetime for TTL evaluation
         robots_ttl_sec: float | None = None,
         seen_filter: ShardedCuckoo | None = None,
+        content_gate=None,
     ):
         self.spark = spark
         self.pages = pages
@@ -232,6 +233,18 @@ class CrawlEngine:
         # ranking stats pass (cuckoo tables don't OR-merge), so cuckoo mode
         # pays one extra keyed job per round vs the bloom fill fold.
         self.seen_filter = seen_filter
+        # ingest-time content dedup hook (continuous-crawl near-dup gate):
+        # called once per round with this round's fetched pages as a
+        # ``(canon_url, text)`` DataFrame; returns the ``canon_url``s whose
+        # content must NOT be persisted. Gated rows stay ``fetched=true``
+        # (the URL was crawled, counts, and is seen) but carry a NULL
+        # ``content_ref`` — the same "content not saved" signal a failed
+        # download leaves — and the gate runs BEFORE the durable round
+        # commit, so duplicate content never reaches the store. Matches
+        # only against state the gate closure owns (e.g. a persisted
+        # MinHashIndex); intra-round duplicates are out of scope — the
+        # one-shot dedup sweep (operators/dedupe.py) is the batch tool.
+        self.content_gate = content_gate
         # durable commits carry a monotone (epoch, round) marker: each
         # crawl() on a store with prior metrics opens a new epoch, so a
         # recrawl wave's round -1/0/… commits can never be mistaken for a
@@ -591,11 +604,28 @@ class CrawlEngine:
         # content_ref is pure JVM (sha1-based uuid5, content_ref_col) — the
         # final_results job that evaluates these lazy projections has no
         # Python stage at all
-        fetched_rows = parsed.select(
+        content_expr = content_ref_col(F.col("canon_url"), F.col("host"))
+        fetched_base = parsed
+        if self.content_gate is not None and n_fetched:
+            gated = self._timed(
+                "content_gate",
+                lambda: self.content_gate(
+                    parsed.select("canon_url", F.col("p.text").alias("text"))
+                )
+                .select("canon_url")
+                .withColumn("_dup", F.lit(True))
+                .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL),
+            )
+            # keyed left join (≤ round-sized on both sides; AQE picks the
+            # strategy) — gated rows lose only their content pointer
+            fetched_base = parsed.join(gated, on="canon_url", how="left")
+            content_expr = F.when(F.col("_dup"), F.lit(None).cast("string")) \
+                .otherwise(content_expr)
+        fetched_rows = fetched_base.select(
             F.col("canon_url").alias("url"),
             F.col("p.title").alias("title"),
             F.col("parent"),
-            content_ref_col(F.col("canon_url"), F.col("host")).alias("content_ref"),
+            content_expr.alias("content_ref"),
             F.col("depth"),
             F.lit(r).alias("crawl_round"),
             F.col("admission_rank"),

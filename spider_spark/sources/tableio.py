@@ -38,6 +38,7 @@ from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from spider_spark.errors import TableAlreadyExistsError, TableNotFoundError
 
@@ -219,7 +220,14 @@ class ParquetManifestIO(TableIO):
             return self.spark.read.parquet(*paths)
         # partitioned snapshots: discovery needs one root per read (multiple
         # roots would demand a shared basePath); union per-dir reads so the
-        # partition column — and its planning-time pruning — survive
+        # partition column — and its planning-time pruning — survive. A
+        # version dir written from an empty delta holds no part- files and
+        # would fail per-dir schema inference — skip it.
+        paths = [p for p in paths if self._list_files(p)]
+        if not paths:
+            raise AnalysisException(
+                f"[PATH_NOT_FOUND] partitioned table {name} has no data files"
+            )
         out = self.spark.read.parquet(paths[0])
         for p in paths[1:]:
             out = out.unionByName(self.spark.read.parquet(p))
@@ -241,14 +249,20 @@ class ParquetManifestIO(TableIO):
         self._write_version(name, df, bucket_by=bucket_by, buckets=buckets,
                             mode="overwrite", meta=meta, partition_by=partition_by)
 
-    def append(self, name: str, df: DataFrame, *, meta: dict | None = None) -> None:
+    def append(self, name: str, df: DataFrame, *, meta: dict | None = None,
+               partition_by: str | None = None) -> None:
         """O(delta): writes only ``df`` into a new directory; the committed
         version references the previous version's directories plus it —
         never a rewrite of existing rows (the r1 implementation re-wrote
-        the whole table per append → quadratic over a crawl)."""
+        the whole table per append → quadratic over a crawl).
+
+        ``partition_by`` lays the delta out in Hive partition dirs like a
+        partitioned ``commit_overwrite``; every version of a partitioned
+        table must use the same column (``read`` unions per-directory scans
+        and needs the partition column present in each)."""
         base = self._dirs_of(name) if self.exists(name) else None
         self._write_version(name, df, bucket_by=None, buckets=1, mode="append",
-                            meta=meta, base_dirs=base)
+                            meta=meta, base_dirs=base, partition_by=partition_by)
 
     @staticmethod
     def _bucket_expr(key: str, buckets: int):

@@ -111,6 +111,112 @@ class TestContinuousWaves:
         assert cc.seen.count() == n_seen
 
 
+class TestIngestDedupGate:
+    """MinHashIndex wired into the wave loop: content that near-dups an
+    already-indexed document under a DIFFERENT url is dropped before
+    persist (NULL content_ref, fetched stays true); a refetch never gates
+    itself; surviving wave content joins the index."""
+
+    N = 20
+    A, B, C = 2, 5, 7  # A: indexed original; B: becomes near-copy of A; C: changes uniquely
+
+    @staticmethod
+    def _texts_v1(n):
+        # 48 page-unique words each: cross-page shingle overlap comes only
+        # from the fixed anchor/title template and is far too small a
+        # fraction to win any minhash band (deterministic either way)
+        return {i: " ".join(f"tok{i}w{j}" for j in range(48)) for i in range(n)}
+
+    def _pages(self, spark, texts):
+        from spider_spark.sources.pages import build_pages
+
+        ids = spark.createDataFrame(
+            [(i, texts[i], "en") for i in sorted(texts)],
+            "id long, text string, lang string",
+        )
+        return build_pages(ids, len(texts)).localCheckpoint(eager=True)
+
+    def _crawler(self, spark, pages, tmp_path, durable=False):
+        from spider_spark.operators.dedup_index import MinHashIndex
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        idx_io = ParquetManifestIO(spark, str(tmp_path / "mhx"))
+        idx = MinHashIndex(idx_io, name="gate", id_col="canon_url",
+                           text_col="text", n_parts=8)
+        io = ParquetManifestIO(spark, str(tmp_path / "corpus")) if durable else None
+        cc = ContinuousCrawler(
+            spark, pages, CrawlConfig(depth=0, bloom_capacity=10_000),
+            expected_urls=10_000, io=io, dedup_index=idx,
+        )
+        cc.bootstrap([seed_url_for(i, self.N) for i in range(self.N)])
+        return cc, idx
+
+    def _v2(self, spark):
+        texts = self._texts_v1(self.N)
+        texts[self.B] = texts[self.A] + " extrabit"   # near-copy of A
+        texts[self.C] = " ".join(f"new{self.C}q{j}" for j in range(48))
+        return self._pages(spark, texts)
+
+    def _url(self, i):
+        return seed_url_for(i, self.N)
+
+    @pytest.mark.parametrize("durable", [False, True])
+    def test_wave_gates_cross_url_near_dup_only(self, spark, tmp_path, durable):
+        v1 = self._pages(spark, self._texts_v1(self.N))
+        cc, idx = self._crawler(spark, v1, tmp_path, durable=durable)
+        rank_before = cc.next_rank
+        cc.pages = self._v2(spark)  # the web changed; warc_ts unchanged
+        rep = cc.wave(PAGES_EPOCH + 10_000_000, ttl_sec=300)  # all due
+        assert rep.due == self.N and rep.fetched == self.N
+        assert rep.near_dups == 1
+        wave_rows = {
+            r["url"]: r["content_ref"]
+            for r in rep.result.results.filter(F.col("fetched")).collect()
+        }
+        assert wave_rows[self._url(self.B)] is None, "near-dup content dropped"
+        assert wave_rows[self._url(self.A)] is not None, "refetch never self-gates"
+        assert wave_rows[self._url(self.C)] is not None, "changed-but-unique kept"
+        assert sum(v is None for v in wave_rows.values()) == 1
+        if durable:
+            # the gate ran BEFORE the round commit: the store itself holds
+            # the gated row
+            stored = cc.io.read("results").filter(
+                (F.col("url") == self._url(self.B))
+                & (F.col("admission_rank") >= rank_before)
+            ).collect()
+            assert len(stored) == 1 and stored[0]["content_ref"] is None
+
+    def test_surviving_content_joins_index_gated_does_not(self, spark, tmp_path):
+        v1 = self._pages(spark, self._texts_v1(self.N))
+        cc, idx = self._crawler(spark, v1, tmp_path)
+        cc.pages = self._v2(spark)
+        cc.wave(PAGES_EPOCH + 10_000_000, ttl_sec=300)
+        # C's NEW text is now indexed (added post-wave)
+        probe_c = spark.createDataFrame(
+            [("p1", " ".join(f"new{self.C}q{j}" for j in range(47)) + " tail")],
+            "canon_url string, text string",
+        )
+        got_c = {r["match_id"] for r in idx.probe(probe_c).collect()}
+        assert self._url(self.C) in got_c
+        # B's gated text matches only A (B's copy was never indexed)
+        probe_b = spark.createDataFrame(
+            [("p2", self._texts_v1(self.N)[self.A] + " extrabit2")],
+            "canon_url string, text string",
+        )
+        got_b = {r["match_id"] for r in idx.probe(probe_b).collect()}
+        assert self._url(self.A) in got_b
+        assert self._url(self.B) not in got_b
+
+    def test_requires_crawl_keyed_index(self, spark, tmp_path):
+        from spider_spark.operators.dedup_index import MinHashIndex
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        idx = MinHashIndex(ParquetManifestIO(spark, str(tmp_path / "x")))
+        with pytest.raises(ValueError, match="canon_url"):
+            ContinuousCrawler(spark, synthetic_pages(spark, 10), CrawlConfig(),
+                              dedup_index=idx)
+
+
 class TestDurableContinuous:
     """Durable mode (VERDICT r3 #7): the cross-wave corpus state lives in
     the TableIO store through the engine's per-round persistence, so a

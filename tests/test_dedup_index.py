@@ -106,6 +106,64 @@ class TestPartitionPruning:
         assert pruned.count() < idx.io.read(idx._bands).count()
 
 
+class TestIncrementalAdd:
+    """add(): O(batch) delta commits extend the probe target set without
+    rewriting the corpus index (the ingest-time path ContinuousCrawler's
+    dedup gate appends each wave's surviving content through)."""
+
+    def test_add_extends_probe_targets(self, spark, io, corpus):
+        idx = MinHashIndex(io, name="inc", n_parts=8)
+        idx.build(corpus.filter(F.col("doc_id") < 100))  # BASE family only
+        other_probe = spark.createDataFrame(
+            [_doc(950, f"{OTHER} variant 3 x x x")], "doc_id long, text string"
+        )
+        assert idx.probe(other_probe).count() == 0
+        idx.add(corpus.filter(F.col("doc_id") >= 100))   # OTHER variants
+        got = {r["match_id"] for r in idx.probe(other_probe).collect()}
+        assert got and got <= set(range(100, 110))
+        # pre-add content still indexed (old version dirs still referenced)
+        base_probe = spark.createDataFrame(
+            [_doc(951, f"{BASE} filler951")], "doc_id long, text string"
+        )
+        assert idx.probe(base_probe).count() > 0
+
+    def test_add_is_delta_commit_and_empty_add_is_noop(self, spark, io, corpus):
+        idx = MinHashIndex(io, name="inc2", n_parts=8)
+        idx.build(corpus.filter(F.col("doc_id") < 100))
+        h0 = io.history(idx._bands)
+        idx.add(corpus.filter(F.col("doc_id") >= 100))
+        h1 = io.history(idx._bands)
+        assert h1[-1]["mode"] == "append"
+        assert h1[-1]["dirs"][:-1] == h0[-1]["dirs"], "delta references base"
+        idx.add(corpus.limit(0))
+        assert io.current_version(idx._bands) == h1[-1]["version"], \
+            "empty add must not commit a version"
+
+    def test_added_partitions_still_prune(self, spark, io, corpus):
+        idx = MinHashIndex(io, name="inc3", n_parts=8)
+        idx.build(corpus.filter(F.col("doc_id") < 100))
+        idx.add(corpus.filter(F.col("doc_id") >= 100))
+        pruned = io.read(idx._bands).filter(F.col("bkt").isin([0, 1]))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in plan.splitlines() if "FileScan" in l]
+        assert len(scans) == 2, "one scan per version dir"
+        assert all("PartitionFilters: [bkt" in s for s in scans), plan
+
+    def test_build_then_add_equals_mirror_when_nothing_hot(self, spark, io, corpus):
+        idx = MinHashIndex(io, name="inc4", n_parts=8)
+        idx.build(corpus.filter(F.col("doc_id") % 3 == 1))
+        idx.add(corpus.filter(F.col("doc_id") % 3 == 2))
+        got = {
+            tuple(r)
+            for r in idx.probe(corpus.filter(F.col("doc_id") % 3 == 0)).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", corpus.toPandas())
+        sql = minhash_probe_sql("doc_id % 3 <> 0", "doc_id % 3 = 0", table="t")
+        want = set(con.execute(sql).fetchall())
+        assert got == want and got
+
+
 class TestHotBucketGuard:
     def test_hot_bucket_dropped_at_build(self, spark, io):
         # 30 byte-identical docs: every band bucket holds 30 > max_bucket=10
