@@ -91,6 +91,7 @@ from spider_spark.operators.similarity import (
     lsh_near_dup_pairs,
     lsh_near_dup_pairs_sql,
 )
+from spider_spark.operators.semdedup import semdedup_flags, semdedup_sql
 from spider_spark.operators.recrawl import recrawl_due, recrawl_due_sql
 from spider_spark.operators.search import bm25_topk, bm25_topk_sql, hybrid_topk, hybrid_topk_sql
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
@@ -1334,6 +1335,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=NEAR_DUP_THRESHOLD)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-document verdicts: cosine-cluster
+    the embeddings, near-dup pairs form only WITHIN a cluster, the pair
+    member farther from its centroid survives. Literal-centroid mode:
+    every FP decision is a 6-decimal-rounded cosine, so the DuckDB mirror
+    recomputes identical flags (operators/semdedup.py)."""
+    return semdedup_flags(_embeddings(spark, sf_dir),
+                          threshold=NEAR_DUP_THRESHOLD, n_centroids=8)
+
+
 def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index (train once / probe many): k-means centroids +
     list_id-partitioned inverted lists committed through the manifest
@@ -1803,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "embed_near_dups": _q_embed_near_dups,
         "ann_lsh_near_dups": _q_ann_lsh,
+        "semdedup_flags": _q_semdedup,            # embedding-cluster dedup
         "ivf_index_search": _q_ivf_index_search,  # persisted IVF (rows-only)
         # multimodal plumbing
         "media_features": _q_media_features,
@@ -1884,6 +1896,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_near_dups": lsh_near_dup_pairs_sql(
             threshold=NEAR_DUP_THRESHOLD, dim=EMBED_DIM
+        ),
+        "semdedup_flags": semdedup_sql(
+            threshold=NEAR_DUP_THRESHOLD, n_centroids=8, dim=EMBED_DIM
         ),
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
