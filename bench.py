@@ -214,37 +214,44 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    t0 = time.perf_counter()
-    force(lsh_candidate_pairs(docs))
-    queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+    # every op entry is best-of-N back-to-back, same as the crawl entries:
+    # the r3 artifact-of-record landed in a loaded window and recorded a
+    # 3.9× single-sample swing on an unchanged workload (simhash) — the
+    # matched repeats bound the intra-artifact spread and record it
+    op_runs = int(os.environ.get("SPARK_GRAFT_OP_RUNS", "2"))
+    op_all_runs: dict[str, list[float]] = {}
 
-    t0 = time.perf_counter()
-    force(simhash(docs))
-    queries["simhash"] = round(time.perf_counter() - t0, 3)
+    def timed(name: str, thunk) -> None:
+        runs = []
+        for _ in range(op_runs):
+            t0 = time.perf_counter()
+            thunk()
+            runs.append(round(time.perf_counter() - t0, 3))
+        queries[name] = min(runs)
+        op_all_runs[name] = runs
 
-    t0 = time.perf_counter()
-    force(
-        docs.select(
-            "doc_id",
-            token_count(F.col("text")).alias("n_tokens"),
-            quality_score(F.col("text")).alias("quality"),
-        )
+    timed("minhash_lsh", lambda: force(lsh_candidate_pairs(docs)))
+    timed("simhash", lambda: force(simhash(docs)))
+    timed(
+        "token_quality",
+        lambda: force(
+            docs.select(
+                "doc_id",
+                token_count(F.col("text")).alias("n_tokens"),
+                quality_score(F.col("text")).alias("quality"),
+            )
+        ),
     )
-    queries["token_quality"] = round(time.perf_counter() - t0, 3)
 
     # CCNet LM scoring: char-trigram explode (rows ~ corpus chars) +
     # broadcast weight join + doc-keyed agg + histogram tercile cutoffs
     from spider_spark.functions.perplexity import perplexity_buckets
 
-    t0 = time.perf_counter()
-    force(perplexity_buckets(docs))
-    queries["ccnet_ppl"] = round(time.perf_counter() - t0, 3)
+    timed("ccnet_ppl", lambda: force(perplexity_buckets(docs)))
 
     # CC timed on its own: pair generation is already the minhash_lsh entry
     pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
-    force(connected_components(pairs))
-    queries["dup_clusters"] = round(time.perf_counter() - t0, 3)
+    timed("dup_clusters", lambda: force(connected_components(pairs)))
 
     n_docs = docs.count()
     i = F.col("doc_id")
@@ -256,9 +263,7 @@ def main() -> None:
             host_expr((F.lit(3) * i + 2) % n_docs).alias("dst"),
         )
     )
-    t0 = time.perf_counter()
-    force(pagerank(host_edges, n_iter=10))
-    queries["host_pagerank"] = round(time.perf_counter() - t0, 3)
+    timed("host_pagerank", lambda: force(pagerank(host_edges, n_iter=10)))
 
     # ---- graph ops at web scale: 10^6 nodes / 10^7 edges ----------------
     # The sf0.1 entries above exercise correctness-scale graphs; this block
@@ -284,47 +289,60 @@ def main() -> None:
         .localCheckpoint(eager=True)  # generation is un-timed setup
     )
     cc_stats: dict = {}
-    t0 = time.perf_counter()
-    gcc = connected_components(
-        gedges, id_a="src", id_b="dst", stats=cc_stats
-    ).localCheckpoint(eager=True)
-    queries["graph_cc_1m"] = round(time.perf_counter() - t0, 3)
-    n_clusters = gcc.select("cluster_id").distinct().count()
+    cc_out: dict = {}
+
+    def cc_run():
+        cc_stats.clear()
+        cc_out["gcc"] = connected_components(
+            gedges, id_a="src", id_b="dst", stats=cc_stats
+        ).localCheckpoint(eager=True)
+
+    timed("graph_cc_1m", cc_run)
+    n_clusters = cc_out["gcc"].select("cluster_id").distinct().count()
     assert n_clusters == g_nodes // G_BLOCK, n_clusters
 
-    t0 = time.perf_counter()
-    force(pagerank(gedges, n_iter=10))
-    queries["graph_pagerank_1m"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    force(span_dup_stats(docs, width=8, stride=2))
-    queries["dup_spans"] = round(time.perf_counter() - t0, 3)
+    timed("graph_pagerank_1m", lambda: force(pagerank(gedges, n_iter=10)))
+    timed("dup_spans", lambda: force(span_dup_stats(docs, width=8, stride=2)))
 
     # continuous-crawl seen-set maintenance at the 1M-URL scale: cuckoo
     # build over every page url, freshness scan, expiry-wave delete
     # (~10% of the table), unseen gate re-admission — the operator loop a
     # maintained corpus runs between crawl waves
     urls = pages.select("url", "warc_ts")
-    t0 = time.perf_counter()
-    ck = build_cuckoo(urls, "url", expected=n_pages, n_shards=8)
-    due = recrawl_due(
-        pages, PAGES_EPOCH + n_pages, ttl_sec=int(n_pages * 0.95),
-        jitter_frac=0.1,
-    ).localCheckpoint(eager=True)
-    delete_from(ck, due, "url")
-    fresh_seen = urls.join(due, on="url", how="left_anti")
-    force(filter_unseen_cuckoo(urls, "url", fresh_seen, ck))
-    queries["recrawl_loop"] = round(time.perf_counter() - t0, 3)
-    n_due = due.count()
-    ck.destroy_broadcasts()
+    loop_out: dict = {}
 
-    t0 = time.perf_counter()
-    force(cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5))
-    queries["ann_topk"] = round(time.perf_counter() - t0, 3)
+    def recrawl_run():
+        ck = build_cuckoo(urls, "url", expected=n_pages, n_shards=8)
+        due = recrawl_due(
+            pages, PAGES_EPOCH + n_pages, ttl_sec=int(n_pages * 0.95),
+            jitter_frac=0.1,
+        ).localCheckpoint(eager=True)
+        delete_from(ck, due, "url")
+        fresh_seen = urls.join(due, on="url", how="left_anti")
+        force(filter_unseen_cuckoo(urls, "url", fresh_seen, ck))
+        loop_out["due"] = due
+        ck.destroy_broadcasts()
 
-    t0 = time.perf_counter()
-    force(lsh_near_dup_pairs(emb, threshold=0.4))
-    queries["ann_lsh"] = round(time.perf_counter() - t0, 3)
+    timed("recrawl_loop", recrawl_run)
+    n_due = loop_out["due"].count()
+
+    timed(
+        "ann_topk",
+        lambda: force(cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)),
+    )
+    timed("ann_lsh", lambda: force(lsh_near_dup_pairs(emb, threshold=0.4)))
+
+    # SemDeDup over the embeddings (kmeans production mode: train + BLAS
+    # assignment + cluster-keyed pair join + keep-rule anti-join)
+    from spider_spark.operators.semdedup import semdedup_flags
+
+    timed(
+        "semdedup",
+        lambda: force(
+            semdedup_flags(emb, threshold=0.4, n_centroids=8,
+                           centroids_as="kmeans")
+        ),
+    )
 
     total = round(sum(queries.values()), 3)
     print(
@@ -350,6 +368,7 @@ def main() -> None:
                 "cpus": cpus,
                 "crawl_frontier_all_runs": [round(s, 3) for s in crawl_runs],
                 "crawl_polite_all_runs": [round(s, 3) for s in polite_runs],
+                "op_all_runs": op_all_runs,
                 "phase_sec": {k: round(v, 2) for k, v in engine.phase_times.items()},
             }
         )
