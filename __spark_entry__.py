@@ -61,7 +61,7 @@ from spider_spark.operators.graph import (
     pagerank_sql,
 )
 from spider_spark.operators.blocklist import blocklist_filter, blocklist_filter_sql
-from spider_spark.operators.dedup_index import minhash_probe_sql
+from spider_spark.operators.dedup_index import exact_probe_sql, minhash_probe_sql
 from spider_spark.operators.packing import pack_sequences, pack_sequences_sql
 from spider_spark.operators.sampling import (
     hash_split,
@@ -557,6 +557,21 @@ def _q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = MinHashIndex(_tmp_store(spark), n_parts=16)
     idx.build(corpus)
     return idx.probe(batch)
+
+
+def _q_exact_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-release EXACT-dup ingest gate: a persisted fingerprint index
+    (md5 of normalized text — the exact_duplicates key) over the whole
+    corpus, probed with the first 50 docs as the 'new wave'. Self-matches
+    are the expected hits on this dup-free corpus; the probe scan is
+    partition-pruned to the batch's own fingerprint buckets
+    (operators/dedup_index.py ExactIndex)."""
+    from spider_spark.operators.dedup_index import ExactIndex
+
+    docs = _docs(spark, sf_dir)
+    idx = ExactIndex(_tmp_store(spark), n_parts=16)
+    idx.build(docs)
+    return idx.probe(docs.filter(F.col("doc_id") < 50))
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1794,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "minhash_index_probe": _q_minhash_index_probe,  # ingest-time dup gate
+        "exact_index_probe": _q_exact_index_probe,      # exact-dup ingest gate
         "minhash_signatures": _q_minhash_sigs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
@@ -1874,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_index_probe": minhash_probe_sql(
             "doc_id % 10 <> 0", "doc_id % 10 = 0"
         ),
+        "exact_index_probe": exact_probe_sql("TRUE", "doc_id < 50"),
         "minhash_signatures": minhash_signatures_sql(),
         "simhash_fingerprints": simhash_sql(),
         "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),

@@ -32,10 +32,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from spider_spark.operators.dedupe import banded_keys, banded_keys_sql, md5_60
+from spider_spark.operators.dedupe import (
+    NORM_SQL,
+    banded_keys,
+    banded_keys_sql,
+    md5_60,
+    normalized_text,
+)
 from spider_spark.sources.tableio import TableIO
 
-__all__ = ["MinHashIndex", "minhash_probe_sql"]
+__all__ = ["ExactIndex", "MinHashIndex", "exact_probe_sql",
+           "minhash_probe_sql"]
 
 
 class MinHashIndex:
@@ -145,6 +152,126 @@ class MinHashIndex:
     def drop(self) -> None:
         if self.io.exists(self._bands):
             self.io.drop(self._bands, check_first=True)
+
+
+class ExactIndex:
+    """Persisted EXACT-duplicate fingerprint index — the cheap sibling of
+    :class:`MinHashIndex` for cross-release ingest dedup ("has this byte
+    content, after normalization, ever been committed?").
+
+    Fingerprint = ``md5(normalized_text(text))`` — the identical key
+    :func:`~spider_spark.operators.dedupe.exact_duplicates` groups on, so
+    index verdicts agree with the one-shot sweep by construction. Rows are
+    Hive-partitioned by ``bkt = md5_60(fingerprint) % n_parts``; a probe
+    computes the batch's fingerprints (a batch-sized projection — no
+    shingles, no signatures), collects its ≤ |batch| distinct partition
+    ids, and scans only those partitions.
+
+    :meth:`probe_hits` is the gate-shaped entry point: a LEFT SEMI join,
+    so a fingerprint duplicated B times in the corpus costs B *scanned*
+    rows in one partition but emits one verdict — no pair fan-out. Use
+    :meth:`probe` when the caller needs the matching ids (audit trails);
+    its output is bounded by duplicate multiplicity, which is the honest
+    size of that answer.
+    """
+
+    def __init__(self, io: TableIO, name: str = "exx",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_parts: int = 64):
+        self.io = io
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_parts = n_parts
+
+    @property
+    def _fps(self) -> str:
+        return f"{self.name}_fps"
+
+    def exists(self) -> bool:
+        return self.io.exists(self._fps)
+
+    def _fingerprints(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(self.id_col),
+            F.md5(normalized_text(F.col(self.text_col))).alias("fingerprint"),
+        ).withColumn(
+            "bkt", F.pmod(md5_60(F.col("fingerprint")), F.lit(self.n_parts))
+        )
+
+    def build(self, corpus: DataFrame) -> dict:
+        """One projection pass over the corpus → partitioned commit."""
+        meta = {"n_parts": int(self.n_parts)}
+        self.io.commit_overwrite(self._fps, self._fingerprints(corpus),
+                                 partition_by="bkt", meta=meta)
+        return meta
+
+    def add(self, batch: DataFrame) -> None:
+        """O(batch) delta commit (same manifest fast-append as
+        :meth:`MinHashIndex.add`). Refetches append a second identical
+        (id, fingerprint) row; :meth:`probe`'s DISTINCT collapses them."""
+        out = self._fingerprints(batch).localCheckpoint(eager=True)
+        if out.isEmpty():
+            return
+        self.io.append(self._fps, out, partition_by="bkt",
+                       meta={"n_parts": int(self.n_parts)})
+
+    def _pruned(self, q: DataFrame) -> DataFrame | None:
+        ids = sorted(r["bkt"] for r in q.select("bkt").distinct().collect())
+        try:
+            return self.io.read(self._fps).filter(F.col("bkt").isin(ids))
+        except AnalysisException:
+            return None  # empty index (no data files yet)
+
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """``(probe_id, match_id)`` pairs with identical fingerprints."""
+        q = self._fingerprints(batch).localCheckpoint(eager=True)
+        corp = self._pruned(q)
+        if corp is None:
+            return q.select(
+                F.col(self.id_col).alias("probe_id"),
+                F.col(self.id_col).alias("match_id"),
+            ).limit(0)
+        return (
+            q.select(F.col(self.id_col).alias("probe_id"), "fingerprint")
+            .join(corp.select(F.col(self.id_col).alias("match_id"),
+                              "fingerprint"), on="fingerprint")
+            .select("probe_id", "match_id")
+            .distinct()
+        )
+
+    def probe_hits(self, batch: DataFrame) -> DataFrame:
+        """Distinct batch ids whose fingerprint exists in the index — the
+        zero-fan-out gate form (left-semi; multiplicity never explodes)."""
+        q = self._fingerprints(batch).localCheckpoint(eager=True)
+        corp = self._pruned(q)
+        if corp is None:
+            return q.select(F.col(self.id_col).alias("probe_id")).limit(0)
+        return (
+            q.join(corp.select("fingerprint"), on="fingerprint",
+                   how="left_semi")
+            .select(F.col(self.id_col).alias("probe_id"))
+            .distinct()
+        )
+
+    def drop(self) -> None:
+        if self.io.exists(self._fps):
+            self.io.drop(self._fps, check_first=True)
+
+
+def exact_probe_sql(corpus_pred: str, probe_pred: str,
+                    table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    """DuckDB mirror of ``ExactIndex.build(corpus) + probe(batch)`` over
+    predicate-defined slices of ``table`` (same normalization + md5 key)."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH fps AS (SELECT {id_col}, md5({norm}) AS fingerprint FROM {table}),
+    corpus AS (SELECT * FROM fps WHERE {corpus_pred}),
+    probe AS (SELECT * FROM fps WHERE {probe_pred})
+    SELECT DISTINCT p.{id_col} AS probe_id, c.{id_col} AS match_id
+    FROM probe p JOIN corpus c USING (fingerprint)
+    """
 
 
 def minhash_probe_sql(corpus_pred: str, probe_pred: str, n: int = 3,

@@ -7,7 +7,12 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from spider_spark.operators.dedup_index import MinHashIndex, minhash_probe_sql
+from spider_spark.operators.dedup_index import (
+    ExactIndex,
+    MinHashIndex,
+    exact_probe_sql,
+    minhash_probe_sql,
+)
 from spider_spark.sources.tableio import ParquetManifestIO
 
 
@@ -178,3 +183,69 @@ class TestHotBucketGuard:
         out = idx.probe(probe)
         assert out.columns == ["probe_id", "match_id"]
         assert out.count() == 0
+
+
+class TestExactIndex:
+    """Persisted exact-fingerprint index: mirror parity across a
+    predicate split, normalization-insensitive matching, delta adds,
+    the zero-fan-out probe_hits gate form, partition pruning."""
+
+    @pytest.fixture(scope="class")
+    def edocs(self, spark):
+        rows = [_doc(i, f"unique text number {i} with its own words") for i in range(10)]
+        # 10..14: exact dups of 0..4 after normalization (case + spacing)
+        rows += [_doc(10 + i, f"  Unique   TEXT number {i} with its OWN words ")
+                 for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_probe_matches_mirror_across_split(self, spark, io, edocs):
+        idx = ExactIndex(io, name="ex1", n_parts=8)
+        idx.build(edocs.filter(F.col("doc_id") < 10))
+        got = {tuple(r) for r in idx.probe(edocs.filter(F.col("doc_id") >= 10)).collect()}
+        con = duckdb.connect()
+        con.register("t", edocs.toPandas())
+        want = set(con.execute(
+            exact_probe_sql("doc_id < 10", "doc_id >= 10", table="t")
+        ).fetchall())
+        assert got == want
+        assert got == {(10 + i, i) for i in range(5)}, "normalization-exact only"
+
+    def test_probe_hits_is_distinct_probe_side(self, spark, io, edocs):
+        idx = ExactIndex(io, name="ex2", n_parts=8)
+        idx.build(edocs)  # self-matches included: every doc hits
+        hits = idx.probe_hits(edocs.filter(F.col("doc_id") >= 10))
+        assert {r["probe_id"] for r in hits.collect()} == set(range(10, 15))
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan
+
+    def test_add_is_delta_and_extends(self, spark, io, edocs):
+        idx = ExactIndex(io, name="ex3", n_parts=8)
+        idx.build(edocs.filter(F.col("doc_id") < 3))
+        h0 = io.history(idx._fps)
+        idx.add(edocs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 10)))
+        h1 = io.history(idx._fps)
+        assert h1[-1]["mode"] == "append"
+        assert h1[-1]["dirs"][:-1] == h0[-1]["dirs"]
+        got = {tuple(r) for r in idx.probe(edocs.filter(F.col("doc_id") >= 10)).collect()}
+        assert got == {(10 + i, i) for i in range(5)}
+        idx.add(edocs.limit(0))
+        assert io.current_version(idx._fps) == h1[-1]["version"]
+
+    def test_probe_scan_is_partition_pruned(self, spark, io, edocs):
+        idx = ExactIndex(io, name="ex4", n_parts=64)
+        idx.build(edocs.filter(F.col("doc_id") < 10))
+        probe = idx.probe(edocs.filter(F.col("doc_id") == 10))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in plan.splitlines()
+                 if "FileScan" in l and "ex4_fps" in l]
+        import re
+        assert scans and all(
+            re.search(r"PartitionFilters: \[[^\]]*bkt", s) for s in scans
+        ), plan
+
+    def test_empty_index_finds_nothing(self, spark, io, edocs):
+        idx = ExactIndex(io, name="ex5", n_parts=8)
+        idx.build(edocs.limit(0))
+        out = idx.probe(edocs.limit(3))
+        assert out.columns == ["probe_id", "match_id"] and out.count() == 0
+        assert idx.probe_hits(edocs.limit(3)).count() == 0
