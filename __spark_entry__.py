@@ -1320,6 +1320,40 @@ def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(_docs(spark, sf_dir))
 
 
+def _q_hashed_vec_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-house text→vector path composed with ANN: signed feature-hashing
+    TF vectors (functions/vectorize.py — exact integer arithmetic over the
+    shared md5_60 hash, one doc-keyed agg) feeding the rounded-cosine
+    top-k. Zero vectors (all buckets cancel) are excluded on both sides —
+    their cosine is undefined and NaN ordering differs across engines."""
+    from spider_spark.functions.vectorize import hashed_tf_vectors
+
+    vecs = hashed_tf_vectors(_docs(spark, sf_dir)).filter(
+        F.exists("embedding", lambda x: x != 0)
+    )
+    return cosine_topk(vecs, vecs.filter(F.col("doc_id") < 5), k=ANN_K,
+                       id_col="doc_id")
+
+
+def _sql_hashed_vec_topk() -> str:
+    """Composed mirror: the hashed-vector CTE + the standard rounded-cosine
+    top-k mirror pointed at it (same zero-vector exclusion)."""
+    from spider_spark.functions.vectorize import hashed_vectors_sql
+
+    topk = cosine_topk_sql(k=ANN_K, n_queries=5, dim=EMBED_DIM, table="nz",
+                           id_col="doc_id").strip()
+    assert topk.startswith("WITH")
+    return (
+        "WITH " + hashed_vectors_sql(dim=EMBED_DIM) + ",\n"
+        "    nz AS (SELECT * FROM hvecs\n"
+        "           WHERE len(list_filter(embedding, x -> x <> 0)) > 0),\n"
+        + topk[len("WITH"):]
+    )
+
+
+_SQL_HASHED_VEC_TOPK = _sql_hashed_vec_topk()
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
@@ -1831,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": _q_embed_near_dups,
         "ann_lsh_near_dups": _q_ann_lsh,
         "semdedup_flags": _q_semdedup,            # embedding-cluster dedup
+        "hashed_vec_topk": _q_hashed_vec_topk,    # text→vector→ANN composition
         "ivf_index_search": _q_ivf_index_search,  # persisted IVF (rows-only)
         # multimodal plumbing
         "media_features": _q_media_features,
@@ -1917,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_flags": semdedup_sql(
             threshold=NEAR_DUP_THRESHOLD, n_centroids=8, dim=EMBED_DIM
         ),
+        "hashed_vec_topk": _SQL_HASHED_VEC_TOPK,
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
