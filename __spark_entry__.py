@@ -113,6 +113,9 @@ ANN_K = 5
 ANN_N_QUERIES = 10
 EMBED_DIM = 64
 NEAR_DUP_THRESHOLD = 0.4
+# hashed-TF text vectors need a higher bar than the synthetic embeddings:
+# 0.9 flags near-identical texts (66/500 at sf0.01) without gutting the corpus
+TEXT_SEMDEDUP_THRESHOLD = 0.9
 JACCARD_THRESHOLD = 0.2
 N_MEDIA = 100
 
@@ -718,7 +721,8 @@ def _sql_training_mix() -> str:
 WEB_CURATION_BUDGET = 150
 
 
-def _q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_web_curation(spark: SparkSession, sf_dir: str,
+                    semantic: bool = False) -> DataFrame:
     """Composed FineWeb/RefinedWeb-style curation pipeline over the raw
     corpus — the filter chain a webtext pipeline runs BEFORE the dedup+mix
     cut of ``training_mix``:
@@ -731,12 +735,17 @@ def _q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. CCNet perplexity terciles, keeping head+middle (cutoffs computed
          corpus-wide, as CCNet does, then intersected);
       4. exact-dup keeper (min-id per normalized fingerprint);
-      5. temperature-flattened language rebalance (∝ √n, exact integer
+      5. (``semantic=True`` — the ``web_curation_semantic`` query) SemDeDup
+         over hashed-TF text vectors: corpus-wide kept flags, curated docs
+         must survive (a FineWeb-style embedding-dedup stage with the
+         in-house text→vector path standing in for the model);
+      6. temperature-flattened language rebalance (∝ √n, exact integer
          thresholds).
 
-    Every stage is an already-oracled operator; stages 1-4 are semi/anti
-    joins on doc_id against tiny or keyed sides, stage 5 is a zero-shuffle
-    filter scan — no all-pairs, no rand(), no Python in the hot path."""
+    Every stage is an already-oracled operator; stages 1-5 are semi/anti
+    joins on doc_id against tiny or keyed sides, stage 6 is a zero-shuffle
+    filter scan — no all-pairs outside the cluster-keyed SemDeDup pair
+    join, no rand(), no Python in the hot path."""
     from spider_spark.functions.text import gopher_rules, normalized_text
 
     docs = _docs(spark, sf_dir)
@@ -770,13 +779,26 @@ def _q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         unblocked.join(passing, "doc_id", "left_semi")
         .join(exact_drop, "doc_id", "left_anti")
         .join(buckets, "doc_id")
-        .withColumn("k", F.col("doc_id").cast("string"))
     )
+    if semantic:
+        sem_kept = _q_text_semdedup(spark, sf_dir).filter("kept").select(
+            "doc_id"
+        )
+        curated = curated.join(sem_kept, "doc_id", "left_semi")
+    curated = curated.withColumn("k", F.col("doc_id").cast("string"))
     mixed = temperature_mix_sample(curated, "lang", "k", WEB_CURATION_BUDGET)
     return mixed.select("doc_id", "lang", "bucket")
 
 
-def _sql_web_curation() -> str:
+def _q_web_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``web_curation`` with the SemDeDup stage enabled (stage 5 in the
+    docstring above) — the full FineWeb-style chain including semantic
+    dedup, end-to-end oracle-checked because every stage (including the
+    text→vector→SemDeDup half) is exact-integer or rounded-cosine."""
+    return _q_web_curation(spark, sf_dir, semantic=True)
+
+
+def _sql_web_curation(semantic: bool = False) -> str:
     from spider_spark.functions.text import gopher_rules_sql
 
     bl = blocklist_filter_sql(
@@ -787,8 +809,15 @@ def _sql_web_curation() -> str:
         "lang", "doc_id::VARCHAR", WEB_CURATION_BUDGET,
         "doc_id, lang, bucket", table="curated",
     )
+    sem_cte = sem_join = ""
+    if semantic:
+        sem_cte = f"""
+    sem AS MATERIALIZED (
+      SELECT doc_id FROM ({_SQL_TEXT_SEMDEDUP}) WHERE kept
+    ),"""
+        sem_join = "\n      JOIN sem s ON s.doc_id = d.doc_id"
     return f"""
-    WITH unblocked AS MATERIALIZED ({bl}),
+    WITH unblocked AS MATERIALIZED ({bl}),{sem_cte}
     gopher AS MATERIALIZED (
       SELECT doc_id FROM ({gopher_rules_sql()})
       WHERE word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
@@ -810,7 +839,7 @@ def _sql_web_curation() -> str:
       FROM documents d
       JOIN unblocked u ON u.doc_id = d.doc_id
       JOIN gopher g ON g.doc_id = d.doc_id
-      JOIN buckets b ON b.doc_id = d.doc_id
+      JOIN buckets b ON b.doc_id = d.doc_id{sem_join}
       WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
     )
     SELECT * FROM ({mix})
@@ -1354,6 +1383,43 @@ def _sql_hashed_vec_topk() -> str:
 _SQL_HASHED_VEC_TOPK = _sql_hashed_vec_topk()
 
 
+def _q_text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup driven entirely from text — no model, no embeddings table:
+    signed hashed-TF vectors (functions/vectorize.py, exact integer
+    arithmetic) feed the literal-centroid SemDeDup (operators/semdedup.py),
+    so semantic near-dup verdicts are available the moment a corpus has a
+    text column. Zero vectors (all buckets cancel) are excluded on both
+    sides — their cosine is undefined; excluded docs simply get no verdict
+    row (they can't form pairs)."""
+    from spider_spark.functions.vectorize import hashed_tf_vectors
+
+    vecs = hashed_tf_vectors(_docs(spark, sf_dir)).filter(
+        F.exists("embedding", lambda x: x != 0)
+    )
+    return semdedup_flags(vecs, threshold=TEXT_SEMDEDUP_THRESHOLD,
+                          n_centroids=8, id_col="doc_id")
+
+
+def _sql_text_semdedup() -> str:
+    """Composed mirror: the hashed-vector CTE + the SemDeDup mirror pointed
+    at its zero-vector-free projection (nested WITH — DuckDB scopes it)."""
+    from spider_spark.functions.vectorize import hashed_vectors_sql
+
+    return (
+        "WITH " + hashed_vectors_sql(dim=EMBED_DIM) + ",\n"
+        "    nz AS (SELECT * FROM hvecs\n"
+        "           WHERE len(list_filter(embedding, x -> x <> 0)) > 0)\n"
+        "SELECT * FROM (\n"
+        + semdedup_sql(threshold=TEXT_SEMDEDUP_THRESHOLD, n_centroids=8,
+                       dim=EMBED_DIM, table="nz", id_col="doc_id",
+                       vec_col="embedding")
+        + ")"
+    )
+
+
+_SQL_TEXT_SEMDEDUP = _sql_text_semdedup()
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
@@ -1891,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "web_curation": _q_web_curation,  # blocklist→gopher→ccnet→dedup→mix
+        "web_curation_semantic": _q_web_curation_semantic,  # + SemDeDup stage
+        "text_semdedup": _q_text_semdedup,  # text→hashed-vec→SemDeDup
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -1973,6 +2041,8 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
         "web_curation": _sql_web_curation(),
+        "web_curation_semantic": _sql_web_curation(semantic=True),
+        "text_semdedup": _SQL_TEXT_SEMDEDUP,
         "recrawl_due": _SQL_RECRAWL_DUE,
         "bm25_search": _SQL_BM25,
         "bm25_index_search": _SQL_BM25,

@@ -71,3 +71,43 @@ class TestWebCuration:
         n = curated.count()
         assert 0 < n <= docs.count()
         assert curated.join(docs, on="doc_id", how="left_anti").count() == 0
+
+
+class TestWebCurationSemantic:
+    @pytest.fixture(scope="class")
+    def sem_curated(self, spark, sf_dir):
+        return entry._q_web_curation_semantic(spark, sf_dir).cache()
+
+    @pytest.fixture(scope="class")
+    def sem_flags(self, spark, sf_dir):
+        return entry._q_text_semdedup(spark, sf_dir).cache()
+
+    def test_semantic_stage_fires_on_fixture(self, sem_flags):
+        # the fixture corpus contains hashed-vector near-dups, so the stage
+        # is exercised, not vacuous
+        assert sem_flags.filter(~F.col("kept")).count() > 0
+
+    def test_no_semantically_removed_doc_survives(self, sem_curated, sem_flags):
+        removed = sem_flags.filter(~F.col("kept")).select("doc_id")
+        assert sem_curated.join(removed, "doc_id", "left_semi").count() == 0
+
+    def test_every_doc_has_a_verdict_row(self, spark, sf_dir, sem_flags):
+        # hashed vectors exist for every doc (empty text still hashes to the
+        # one empty-string word), and none cancel to zero on this corpus —
+        # so the verdict table covers the corpus exactly
+        docs = entry._docs(spark, sf_dir).select("doc_id")
+        assert sem_flags.count() == docs.count()
+
+    def test_nonempty_and_gates_still_hold(self, spark, sf_dir, sem_curated):
+        from spider_spark.functions.text import gopher_rules
+
+        assert sem_curated.count() > 0
+        rules = gopher_rules(entry._docs(spark, sf_dir))
+        bad = sem_curated.join(rules, on="doc_id").filter(
+            ~(
+                F.col("word_count_ok") & F.col("mean_word_len_ok")
+                & F.col("symbol_ratio_ok") & F.col("bullet_ok")
+                & F.col("ellipsis_ok") & F.col("alpha_words_ok")
+            )
+        ).count()
+        assert bad == 0
