@@ -658,15 +658,21 @@ SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
 """
 
-def _q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_training_mix(spark: SparkSession, sf_dir: str,
+                    semantic: bool = False) -> DataFrame:
     """The flagship end-to-end training-data pipeline composition:
     dedup survivors (exact fingerprints + MinHash-LSH→CC clusters) minus
     benchmark-contaminated docs (8-gram overlap with the doc_id%97 eval
     slice), filled per source domain to a char budget in hash order
     (two-stage prefix sum), hash-split 90/7/3, summarized per (split,
-    source). Every stage is the already-oracled operator; the composition
-    itself is what a user runs to cut a training mix from a crawled
-    corpus — one bounded-key shuffle per stage, no all-pairs, no rand()."""
+    source). With ``semantic=True`` (the ``training_mix_semantic`` query)
+    a SemDeDup stage over the model-embedding table (vec_id ≡ doc_id)
+    runs between lexical dedup and decontamination — the FineWeb-style
+    embedding-dedup cut applied to the training mix. Every stage is the
+    already-oracled operator; the composition itself is what a user runs
+    to cut a training mix from a crawled corpus — one bounded-key shuffle
+    per stage, no all-pairs outside the cluster-keyed SemDeDup pair join,
+    no rand()."""
     from spider_spark.operators.decontam import decontaminate
 
     docs = _docs(spark, sf_dir)
@@ -674,6 +680,12 @@ def _q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q_corpus_survivors(spark, sf_dir).select("doc_id"),
         on="doc_id", how="left_semi",
     )
+    if semantic:
+        sem_removed = semdedup_flags(
+            _embeddings(spark, sf_dir),
+            threshold=NEAR_DUP_THRESHOLD, n_centroids=8,
+        ).filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        surv = surv.join(sem_removed, on="doc_id", how="left_anti")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     # contamination is a per-doc property vs the external benchmark, so the
     # full-corpus scan (the decontamination_stats query) reuses verbatim
@@ -691,17 +703,26 @@ def _q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_training_mix() -> str:
+def _sql_training_mix(semantic: bool = False) -> str:
     from spider_spark.operators.decontam import decontaminate_sql
 
     budget_sql = token_budget_sample_sql(
         "source", "doc_id::VARCHAR", "n_chars", BUDGET_CHARS,
         "source, doc_id, n_chars", table="clean",
     )
+    sem_cte = sem_pred = ""
+    if semantic:
+        sem_cte = f"""
+    sem_removed AS MATERIALIZED (
+      SELECT vec_id AS doc_id FROM (
+        {semdedup_sql(threshold=NEAR_DUP_THRESHOLD, n_centroids=8)}
+      ) WHERE NOT kept
+    ),"""
+        sem_pred = "\n        AND doc_id NOT IN (SELECT doc_id FROM sem_removed)"
     return f"""
     WITH survivors AS MATERIALIZED (
       SELECT doc_id FROM ({_SQL_CORPUS_SURVIVORS})
-    ),
+    ),{sem_cte}
     contaminated AS MATERIALIZED (
       SELECT doc_id FROM ({decontaminate_sql("doc_id % 97 = 0", n=DECONTAM_N)})
       WHERE contaminated
@@ -709,13 +730,20 @@ def _sql_training_mix() -> str:
     clean AS MATERIALIZED (
       SELECT * FROM documents
       WHERE doc_id IN (SELECT doc_id FROM survivors)
-        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated){sem_pred}
     ),
     budgeted AS ({budget_sql})
     SELECT {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split, source,
            count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
     FROM budgeted GROUP BY 1, 2
     """
+
+
+def _q_training_mix_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``training_mix`` with the model-embedding SemDeDup stage enabled
+    (docstring above) — lexical dedup AND semantic dedup feeding the same
+    decontam→budget→split tail."""
+    return _q_training_mix(spark, sf_dir, semantic=True)
 
 
 WEB_CURATION_BUDGET = 150
@@ -1956,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
+        "training_mix_semantic": _q_training_mix_semantic,  # + embedding SemDeDup
         "web_curation": _q_web_curation,  # blocklist→gopher→ccnet→dedup→mix
         "web_curation_semantic": _q_web_curation_semantic,  # + SemDeDup stage
         "text_semdedup": _q_text_semdedup,  # text→hashed-vec→SemDeDup
@@ -2040,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _SQL_DATACARD,
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
+        "training_mix_semantic": _sql_training_mix(semantic=True),
         "web_curation": _sql_web_curation(),
         "web_curation_semantic": _sql_web_curation(semantic=True),
         "text_semdedup": _SQL_TEXT_SEMDEDUP,

