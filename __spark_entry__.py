@@ -1083,6 +1083,55 @@ FROM documents d JOIN dup USING (doc_id)
 GROUP BY 1, 2
 """
 
+# synthetic previous release for the diff audit: deterministic derivation
+# from the current table so every status appears at any sf — %13 docs are
+# missing from old (→ added), %11 docs carry an old revision (→ changed),
+# %17 docs exist only in old under shifted ids (→ removed)
+_OLD_REV_SUFFIX = " (old revision)"
+_RETIRED_ID_SHIFT = 1_000_000
+
+
+def _q_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-release corpus diff: per-doc added/removed/changed/unchanged
+    verdicts by exact content fingerprint (the exact-dedup key), one
+    id-keyed full outer join of two 2-column fingerprint projections
+    (operators/release.py). The 'old' release is derived deterministically
+    from the current table (constants above) so both engines diff the
+    same pair."""
+    from spider_spark.operators.release import release_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    old = docs.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 11 == 0,
+               F.concat(F.col("text"), F.lit(_OLD_REV_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(i % 17 == 0).select(
+            (i + _RETIRED_ID_SHIFT).alias("doc_id"),
+            F.concat(F.lit("retired doc "), i.cast("string")).alias("text"),
+        )
+    )
+    return release_diff(old, docs)
+
+
+def _sql_release_diff() -> str:
+    from spider_spark.operators.release import release_diff_sql
+
+    old = f"""(
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || '{_OLD_REV_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + {_RETIRED_ID_SHIFT} AS doc_id,
+             'retired doc ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id % 17 = 0
+    )"""
+    return release_diff_sql(old, "documents")
+
+
 PACK_SEQ_LEN = 4096
 
 
@@ -1982,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
+        "release_diff": _q_release_diff,                # cross-release audit
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "training_mix_semantic": _q_training_mix_semantic,  # + embedding SemDeDup
@@ -2067,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_sample": _SQL_TEMP_MIX,
         "packed_sequences": _SQL_PACKED,
         "corpus_datacard": _SQL_DATACARD,
+        "release_diff": _sql_release_diff(),
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
         "training_mix_semantic": _sql_training_mix(semantic=True),

@@ -344,6 +344,23 @@ def main() -> None:
         ),
     )
 
+    # ---- composed pipelines end-to-end ----------------------------------
+    # the two flagship compositions a user actually runs: the full curation
+    # chain (blocklist→gopher→ccnet→exact-dup→text-SemDeDup→mix) and the
+    # training-mix cut (lexical dedup→embedding SemDeDup→decontam→budget→
+    # split) — every stage is an already-benched operator; this measures
+    # the composition overhead (stage joins, shared scans)
+    import __spark_entry__ as entry
+
+    timed(
+        "web_curation_semantic",
+        lambda: force(entry._q_web_curation(spark, sf_dir, semantic=True)),
+    )
+    timed(
+        "training_mix",
+        lambda: force(entry._q_training_mix(spark, sf_dir, semantic=True)),
+    )
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,69 @@
+"""Cross-release diff tests: status semantics on a constructed release
+pair, DuckDB-mirror parity, and the normalized-fingerprint equivalence
+(whitespace/case churn is NOT a change — same key as exact dedup)."""
+
+import duckdb
+import pytest
+
+from spider_spark.operators.release import release_diff, release_diff_sql
+
+
+@pytest.fixture(scope="module")
+def releases(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "alpha doc"),        # unchanged
+            (2, "beta doc v1"),      # changed in new
+            (3, "  Gamma   DOC  "),  # unchanged modulo normalization
+            (4, "retired doc"),      # removed in new
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha doc"),
+            (2, "beta doc v2"),
+            (3, "gamma doc"),
+            (5, "brand new doc"),    # added in new
+        ],
+        ["doc_id", "text"],
+    )
+    return old, new
+
+
+class TestStatusSemantics:
+    def test_all_four_statuses(self, releases):
+        old, new = releases
+        got = {r["doc_id"]: r["status"] for r in release_diff(old, new).collect()}
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "unchanged",  # normalization absorbs whitespace/case churn
+            4: "removed",
+            5: "added",
+        }
+
+    def test_matches_duckdb_mirror(self, releases):
+        old, new = releases
+        con = duckdb.connect()
+        con.register("old_rel", old.toPandas())
+        con.register("new_rel", new.toPandas())
+        mirror = set(map(tuple, con.execute(
+            release_diff_sql("old_rel", "new_rel")
+        ).fetchall()))
+        got = {tuple(r) for r in release_diff(old, new).collect()}
+        assert got == mirror
+
+
+class TestDriverQuery:
+    def test_every_status_present_at_fixture_sf(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        rows = entry._q_release_diff(spark, sf_dir).collect()
+        by_status: dict[str, int] = {}
+        for r in rows:
+            by_status[r["status"]] = by_status.get(r["status"], 0) + 1
+        assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+        docs = entry._docs(spark, sf_dir).count()
+        # every current doc plus every retired-only doc gets a verdict
+        assert sum(by_status.values()) == docs + by_status["removed"]

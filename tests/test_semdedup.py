@@ -120,6 +120,24 @@ class TestKeepRule:
         assert {i for i, r in got.items() if not r["kept"]} == {0, 2}
 
 
+class TestPlanShape:
+    def test_literal_mode_jvm_only_cluster_keyed(self, emb):
+        plan = (
+            semdedup_flags(emb, threshold=THRESHOLD, n_centroids=4,
+                           max_cluster=100_000)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # literal-centroid mode is pure JVM: assignment is a constant-folded
+        # projection, never a Python/Arrow eval node
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the pair join is keyed on cluster (Σ|cluster|² candidate volume,
+        # never a cartesian), and the hot-cluster guard is a broadcast
+        # anti-join — the small side never shuffles the corpus
+        assert "hashpartitioning(cluster" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 class TestKMeansMode:
     def test_deterministic(self, emb):
         a = sorted(map(tuple, semdedup_flags(
