@@ -681,10 +681,14 @@ def _q_training_mix(spark: SparkSession, sf_dir: str,
         on="doc_id", how="left_semi",
     )
     if semantic:
+        # tiny id list re-consumed by the budget/split passes downstream —
+        # checkpoint so the pair join runs once
         sem_removed = semdedup_flags(
             _embeddings(spark, sf_dir),
             threshold=NEAR_DUP_THRESHOLD, n_centroids=8,
-        ).filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        ).filter(~F.col("kept")).select(
+            F.col("vec_id").alias("doc_id")
+        ).localCheckpoint(eager=False)
         surv = surv.join(sem_removed, on="doc_id", how="left_anti")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     # contamination is a per-doc property vs the external benchmark, so the
@@ -809,9 +813,11 @@ def _q_web_curation(spark: SparkSession, sf_dir: str,
         .join(buckets, "doc_id")
     )
     if semantic:
+        # tiny id list consumed by BOTH temperature-mix passes (count agg +
+        # filter scan) — checkpoint so the pair join runs once, not twice
         sem_kept = _q_text_semdedup(spark, sf_dir).filter("kept").select(
             "doc_id"
-        )
+        ).localCheckpoint(eager=False)
         curated = curated.join(sem_kept, "doc_id", "left_semi")
     curated = curated.withColumn("k", F.col("doc_id").cast("string"))
     mixed = temperature_mix_sample(curated, "lang", "k", WEB_CURATION_BUDGET)
@@ -1473,6 +1479,9 @@ def _q_text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = hashed_tf_vectors(_docs(spark, sf_dir)).filter(
         F.exists("embedding", lambda x: x != 0)
     )
+    # the vector job feeds the centroid collect AND the assignment scan —
+    # checkpoint so the word explode runs once (lazy: no work at build)
+    vecs = vecs.localCheckpoint(eager=False)
     return semdedup_flags(vecs, threshold=TEXT_SEMDEDUP_THRESHOLD,
                           n_centroids=8, id_col="doc_id")
 

@@ -185,13 +185,22 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.9,
                    vec_col: str = "embedding",
                    centroids_as: str = "literals",
                    max_cluster: int | None = None,
-                   kmeans_iters: int = 5) -> DataFrame:
+                   kmeans_iters: int = 5,
+                   checkpoint: bool = True) -> DataFrame:
     """Per-document SemDeDup verdicts: ``(vec_id, cluster, cent_sim,
     kept)``. ``kept=false`` ⇔ some same-cluster document with cosine ≥
     ``threshold`` outranks it under the keep rule (module docstring).
     Survivors are ``.filter("kept")``; the flags form is returned so
     audits can see WHY a document fell (its cluster + centroid
-    similarity)."""
+    similarity).
+
+    ``checkpoint`` (default on) lazily ``localCheckpoint``s the assigned
+    relation before the pair stage: it is consumed THREE times (both
+    pair-join sides + the verdict join), so without it the assignment —
+    and everything upstream, e.g. a hashed-TF vectorization — recomputes
+    3×. Semantically transparent; costs one materialization of
+    (id, vec, nrm, cluster, cent_sim). Disable when the input is a cheap
+    re-scannable source and executor storage is the scarcer resource."""
     if centroids_as == "kmeans":
         cents = kmeans_centroids(corpus, n_centroids, n_iters=kmeans_iters,
                                  id_col=id_col, vec_col=vec_col)
@@ -200,6 +209,8 @@ def semdedup_flags(corpus: DataFrame, threshold: float = 0.9,
         assigned = _assign_literals(corpus, n_centroids, id_col, vec_col)
     else:
         raise ValueError(f"unknown centroids_as: {centroids_as!r}")
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=False)
     out = _flags_from_assign(assigned, threshold, max_cluster)
     return out.select(F.col("id").alias(id_col), "cluster", "cent_sim", "kept")
 
