@@ -1179,6 +1179,53 @@ _SQL_RECRAWL_DUE = recrawl_due_sql(
     table="documents",
 )
 
+# change-rate-aware TTL multipliers (Cho & Garcia-Molina refresh policy):
+# pages that changed since the last release refetch 2x sooner, stable
+# pages 2x later, no-history pages at the base TTL
+_TTL_MULT_CHANGED, _TTL_MULT_UNCHANGED = 0.5, 2.0
+
+
+def _q_recrawl_change_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-aware freshness scheduling: the recrawl_due policy with
+    per-URL TTL multipliers derived from the cross-release diff — changed
+    pages come due sooner, stable pages later, and 'removed' pages drop
+    out of the schedule entirely (inner join). One url-keyed join of two
+    narrow projections + the scan-local urgency filter."""
+    pages = pages_from_documents(spark, sf_dir).select("url", "warc_ts")
+    mult = (
+        F.when(F.col("status") == "changed", F.lit(_TTL_MULT_CHANGED))
+        .when(F.col("status") == "unchanged", F.lit(_TTL_MULT_UNCHANGED))
+        .otherwise(F.lit(1.0))
+    )
+    diff = _q_release_diff(spark, sf_dir).select(
+        url_expr(F.col("doc_id")).alias("url"), mult.alias("ttl_mult")
+    )
+    pm = pages.join(diff, on="url")
+    return recrawl_due(
+        pm, PAGES_EPOCH + RECRAWL_NOW_OFFSET, RECRAWL_TTL,
+        jitter_frac=RECRAWL_JITTER, ttl_mult_col="ttl_mult",
+    )
+
+
+def _sql_recrawl_change_aware() -> str:
+    due = recrawl_due_sql(
+        PAGES_EPOCH + RECRAWL_NOW_OFFSET, RECRAWL_TTL,
+        jitter_frac=RECRAWL_JITTER, url_expr="url",
+        ts_epoch_expr="ts_epoch", table="pm", ttl_mult_expr="ttl_mult",
+    )
+    return f"""
+    WITH diff AS ({_sql_release_diff()}),
+    pm AS (
+      SELECT {_url_sql('d.doc_id')} AS url,
+             ({PAGES_EPOCH} + d.doc_id) AS ts_epoch,
+             CASE f.status WHEN 'changed' THEN {_TTL_MULT_CHANGED}
+                           WHEN 'unchanged' THEN {_TTL_MULT_UNCHANGED}
+                           ELSE 1.0 END AS ttl_mult
+      FROM documents d JOIN diff f ON f.doc_id = d.doc_id
+    )
+    {due}
+    """
+
 BM25_QUERY = ["spark", "join", "window", "vector"]
 BM25_K = 15
 
@@ -2048,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation_semantic": _q_web_curation_semantic,  # + SemDeDup stage
         "text_semdedup": _q_text_semdedup,  # text→hashed-vec→SemDeDup
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
+        "recrawl_change_aware": _q_recrawl_change_aware,  # diff-driven TTLs
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
         "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
@@ -2134,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "web_curation_semantic": _sql_web_curation(semantic=True),
         "text_semdedup": _SQL_TEXT_SEMDEDUP,
         "recrawl_due": _SQL_RECRAWL_DUE,
+        "recrawl_change_aware": _sql_recrawl_change_aware(),
         "bm25_search": _SQL_BM25,
         "bm25_index_search": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,

@@ -40,16 +40,28 @@ _H_SCALE = float(1 << 60)
 
 def recrawl_due(pages: DataFrame, now_epoch: int, ttl_sec: int,
                 jitter_frac: float = 0.1, url_col: str = "url",
-                ts_col: str = "warc_ts") -> DataFrame:
+                ts_col: str = "warc_ts",
+                ttl_mult_col: str | None = None) -> DataFrame:
     """URLs due for refetch at ``now_epoch``: ``(url, age_sec, urgency)``
     for every page whose age meets its hash-jittered TTL.
-    ``0 ≤ jitter_frac < 1``; 0 disables jitter."""
+    ``0 ≤ jitter_frac < 1``; 0 disables jitter.
+
+    ``ttl_mult_col`` names an optional per-URL TTL multiplier column —
+    the change-rate-aware refresh policy (Cho & Garcia-Molina, "Effective
+    page refresh policies for web crawlers", TODS 2003): pages observed
+    to change get a short multiplier (refetched sooner), stable pages a
+    long one. The caller derives the multiplier from observed history —
+    e.g. the cross-release diff status (operators/release.py); see the
+    ``recrawl_change_aware`` driver query."""
     if not (0 <= jitter_frac < 1):
         raise ValueError(f"jitter_frac must be in [0, 1): {jitter_frac}")
     if ttl_sec <= 0:
         raise ValueError(f"ttl_sec must be positive: {ttl_sec}")
     h01 = md5_60(F.col(url_col)) / F.lit(_H_SCALE)
-    eff_ttl = F.lit(float(ttl_sec)) * (F.lit(1.0) - F.lit(float(jitter_frac)) * h01)
+    base = F.lit(float(ttl_sec))
+    if ttl_mult_col is not None:
+        base = base * F.col(ttl_mult_col)
+    eff_ttl = base * (F.lit(1.0) - F.lit(float(jitter_frac)) * h01)
     age = (F.lit(now_epoch) - F.unix_timestamp(F.col(ts_col))).cast("long")
     return (
         pages.select(
@@ -63,11 +75,15 @@ def recrawl_due(pages: DataFrame, now_epoch: int, ttl_sec: int,
 
 def recrawl_due_sql(now_epoch: int, ttl_sec: int, jitter_frac: float = 0.1,
                     url_expr: str = "url", ts_epoch_expr: str = "epoch(warc_ts)",
-                    table: str = "pages") -> str:
+                    table: str = "pages",
+                    ttl_mult_expr: str | None = None) -> str:
     """DuckDB mirror of :func:`recrawl_due` (same hash, scale constants,
     and float evaluation order, so urgency matches bit-for-bit)."""
     h01 = f"(({md5_60_sql(url_expr)}) / {_H_SCALE!r})"
-    eff = f"({float(ttl_sec)!r} * (1.0 - {float(jitter_frac)!r} * {h01}))"
+    base = f"{float(ttl_sec)!r}"
+    if ttl_mult_expr is not None:
+        base = f"({base} * {ttl_mult_expr})"
+    eff = f"({base} * (1.0 - {float(jitter_frac)!r} * {h01}))"
     age = f"({now_epoch} - {ts_epoch_expr})::BIGINT"
     return f"""
     SELECT url, age_sec, urgency FROM (

@@ -74,6 +74,53 @@ class TestRecrawlDue:
         with pytest.raises(ValueError):
             recrawl_due(pages, PAGES_EPOCH, ttl_sec=10, jitter_frac=1.0)
 
+    def test_ttl_mult_scales_the_policy(self, spark, pages):
+        # a uniform 0.5 multiplier must equal a halved base TTL exactly
+        pm = pages.withColumn("m", F.lit(0.5))
+        fast = recrawl_due(pm, PAGES_EPOCH + 150, 100, jitter_frac=0.2,
+                           ttl_mult_col="m")
+        halved = recrawl_due(pages, PAGES_EPOCH + 150, 50, jitter_frac=0.2)
+        got = {(r["url"], r["age_sec"], round(r["urgency"], 9))
+               for r in fast.collect()}
+        want = {(r["url"], r["age_sec"], round(r["urgency"], 9))
+                for r in halved.collect()}
+        assert got == want
+        # per-row multipliers: changed pages (even ids) come due at ages
+        # where stable pages (odd ids, 2x TTL) do not
+        pm2 = pages.withColumn(
+            "m",
+            F.when(F.unix_timestamp("warc_ts") % 2 == 0, F.lit(0.5))
+            .otherwise(F.lit(2.0)),
+        )
+        out = recrawl_due(pm2, PAGES_EPOCH + 150, 100, jitter_frac=0.0,
+                          ttl_mult_col="m")
+        ages = [(r["age_sec"], r["url"]) for r in out.collect()]
+        assert any(a < 100 for a, _ in ages), "fast pages due before base TTL"
+        # every due page younger than the slow TTL must be a fast one
+        fast = {r["url"] for r in pm2.filter("m = 0.5").collect()}
+        assert all(u in fast for a, u in ages if a < 200)
+
+    def test_ttl_mult_matches_duckdb_mirror(self, spark, pages):
+        pm = pages.withColumn(
+            "m",
+            F.when(F.unix_timestamp("warc_ts") % 3 == 0, F.lit(0.5))
+            .otherwise(F.lit(2.0)),
+        )
+        out = recrawl_due(pm, PAGES_EPOCH + 150, 100, jitter_frac=0.3,
+                          ttl_mult_col="m")
+        got = {(r["url"], r["age_sec"], round(r["urgency"], 9)) for r in out.collect()}
+        con = duckdb.connect()
+        con.register(
+            "pages",
+            pm.select("url", F.unix_timestamp("warc_ts").alias("ts"), "m").toPandas(),
+        )
+        sql = recrawl_due_sql(
+            PAGES_EPOCH + 150, 100, jitter_frac=0.3, ts_epoch_expr="ts",
+            ttl_mult_expr="m",
+        )
+        want = {(u, a, round(x, 9)) for u, a, x in con.execute(sql).fetchall()}
+        assert got == want
+
     def test_pushdown_no_shuffle(self, pages):
         plan = (
             recrawl_due(pages, PAGES_EPOCH + 150, 100)
