@@ -385,6 +385,77 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, out_path: str,
     q.awaitTermination()
 
 
+def dedup_gate_stream(pages: DataFrame, index, checkpoint: str,
+                      out_path: str) -> dict:
+    """Streaming ingest behind a persisted cross-batch exact-dedup gate —
+    the Structured-Streaming twin of ``ContinuousCrawler``'s content gate.
+
+    ``index`` is an :class:`~spider_spark.operators.dedup_index.ExactIndex`
+    (duck-typed: ``id_col``/``text_col``/``exists``/``build``/``add``/
+    ``probe_hits``). Each micro-batch runs under ``foreachBatch`` — the
+    handler receives a plain batch DataFrame, so the persisted-index
+    operators compose unchanged:
+
+    1. within-batch exact keeper (min-id per normalized fingerprint — the
+       corpus-sweep rule, so verdicts agree with ``exact_duplicates``);
+    2. cross-batch gate: rows whose fingerprint the index committed in ANY
+       prior batch are dropped (partition-pruned ``probe_hits`` — O(batch)
+       work, never an index scan);
+    3. survivors append to the sink;
+    4. the index takes its O(batch) delta.
+
+    Sink-before-add ordering means a crash between (3) and (4) re-emits
+    those rows on retry instead of silently dropping them — the standard
+    at-least-once ``foreachBatch`` contract; exactly-once needs an
+    idempotent downstream (e.g. TableIO's keyed upsert on ``id_col``).
+
+    Returns driver-side counters: ``batches`` / ``in_rows`` / ``gated`` /
+    ``out_rows``.
+    """
+    from spider_spark.operators.dedupe import normalized_text
+
+    stats = {"batches": 0, "in_rows": 0, "gated": 0, "out_rows": 0}
+    id_col, text_col = index.id_col, index.text_col
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        n_in = b.count()
+        fpd = b.withColumn(
+            "_fp", F.md5(normalized_text(F.col(text_col)))
+        )
+        keep = fpd.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        kept = (
+            fpd.join(keep, on=["_fp", id_col], how="left_semi")
+            .drop("_fp")
+            .localCheckpoint(eager=True)
+        )
+        if index.exists():
+            hits = index.probe_hits(kept).withColumnRenamed("probe_id", id_col)
+            surv = kept.join(hits, on=id_col, how="left_anti")
+        else:
+            surv = kept
+        surv = surv.localCheckpoint(eager=True)
+        n_out = surv.count()
+        surv.write.mode("append").parquet(out_path)
+        if index.exists():
+            index.add(surv)
+        else:
+            index.build(surv)
+        stats["batches"] += 1
+        stats["in_rows"] += n_in
+        stats["gated"] += n_in - n_out
+        stats["out_rows"] += n_out
+
+    q = (
+        pages.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
+
+
 def run_to_memory(stream_df: DataFrame, checkpoint: str, name: str,
                   output_mode: str = "complete") -> None:
     """Drain into an in-memory table (for aggregations whose trailing

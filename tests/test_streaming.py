@@ -138,6 +138,63 @@ def test_clean_pages_stream_matches_batch(spark, pages_dir, tmp_path):
     assert streamed == batch and len(batch) == 60
 
 
+def test_exact_dedup_gate_stream(spark, tmp_path):
+    """foreachBatch ingest gate over a persisted ExactIndex: within-batch
+    keeper + cross-batch fingerprint gate, order-independent assertions
+    (the file source's batch order is not contractual)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from spider_spark.operators.dedup_index import ExactIndex
+    from spider_spark.sources.tableio import ParquetManifestIO
+    from spider_spark.streaming.ingest import dedup_gate_stream
+
+    in_dir = str(tmp_path / "in")
+    # drop 1: a within-batch dup pair (normalization-equal beta texts)
+    spark.createDataFrame(
+        [("u1", "alpha text"), ("u2", "beta text"), ("u2b", "  BETA   text ")],
+        ["url", "text"],
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # drop 2: a cross-batch dup (alpha again) + a fresh doc
+    spark.createDataFrame(
+        [("u3", "alpha text"), ("u4", "gamma text")], ["url", "text"]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("text", StringType()),
+    ])
+    idx = ExactIndex(
+        ParquetManifestIO(spark, str(tmp_path / "idx")),
+        id_col="url", text_col="text", n_parts=8,
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = str(tmp_path / "out")
+    stats = dedup_gate_stream(stream, idx, str(tmp_path / "ckpt"), out)
+
+    got = spark.read.parquet(out)
+    # 3 distinct normalized fingerprints in → exactly 3 docs out, 2 gated
+    assert got.count() == 3
+    assert stats == {"batches": 2, "in_rows": 5, "gated": 2, "out_rows": 3}
+    texts = {r["text"].split()[0].lower() for r in got.collect()}
+    assert texts == {"alpha", "beta", "gamma"}
+    # the index now gates any future refetch of committed content
+    probe = spark.createDataFrame([("u9", "gamma text")], ["url", "text"])
+    assert idx.probe_hits(probe).count() == 1
+
+    # a later drop against the SAME checkpoint resumes incrementally and
+    # the persisted gate still holds across the restart
+    spark.createDataFrame(
+        [("u5", "beta text"), ("u6", "delta text")], ["url", "text"]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    stats2 = dedup_gate_stream(stream2, idx, str(tmp_path / "ckpt"), out)
+    assert stats2 == {"batches": 1, "in_rows": 2, "gated": 1, "out_rows": 1}
+    assert spark.read.parquet(out).count() == 4
+
+
 def test_host_rate_window(spark, pages_dir, tmp_path):
     stream = read_pages_stream(
         spark, str(pages_dir / "in"),
