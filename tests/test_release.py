@@ -43,6 +43,16 @@ class TestStatusSemantics:
             5: "added",
         }
 
+    def test_swap_symmetry(self, releases):
+        # diff(new, old) is diff(old, new) with added <-> removed swapped
+        # and changed/unchanged fixed — the defining property of a diff
+        old, new = releases
+        fwd = {r["doc_id"]: r["status"] for r in release_diff(old, new).collect()}
+        rev = {r["doc_id"]: r["status"] for r in release_diff(new, old).collect()}
+        swap = {"added": "removed", "removed": "added",
+                "changed": "changed", "unchanged": "unchanged"}
+        assert rev == {k: swap[v] for k, v in fwd.items()}
+
     def test_matches_duckdb_mirror(self, releases):
         old, new = releases
         con = duckdb.connect()
