@@ -65,6 +65,41 @@ class TestStatusSemantics:
         assert got == mirror
 
 
+class TestPlanShape:
+    def test_bucketed_releases_diff_exchange_free(self, spark):
+        """The docstring's scale claim, pinned: two releases bucketed on
+        the id diff with NO hash exchange — the full outer join reads both
+        sides from their bucket layout (the text column is consumed by the
+        md5 inside the scan-side projection, never shuffled)."""
+        from pyspark.sql import functions as F
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            base = spark.range(0, 500).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+            )
+            base.write.bucketBy(8, "doc_id").mode("overwrite").saveAsTable(
+                "rel_diff_old"
+            )
+            base.filter("doc_id % 3 != 0").write.bucketBy(8, "doc_id").mode(
+                "overwrite"
+            ).saveAsTable("rel_diff_new")
+            d = release_diff(
+                spark.table("rel_diff_old"), spark.table("rel_diff_new")
+            )
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            # and the result is still right
+            by = {r["status"] for r in d.collect()}
+            assert by == {"removed", "unchanged"}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS rel_diff_old")
+            spark.sql("DROP TABLE IF EXISTS rel_diff_new")
+
+
 class TestDriverQuery:
     def test_every_status_present_at_fixture_sf(self, spark, sf_dir):
         import __spark_entry__ as entry
