@@ -2020,6 +2020,127 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+# -- crawl-trap detection + CDX capture index (web-scale frontier layer) -----
+#
+# Both run over URL logs derived arithmetically from the documents table
+# (the release_diff pattern), so the oracle rebuilds the identical inputs
+# from the same arithmetic with zero shared code.
+
+
+def _q_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host spider-trap verdict (operators/traps.py): structural URL
+    audit — path depth, repeated-segment loops, query-string mills — as
+    one host-keyed integer aggregation. The synthetic log mixes the pages
+    tables' normal hosts with a calendar-loop host (``cal.trap.example``,
+    repeated ``/2024`` segments) and a session-id mill
+    (``session.example``, 100% query strings); the verdict must flag
+    exactly those two."""
+    from spider_spark.operators.traps import trap_hosts
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    normal = docs.select(url_expr(i).alias("url"))
+    trap = docs.filter(i % 3 == 0).select(
+        F.concat(
+            F.lit("https://cal.trap.example"),
+            F.expr("repeat('/2024', CAST(1 + doc_id % 15 AS INT))"),
+            F.lit("/p"), i.cast("string"),
+        ).alias("url")
+    )
+    mill = docs.filter(i % 5 == 0).select(
+        F.concat(F.lit("https://session.example/d/"), i.cast("string"),
+                 F.lit("?sid="), i.cast("string")).alias("url")
+    )
+    return trap_hosts(normal.unionByName(trap).unionByName(mill))
+
+
+def _sql_trap_hosts() -> str:
+    from spider_spark.operators.traps import trap_hosts_sql
+
+    urls = f"""(
+      SELECT {_url_sql('doc_id')} AS url FROM documents
+      UNION ALL
+      SELECT 'https://cal.trap.example'
+             || repeat('/2024', CAST(1 + doc_id % 15 AS INT))
+             || '/p' || doc_id
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://session.example/d/' || doc_id || '?sid=' || doc_id
+      FROM documents WHERE doc_id % 5 = 0
+    )"""
+    return trap_hosts_sql(urls)
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus top-k word trigrams (operators/ngrams.py):
+    one gram-keyed count with map-side partials + TakeOrderedAndProject —
+    the infini-gram / boilerplate-discovery corpus statistic."""
+    from spider_spark.operators.ngrams import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=100)
+
+
+def _sql_top_ngrams() -> str:
+    from spider_spark.operators.ngrams import top_ngrams_sql
+
+    return top_ngrams_sql(n=3, k=100)
+
+
+DSIR_K = 150
+
+
+def _q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): integer log-ratio
+    weights under the frozen target ('en') vs pooled background trigram
+    LMs, Gumbel-top-k cut via the md5-uniform — deterministic sampling
+    without replacement ∝ importance weight."""
+    from spider_spark.operators.dsir import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir), k=DSIR_K, target_lang="en")
+
+
+def _sql_dsir_selection() -> str:
+    from spider_spark.operators.dsir import dsir_select_sql
+
+    return dsir_select_sql(k=DSIR_K, target_lang="en")
+
+
+def _q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-keyed CDX capture rows for one domain (operators/cdx.py): the
+    Common-Crawl-index lookup shape. A quarter of the capture log carries
+    the messy URL form (``www.`` prefix, explicit port, unsorted query
+    params) so the hash match proves the full SURT normalization — the
+    persisted, partition-pruned form is covered by tests/test_cdx.py."""
+    from spider_spark.operators.cdx import cdx_entries
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    fancy = F.concat(F.lit("https://www."), host_expr(i), F.lit(":8080/d/"),
+                     i.cast("string"), F.lit("?b=2&a=1"))
+    pages = docs.select(
+        F.when(i % 4 == 1, fancy).otherwise(url_expr(i)).alias("url"),
+        (F.lit(PAGES_EPOCH) + i).alias("warc_ts"),
+        "text",
+    )
+    return cdx_entries(pages).filter(F.col("surt").startswith("example,h3)"))
+
+
+def _sql_cdx_lookup() -> str:
+    from spider_spark.operators.cdx import cdx_entries_sql
+
+    pages = f"""(
+      SELECT CASE WHEN doc_id % 4 = 1
+                  THEN 'https://www.' || {_host_sql('doc_id')}
+                       || ':8080/d/' || doc_id || '?b=2&a=1'
+                  ELSE {_url_sql('doc_id')} END AS url,
+             {PAGES_EPOCH} + doc_id AS warc_ts,
+             text
+      FROM documents
+    )"""
+    inner = cdx_entries_sql(pages, ts_is_epoch=True)
+    return f"SELECT * FROM ({inner}) WHERE surt LIKE 'example,h3)%'"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl engine (SURVEY §2: S1/S2/X1/X2/P4/P5/D1/D2/I1/L2)
@@ -2096,6 +2217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semdedup": _q_text_semdedup,  # text→hashed-vec→SemDeDup
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "recrawl_change_aware": _q_recrawl_change_aware,  # diff-driven TTLs
+        "trap_hosts": _q_trap_hosts,              # spider-trap host audit
+        "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
+        "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
+        "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
         "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
@@ -2183,6 +2308,10 @@ def oracle_sql() -> dict[str, str]:
         "text_semdedup": _SQL_TEXT_SEMDEDUP,
         "recrawl_due": _SQL_RECRAWL_DUE,
         "recrawl_change_aware": _sql_recrawl_change_aware(),
+        "trap_hosts": _sql_trap_hosts(),
+        "cdx_lookup": _sql_cdx_lookup(),
+        "top_ngrams": _sql_top_ngrams(),
+        "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
         "bm25_index_search": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,
