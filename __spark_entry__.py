@@ -2086,6 +2086,35 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+BLOCKED_HOST = "h7.example"
+
+
+def _q_crawl_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host-level admission gate (trap/blocklist defense): the same
+    flagship crawl with one host blocked — its links are dropped before
+    the dedupe shuffle, never admitted, never fetched. The oracle replays
+    the recursive frontier CTE with the matching admission predicate
+    (sources/pages.py:_host_block_pred) — zero shared code."""
+    _ensure_shipped(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    engine = CrawlEngine(
+        spark, pages, CrawlConfig(depth=CRAWL_DEPTH),
+        blocked_hosts=[BLOCKED_HOST],
+    )
+    return engine.crawl(seed).results.select(
+        "url", "title", F.col("depth").cast("long").alias("depth"), "fetched"
+    )
+
+
+_SQL_CRAWL_BLOCKED = (
+    "SELECT url, title, depth::BIGINT AS depth, fetched FROM ("
+    + oracle_results_sql(CRAWL_SEED_ID, CRAWL_DEPTH, blocked_host=BLOCKED_HOST)
+    + ")"
+)
+
+
 DSIR_K = 150
 
 
@@ -2217,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semdedup": _q_text_semdedup,  # text→hashed-vec→SemDeDup
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "recrawl_change_aware": _q_recrawl_change_aware,  # diff-driven TTLs
+        "crawl_blocked_hosts": _q_crawl_blocked,  # host admission gate
         "trap_hosts": _q_trap_hosts,              # spider-trap host audit
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
@@ -2308,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "text_semdedup": _SQL_TEXT_SEMDEDUP,
         "recrawl_due": _SQL_RECRAWL_DUE,
         "recrawl_change_aware": _sql_recrawl_change_aware(),
+        "crawl_blocked_hosts": _SQL_CRAWL_BLOCKED,
         "trap_hosts": _sql_trap_hosts(),
         "cdx_lookup": _sql_cdx_lookup(),
         "top_ngrams": _sql_top_ngrams(),

@@ -218,6 +218,7 @@ class CrawlEngine:
         robots_ttl_sec: float | None = None,
         seen_filter: ShardedCuckoo | None = None,
         content_gate=None,
+        blocked_hosts=None,  # list[str] | DataFrame('host') — link-admission gate
     ):
         self.spark = spark
         self.pages = pages
@@ -245,6 +246,25 @@ class CrawlEngine:
         # MinHashIndex); intra-round duplicates are out of scope — the
         # one-shot dedup sweep (operators/dedupe.py) is the batch tool.
         self.content_gate = content_gate
+        # host-level admission gate (spider-trap / domain-blocklist defense):
+        # discovered links whose host is blocked are DROPPED before the
+        # intra-round dedupe shuffle — never admitted, never fetched, never
+        # recorded (the reference's link filters drop silently the same way,
+        # crawler.py:148-155). Seeds are operator-provided and bypass the
+        # gate. A list broadcasts; a DataFrame('host') joins keyed (AQE
+        # picks the strategy — pass a DataFrame for blocklists too big to
+        # broadcast, e.g. a UT1 dump or accumulated trap_hosts verdicts).
+        if blocked_hosts is None:
+            self._blocked = None
+            self._blocked_broadcast = False
+        elif isinstance(blocked_hosts, (list, tuple, set)):
+            self._blocked = spark.createDataFrame(
+                [(h.lower(),) for h in sorted(blocked_hosts)], "host string"
+            )
+            self._blocked_broadcast = True
+        else:
+            self._blocked = blocked_hosts.select(F.lower("host").alias("host"))
+            self._blocked_broadcast = False
         # durable commits carry a monotone (epoch, round) marker: each
         # crawl() on a store with prior metrics opens a new epoch, so a
         # recrawl wave's round -1/0/… commits can never be mistaken for a
@@ -662,6 +682,15 @@ class CrawlEngine:
             F.col("link.url").alias("canon_url"),
             F.col("link.host").alias("host"),
         )
+        if self._blocked is not None:
+            # host admission gate BEFORE the dedupe shuffle: blocked links
+            # never cost exchange bytes (a trap host's URL flood dies at
+            # the scan that discovered it)
+            blocked = (
+                F.broadcast(self._blocked) if self._blocked_broadcast
+                else self._blocked
+            )
+            links = links.join(blocked, on="host", how="left_anti")
         # intra-round min-depth dedupe (Q2 pinned deterministic)
         candidates = links.groupBy("canon_url").agg(
             F.min(

@@ -188,15 +188,34 @@ WITH RECURSIVE
     FROM reach, nn,
          UNNEST([(2*reach.id+1) % nn.n, (3*reach.id+2) % nn.n, nn.n + reach.id]) AS u(child)
     WHERE reach.depth < {depth} AND reach.id < nn.n AND u.child <> {seed_id}
+      AND {admit_pred}
   ),
   seen AS (SELECT id, MIN(depth) AS depth FROM reach GROUP BY id)
 """
 
 
-def oracle_results_sql(seed_id: int, depth: int) -> str:
+def _host_block_pred(blocked_host: str | None) -> str:
+    """Recursive-CTE admission predicate mirroring the engine's
+    ``blocked_hosts`` link gate for one ``hK.example`` host (TRUE when
+    nothing is blocked). Blocked links are never admitted — not fetched,
+    not recorded — exactly the engine's drop-before-dedupe semantics."""
+    if blocked_host is None:
+        return "TRUE"
+    if not (blocked_host.startswith("h") and blocked_host.endswith(".example")):
+        raise ValueError(f"only hK.example hosts are modeled: {blocked_host!r}")
+    k = int(blocked_host[1:-len(".example")])
+    if k == 0:
+        return "NOT (u.child < nn.n AND u.child % 2 = 0)"
+    return (f"NOT (u.child < nn.n AND u.child % 2 = 1"
+            f" AND 1 + u.child % 19 = {k})")
+
+
+def oracle_results_sql(seed_id: int, depth: int,
+                       blocked_host: str | None = None) -> str:
     """Expected final results table (url, title, depth, fetched) in pure SQL."""
     return (
-        ORACLE_GRAPH_SQL.format(seed_id=seed_id, depth=depth)
+        ORACLE_GRAPH_SQL.format(seed_id=seed_id, depth=depth,
+                                admit_pred=_host_block_pred(blocked_host))
         + """
 SELECT
   CASE WHEN s.id < nn.n THEN

@@ -66,3 +66,57 @@ class TestTrapHosts:
             tuple(r) for r in con.execute(trap_hosts_sql("urls")).fetchall()
         )
         assert spark_rows == duck_rows
+
+
+class TestCrawlHostGate:
+    """The engine's blocked_hosts link-admission gate (plans/crawl.py):
+    blocked links are dropped before the dedupe shuffle — never admitted,
+    never fetched, never recorded — and the crawl matches the blocked
+    recursive-CTE oracle exactly."""
+
+    SEED, DEPTH, N = 0, 4, 500
+
+    def _oracle(self, sf_dir, blocked):
+        from spider_spark.sources.pages import oracle_results_sql
+
+        con = duckdb.connect()
+        con.sql(f"create view documents as"
+                f" select * from '{sf_dir}/documents.parquet'")
+        df = con.sql(
+            oracle_results_sql(self.SEED, self.DEPTH, blocked_host=blocked)
+        ).df()
+        return {
+            (r.url, int(r.depth), bool(r.fetched)) for r in df.itertuples()
+        }
+
+    def _engine(self, result):
+        return {
+            (r["url"], r["depth"], r["fetched"])
+            for r in result.results.select("url", "depth", "fetched").collect()
+        }
+
+    def test_blocked_crawl_matches_oracle(self, spark, sf_dir):
+        from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+        from spider_spark.sources.pages import pages_from_documents, seed_url_for
+
+        pages = pages_from_documents(spark, sf_dir).localCheckpoint(eager=True)
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=self.DEPTH),
+                          blocked_hosts=["h5.example"])
+        got = self._engine(eng.crawl(seed_url_for(self.SEED, self.N)))
+        assert got == self._oracle(sf_dir, "h5.example")
+        assert not any("h5.example" in u for u, _, _ in got)
+        # the gate removed something real: vs the unblocked oracle
+        assert got < self._oracle(sf_dir, None)
+
+    def test_dataframe_blocklist_equals_list(self, spark, sf_dir):
+        """A DataFrame('host') blocklist (the trap_hosts-verdict feed)
+        gates identically to the broadcast list form."""
+        from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+        from spider_spark.sources.pages import pages_from_documents, seed_url_for
+
+        pages = pages_from_documents(spark, sf_dir).localCheckpoint(eager=True)
+        bdf = spark.createDataFrame([("H5.EXAMPLE",)], "host string")
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=self.DEPTH),
+                          blocked_hosts=bdf)
+        got = self._engine(eng.crawl(seed_url_for(self.SEED, self.N)))
+        assert got == self._oracle(sf_dir, "h5.example")
