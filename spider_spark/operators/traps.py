@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "url_structure",
+    "host_stats",
+    "merge_host_stats",
+    "trap_verdict",
     "trap_hosts",
     "trap_hosts_sql",
 ]
@@ -89,22 +92,16 @@ def url_structure(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def trap_hosts(urls: DataFrame, url_col: str = "url",
-               min_urls: int = 10, depth_limit: int = 8,
-               deep_frac_milli: int = 500, repeat_frac_milli: int = 300,
-               query_frac_milli: int = 800) -> DataFrame:
-    """Per-host structural verdict over a discovered-URL log.
-
-    Returns ``(host, n_urls, max_depth, sum_depth, n_deep, n_repeat,
-    n_query, is_trap)``. A host is a trap when it has ≥ ``min_urls``
-    discovered URLs AND any signal fraction crosses its milli-threshold:
-    ``1000·n_deep > deep_frac_milli·n_urls`` (URLs deeper than
-    ``depth_limit`` segments), same for repeated-segment and query-string
-    fractions. Integer cross-multiplication throughout — no float ever
-    touches the verdict, so the SQL mirror is bit-exact.
-    """
+def host_stats(urls: DataFrame, url_col: str = "url",
+               depth_limit: int = 8) -> DataFrame:
+    """Per-host structural counters over a discovered-URL log:
+    ``(host, n_urls, max_depth, sum_depth, n_deep, n_repeat, n_query)``.
+    Counters are ASSOCIATIVE (sums and a max), so incremental accrual —
+    per crawl round, per wave — merges via :func:`merge_host_stats` into
+    exactly the full-log aggregation. ``depth_limit`` is baked into
+    ``n_deep`` at accrual time and must match across merged batches."""
     s = url_structure(urls.select(url_col), url_col)
-    agg = s.groupBy("host").agg(
+    return s.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.max("depth").alias("max_depth"),
         F.sum("depth").alias("sum_depth"),
@@ -112,8 +109,34 @@ def trap_hosts(urls: DataFrame, url_col: str = "url",
         F.sum(F.when(F.col("has_repeat"), 1).otherwise(0)).alias("n_repeat"),
         F.sum(F.when(F.col("has_query"), 1).otherwise(0)).alias("n_query"),
     )
+
+
+def merge_host_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two host-stat tables into one (host-keyed sums / max). The
+    running table is O(hosts) rows however many batches fold in — the
+    incremental-accrual scale shape (never re-scan the URL history)."""
+    return a.unionByName(b).groupBy("host").agg(
+        F.sum("n_urls").alias("n_urls"),
+        F.max("max_depth").alias("max_depth"),
+        F.sum("sum_depth").alias("sum_depth"),
+        F.sum("n_deep").alias("n_deep"),
+        F.sum("n_repeat").alias("n_repeat"),
+        F.sum("n_query").alias("n_query"),
+    )
+
+
+def trap_verdict(stats: DataFrame,
+                 min_urls: int = 10, depth_limit: int = 8,
+                 deep_frac_milli: int = 500, repeat_frac_milli: int = 300,
+                 query_frac_milli: int = 800) -> DataFrame:
+    """Verdict column over a host-stats table: a host is a trap when it
+    has ≥ ``min_urls`` discovered URLs AND any signal fraction crosses
+    its milli-threshold (``1000·n_deep > deep_frac_milli·n_urls`` etc.).
+    Integer cross-multiplication throughout — no float ever touches the
+    verdict, so the SQL mirror is bit-exact. ``depth_limit`` is accepted
+    for signature symmetry with :func:`trap_hosts` (it acts at accrual)."""
     n = F.col("n_urls")
-    return agg.select(
+    return stats.select(
         "host", "n_urls", "max_depth", "sum_depth",
         "n_deep", "n_repeat", "n_query",
         (
@@ -124,6 +147,22 @@ def trap_hosts(urls: DataFrame, url_col: str = "url",
                 | (F.lit(1000) * F.col("n_query") > F.lit(query_frac_milli) * n)
             )
         ).alias("is_trap"),
+    )
+
+
+def trap_hosts(urls: DataFrame, url_col: str = "url",
+               min_urls: int = 10, depth_limit: int = 8,
+               deep_frac_milli: int = 500, repeat_frac_milli: int = 300,
+               query_frac_milli: int = 800) -> DataFrame:
+    """One-shot per-host structural verdict over a discovered-URL log =
+    :func:`trap_verdict` ∘ :func:`host_stats`. Returns ``(host, n_urls,
+    max_depth, sum_depth, n_deep, n_repeat, n_query, is_trap)``."""
+    return trap_verdict(
+        host_stats(urls, url_col, depth_limit),
+        min_urls=min_urls, depth_limit=depth_limit,
+        deep_frac_milli=deep_frac_milli,
+        repeat_frac_milli=repeat_frac_milli,
+        query_frac_milli=query_frac_milli,
     )
 
 

@@ -50,6 +50,7 @@ class WaveReport:
     fetched: int
     new_links: int
     near_dups: int = 0  # fetched pages whose content was gated (dedup_index)
+    trap_blocked: int = 0  # hosts on the trap guard's block list after the wave
     result: CrawlResult = field(repr=False, default=None)
 
 
@@ -74,7 +75,8 @@ class ContinuousCrawler:
     def __init__(self, spark: SparkSession, pages: DataFrame,
                  config: CrawlConfig | None = None,
                  expected_urls: int | None = None, n_shards: int = 1,
-                 io=None, spill_dir: str | None = None, dedup_index=None):
+                 io=None, spill_dir: str | None = None, dedup_index=None,
+                 trap_guard: dict | None = None):
         self.spark = spark
         self.pages = pages
         # ingest-time content near-dup gate: a
@@ -95,6 +97,13 @@ class ContinuousCrawler:
                 f"({dedup_index.id_col!r}, {dedup_index.text_col!r})"
             )
         self.dedup_index = dedup_index
+        # corpus-lifetime trap defense: trap_verdict thresholds (see
+        # operators/traps.py + CrawlEngine.trap_guard). The host-stats
+        # table accrues ACROSS waves (O(hosts) rows carried on the
+        # crawler), so a host that leaks trap URLs slowly still crosses
+        # min_urls eventually — and stays blocked in every later wave.
+        self.trap_guard = trap_guard
+        self.trap_stats: DataFrame | None = None
         self.config = config or CrawlConfig()
         self.io = io
         if io is not None and not self.config.durable:
@@ -120,6 +129,7 @@ class ContinuousCrawler:
         return CrawlEngine(
             self.spark, self.pages, self.config, io=self.io,
             seen_filter=self.filter, content_gate=content_gate,
+            trap_guard=self.trap_guard, host_stats=self.trap_stats,
         )
 
     # -- ingest-time content dedup (MinHashIndex plumbing) -----------------
@@ -199,6 +209,7 @@ class ContinuousCrawler:
         self.filter = engine.seen_filter  # may have grown
         self.seen = self._ckpt(result.seen)
         self.next_rank = sum(m.admitted for m in result.metrics)
+        n_trap = self._absorb_trap_state(engine)
         if self.dedup_index is not None:
             # full build (not add): bootstrap content is the corpus the
             # hot-bucket guard must be computed over
@@ -206,9 +217,18 @@ class ContinuousCrawler:
         self.waves.append(
             WaveReport(0, due=0, fetched=result.successful_crawls,
                        new_links=sum(m.new_links for m in result.metrics),
-                       result=result)
+                       trap_blocked=n_trap, result=result)
         )
         return result
+
+    def _absorb_trap_state(self, engine: CrawlEngine) -> int:
+        """Carry the engine's accrued host stats into cross-wave state;
+        returns the current block-list size (0 when the guard is off)."""
+        if self.trap_guard is None:
+            return 0
+        self.trap_stats = engine.host_stats
+        blocked = engine.dynamic_blocked_hosts
+        return blocked.count() if blocked is not None else 0
 
     def wave(self, now_epoch: int, ttl_sec: int,
              jitter_frac: float = 0.1) -> WaveReport:
@@ -259,7 +279,8 @@ class ContinuousCrawler:
         report = WaveReport(
             len(self.waves), due=n_due, fetched=result.successful_crawls,
             new_links=sum(m.new_links for m in result.metrics),
-            near_dups=n_gated, result=result,
+            near_dups=n_gated, trap_blocked=self._absorb_trap_state(engine),
+            result=result,
         )
         self.waves.append(report)
         return report

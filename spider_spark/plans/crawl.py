@@ -219,6 +219,8 @@ class CrawlEngine:
         seen_filter: ShardedCuckoo | None = None,
         content_gate=None,
         blocked_hosts=None,  # list[str] | DataFrame('host') — link-admission gate
+        trap_guard: dict | None = None,   # in-crawl trap detection thresholds
+        host_stats: DataFrame | None = None,  # prior accrued per-host stats
     ):
         self.spark = spark
         self.pages = pages
@@ -265,6 +267,23 @@ class CrawlEngine:
         else:
             self._blocked = blocked_hosts.select(F.lower("host").alias("host"))
             self._blocked_broadcast = False
+        # in-crawl dynamic trap detection (the Heritrix pathological-path /
+        # too-many-paths defense, operators/traps.py): when ``trap_guard``
+        # is a dict of trap_verdict thresholds, every round's candidate
+        # links accrue into a host-keyed structural-stats table (O(hosts)
+        # rows, associative merge — never a rescan of URL history) and
+        # hosts whose accrued stats cross a threshold are blocked from the
+        # FOLLOWING round on (the round that crossed the threshold already
+        # admitted its batch — deterministic either way, and matching
+        # Heritrix, which quarantines a queue only after the rule fires).
+        # ``host_stats`` seeds the accrual with a prior table (a
+        # ContinuousCrawler carries it across waves). Cost when on: one
+        # candidate materialization + one tiny host agg per round.
+        self.trap_guard = trap_guard
+        self.host_stats = host_stats
+        self._dyn_blocked = None
+        if trap_guard is not None and host_stats is not None:
+            self._refresh_dyn_blocked()
         # durable commits carry a monotone (epoch, round) marker: each
         # crawl() on a store with prior metrics opens a new epoch, so a
         # recrawl wave's round -1/0/… commits can never be mistaken for a
@@ -297,6 +316,45 @@ class CrawlEngine:
             self.phase_times.get(phase, 0.0) + time.perf_counter() - t0
         )
         return out
+
+    # -- in-crawl trap guard --------------------------------------------------
+
+    @property
+    def dynamic_blocked_hosts(self) -> DataFrame | None:
+        """Hosts the trap guard has flagged so far (``host`` column), or
+        None when the guard is off / nothing accrued yet."""
+        return self._dyn_blocked
+
+    def _refresh_dyn_blocked(self) -> None:
+        """Recompute the dynamic block list from the accrued host stats —
+        O(hosts) rows in, O(trap hosts) out, checkpointed tiny."""
+        from spider_spark.operators.traps import trap_verdict
+
+        self._dyn_blocked = (
+            trap_verdict(self.host_stats, **self.trap_guard)
+            .filter(F.col("is_trap"))
+            .select("host")
+            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+        )
+
+    def _accrue_trap_stats(self, candidates: DataFrame) -> None:
+        """Fold one round's candidate links into the running host-stats
+        table (associative counters — merging round deltas equals the
+        full-history aggregation, operators/traps.py)."""
+        from spider_spark.operators.traps import host_stats, merge_host_stats
+
+        delta = host_stats(
+            candidates.select(F.col("canon_url").alias("url")),
+            depth_limit=self.trap_guard.get("depth_limit", 8),
+        )
+        merged = (
+            delta if self.host_stats is None
+            else merge_host_stats(self.host_stats, delta)
+        )
+        self.host_stats = merged.localCheckpoint(
+            eager=True, storageLevel=CHECKPOINT_LEVEL
+        )
+        self._refresh_dyn_blocked()
 
     # -- frontier bootstrap -------------------------------------------------
 
@@ -691,6 +749,12 @@ class CrawlEngine:
                 else self._blocked
             )
             links = links.join(blocked, on="host", how="left_anti")
+        if self._dyn_blocked is not None:
+            # hosts the in-crawl trap guard has flagged so far (O(traps)
+            # rows — always broadcastable)
+            links = links.join(
+                F.broadcast(self._dyn_blocked), on="host", how="left_anti"
+            )
         # intra-round min-depth dedupe (Q2 pinned deterministic)
         candidates = links.groupBy("canon_url").agg(
             F.min(
@@ -705,6 +769,20 @@ class CrawlEngine:
             F.col("m.parent").alias("parent"),
             F.col("m.host").alias("host"),
         )
+        if self.trap_guard is not None:
+            # accrue this round's discoveries into the host-stats table and
+            # refresh the dynamic block list (effective next round). The
+            # checkpoint materializes the explode+dedupe once so the stats
+            # agg and the downstream seen-gate share it — one extra pass
+            # over ROUND-sized data, never the corpus.
+            def _guard():
+                ckpt = candidates.localCheckpoint(
+                    eager=True, storageLevel=CHECKPOINT_LEVEL
+                )
+                self._accrue_trap_stats(ckpt)
+                return ckpt
+
+            candidates = self._timed("trap_guard", _guard)
 
         # ---- seen-set gate (D1/H3): bloom prefilter + exact anti-join ----
         # The gate's output feeds the bucket-mode ranking below, which
