@@ -60,6 +60,7 @@ from spider_spark.operators.graph import (
     pagerank,
     pagerank_sql,
 )
+from spider_spark.operators.anchors import anchor_text_index_sql
 from spider_spark.operators.blocklist import blocklist_filter, blocklist_filter_sql
 from spider_spark.operators.dedup_index import exact_probe_sql, minhash_probe_sql
 from spider_spark.operators.packing import pack_sequences, pack_sequences_sql
@@ -1400,6 +1401,40 @@ GROUP BY 1, 2
 """
 
 
+def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/anchors.py): per-(target, anchor-text)
+    link counts + exact distinct-source-host counts, parsed from the
+    pages' ACTUAL HTML with anchor capture (functions/parse.py
+    _AnchorParser) under the crawl's admission filters. The oracle replays
+    the synthetic anchor arithmetic (c1/dead/c2/c1b with the self-link
+    rule), so a hash match proves parse→anchor-capture→resolve→filter→
+    two-stage-agg byte-for-byte. One Arrow parse pass + two keyed aggs
+    with map-side combine — no count_distinct shuffle of raw rows."""
+    from spider_spark.operators.anchors import anchor_text_index
+
+    return anchor_text_index(pages_from_documents(spark, sf_dir))
+
+
+_ANCHOR_EDGES_SQL = f"""
+  WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  raw AS (
+    SELECT {_url_sql('doc_id')} AS src_url, {_host_sql('doc_id')} AS src_host,
+           {_url_sql('(2*doc_id+1) % nn.n')} AS dst_url, 'c1' AS anchor_text
+    FROM documents, nn
+    UNION ALL
+    SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+           'https://dead.example/d/' || doc_id, 'dead' FROM documents
+    UNION ALL
+    SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+           {_url_sql('(3*doc_id+2) % nn.n')}, 'c2' FROM documents, nn
+    UNION ALL
+    SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+           {_url_sql('(2*doc_id+1) % nn.n')}, 'c1b' FROM documents, nn
+  )
+  SELECT * FROM raw WHERE dst_url <> src_url
+"""
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -2201,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
+        "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -2292,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
+        "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,

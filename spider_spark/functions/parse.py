@@ -251,3 +251,97 @@ def extract_main_text(html: bytes | str) -> str:
 @pandas_udf(StringType())
 def extract_main_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_main_text)
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction (web-IR link signal)
+# ---------------------------------------------------------------------------
+
+ANCHORS_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("host", StringType(), False),
+            StructField("anchor_text", StringType(), False),
+        ]
+    )
+)
+
+
+class _AnchorParser(_PageParser):
+    """The page parser plus anchor-text capture: character data between an
+    ``<a href=...>`` and its ``</a>`` is collected per anchor, in document
+    order, aligned 1:1 with ``hrefs``. A new ``<a>`` implicitly closes an
+    open one (the browser recovery rule — nested anchors are invalid
+    HTML), so a malformed page can't smear one link's text into the next."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.anchor_texts: list[list[str]] = []
+        self._open_anchor: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._open_anchor = None  # implicit close of any open anchor
+        n_hrefs = len(self.hrefs)
+        super().handle_starttag(tag, attrs)
+        if tag == "a" and len(self.hrefs) > n_hrefs:  # had an href
+            self._open_anchor = []
+            self.anchor_texts.append(self._open_anchor)
+
+    def handle_startendtag(self, tag, attrs):
+        n_hrefs = len(self.hrefs)
+        super().handle_startendtag(tag, attrs)
+        if tag == "a" and len(self.hrefs) > n_hrefs:
+            self.anchor_texts.append([])  # <a .../> carries no text
+
+    def handle_endtag(self, tag):
+        super().handle_endtag(tag)
+        if tag == "a":
+            self._open_anchor = None
+
+    def handle_data(self, data):
+        super().handle_data(data)
+        if self._open_anchor is not None:
+            self._open_anchor.append(data)
+
+
+def parse_anchors(
+    html: bytes | str, page_url: str
+) -> list[dict]:
+    """Per-page anchor records ``{url, host, anchor_text}`` under the
+    engine's link pipeline (query-string drop, relative resolution against
+    the page, self-link drop — the crawl's admission filters, so the
+    anchor index describes exactly the links a crawl would follow).
+    ``anchor_text`` is the anchor's character data, whitespace-collapsed
+    and stripped (empty for image-only / empty anchors)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _AnchorParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # malformed tail: keep what was extracted so far
+    base = CanonURL.parse(page_url)
+    page_s = str(base)
+    out: list[dict] = []
+    for href, parts in zip(p.hrefs, p.anchor_texts):
+        u = CanonURL.parse(href)
+        if u.query_string:
+            continue
+        if not u.is_absolute:
+            u = base.join(href)
+        s = str(u)
+        if s == page_s:
+            continue
+        text = " ".join(" ".join(parts).split())
+        out.append({"url": s, "host": u.host, "anchor_text": text})
+    return out
+
+
+@pandas_udf(ANCHORS_SCHEMA)
+def extract_anchors_udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [parse_anchors(h, u) for h, u in zip(html, page_url)]
+    )

@@ -1,0 +1,97 @@
+"""Anchor-text index — the classic web-IR link signal.
+
+Search engines rank a page partly by the text OTHER pages use to link to
+it (anchor text describes the target better than the target describes
+itself — Brin & Page 1998 §2.2; Craswell et al. 2001 measured it beating
+content ranking for site finding). A training-data pipeline uses the same
+index for document routing and as a quality prior (pages accumulating
+diverse anchor text from many hosts are rarely spam).
+
+Scale shape (100 TB):
+
+* ONE parse pass over the corpus — the same Arrow-batched kernel cost
+  class as the crawl's fetch phase; no second HTML scan.
+* explode → two keyed aggregations with map-side combine. The distinct
+  source-host count is exact via a pre-aggregation on
+  ``(dst, anchor, src_host)`` — never a ``count_distinct`` shuffle of raw
+  rows, and never a collect.
+* output grain is ``(dst_url, anchor_text)`` — bounded by the corpus's
+  link vocabulary, orders of magnitude below the raw link count after the
+  map-side combine.
+
+The link-admission filters match the crawl's (query-string drop, relative
+resolution against the page, self-link drop — reference semantics
+crawler.py:140-155, with the page as base), so the index describes exactly
+the edges a crawl would follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.functions.parse import extract_anchors_udf
+
+__all__ = ["anchor_pairs", "anchor_text_index", "anchor_text_index_sql"]
+
+
+def anchor_pairs(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Raw ``(src_url, src_host, dst_url, dst_host, anchor_text)`` edge
+    records parsed from the pages' HTML, one row per admitted link in
+    document order. The exploded relation every anchor aggregation (and
+    any host-graph builder wanting labelled edges) starts from."""
+    from spider_spark.operators.blocklist import host_of
+
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            host_of(F.col(url_col)).alias("src_host"),
+            extract_anchors_udf(F.col(html_col), F.col(url_col)).alias("_a"),
+        )
+        .select(
+            "src_url", "src_host", F.explode("_a").alias("l")
+        )
+        .select(
+            "src_url", "src_host",
+            F.col("l.url").alias("dst_url"),
+            F.col("l.host").alias("dst_host"),
+            F.col("l.anchor_text").alias("anchor_text"),
+        )
+    )
+
+
+def anchor_text_index(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Per-(target, anchor-text) index: ``(dst_url, anchor_text, n_links,
+    n_src_hosts)`` where ``n_links`` counts admitted links carrying that
+    exact text and ``n_src_hosts`` counts DISTINCT linking hosts (the
+    spam-resistance denominator). Two keyed aggs, both map-side
+    combinable; exact arithmetic only."""
+    pre = (
+        anchor_pairs(pages, url_col, html_col)
+        .groupBy("dst_url", "anchor_text", "src_host")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return pre.groupBy("dst_url", "anchor_text").agg(
+        F.sum("_n").alias("n_links"),
+        F.count(F.lit(1)).alias("n_src_hosts"),
+    )
+
+
+def anchor_text_index_sql(edges_rel: str) -> str:
+    """DuckDB mirror over an edge relation with columns ``(src_url,
+    src_host, dst_url, anchor_text)`` — same two-stage aggregation, bit
+    exact (integer counts only)."""
+    return f"""
+    WITH pre AS (
+      SELECT dst_url, anchor_text, src_host, count(*)::BIGINT AS _n
+      FROM ({edges_rel})
+      GROUP BY 1, 2, 3
+    )
+    SELECT dst_url, anchor_text,
+           sum(_n)::BIGINT AS n_links,
+           count(*)::BIGINT AS n_src_hosts
+    FROM pre
+    GROUP BY 1, 2
+    """

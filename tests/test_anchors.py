@@ -1,0 +1,147 @@
+"""Anchor-text extraction + index (functions/parse.py _AnchorParser,
+operators/anchors.py)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from spider_spark.functions.parse import parse_anchors
+from spider_spark.operators.anchors import (
+    anchor_pairs,
+    anchor_text_index,
+    anchor_text_index_sql,
+)
+
+
+class TestParseAnchors:
+    PAGE = "https://s.example/p"
+
+    def test_basic_alignment_and_filters(self):
+        html = (
+            "<html><body>"
+            '<a>no-href</a>'
+            '<a href="https://s.example/p?x=1">query dropped</a>'
+            '<a href="https://t.example/a">first <b>bold</b> link</a>'
+            '<a href="/rel">relative</a>'
+            '<a href="https://s.example/p">self dropped</a>'
+            '<a href="https://t.example/img"><img src="x.png"/></a>'
+            "</body></html>"
+        )
+        got = parse_anchors(html, self.PAGE)
+        assert [(a["url"], a["anchor_text"]) for a in got] == [
+            ("https://t.example/a", "first bold link"),
+            ("https://s.example/rel", "relative"),
+            ("https://t.example/img", ""),
+        ]
+        assert [a["host"] for a in got] == [
+            "t.example", "s.example", "t.example"
+        ]
+
+    def test_unclosed_anchor_implicitly_closed(self):
+        # a new <a> must end the open one: text never smears across links
+        html = (
+            '<a href="https://t.example/1">one'
+            '<a href="https://t.example/2">two</a> tail'
+        )
+        got = parse_anchors(html, self.PAGE)
+        assert [(a["url"], a["anchor_text"]) for a in got] == [
+            ("https://t.example/1", "one"),
+            ("https://t.example/2", "two"),
+        ]
+
+    def test_whitespace_collapse(self):
+        html = '<a href="https://t.example/1">  a\n\t b   c </a>'
+        (a,) = parse_anchors(html, self.PAGE)
+        assert a["anchor_text"] == "a b c"
+
+    def test_text_kernel_unchanged(self):
+        # the anchor parser subclasses the page parser: its text/title
+        # extraction must stay byte-identical to the crawl kernel's
+        from spider_spark.functions.parse import _AnchorParser, parse_page
+
+        html = (
+            "<html><head><title>T</title></head><body>"
+            '<a href="https://t.example/1">one</a><p>body text</p>'
+            "<script>skip()</script></body></html>"
+        )
+        p = _AnchorParser()
+        p.feed(html)
+        p.close()
+        title, hrefs, text = parse_page(html)
+        assert "".join(p.title_parts) == title
+        assert p.hrefs == hrefs
+        assert "\n".join(p.text_parts) == text
+
+
+class TestAnchorIndex:
+    def _pages(self, spark, n=60):
+        from spider_spark.sources.pages import synthetic_pages
+
+        return synthetic_pages(spark, n)
+
+    def test_index_matches_duckdb_mirror(self, spark):
+        """Spark parse→explode→agg over real HTML == DuckDB arithmetic
+        replay of the synthetic link graph (c1/dead/c2/c1b anchors,
+        query link dropped, self-links dropped)."""
+        n = 60
+        idx = anchor_text_index(self._pages(spark, n))
+        got = sorted(tuple(r) for r in idx.collect())
+
+        host = ("CASE WHEN ({x}) % 2 = 0 THEN 'h0.example' "
+                "ELSE 'h' || (1 + ({x}) % 19) || '.example' END")
+        url = "'https://' || " + host + " || '/d/' || ({x})"
+
+        def u(x):
+            return url.format(x=x)
+
+        def h(x):
+            return host.format(x=x)
+
+        edges = f"""
+          WITH ids AS (SELECT unnest(range({n})) AS i),
+          raw AS (
+            SELECT {u('i')} AS src_url, {h('i')} AS src_host,
+                   {u(f'(2*i+1) % {n}')} AS dst_url, 'c1' AS anchor_text
+            FROM ids
+            UNION ALL
+            SELECT {u('i')}, {h('i')},
+                   'https://dead.example/d/' || i, 'dead' FROM ids
+            UNION ALL
+            SELECT {u('i')}, {h('i')},
+                   {u(f'(3*i+2) % {n}')}, 'c2' FROM ids
+            UNION ALL
+            SELECT {u('i')}, {h('i')},
+                   {u(f'(2*i+1) % {n}')}, 'c1b' FROM ids
+          )
+          SELECT * FROM raw WHERE dst_url <> src_url
+        """
+        want = sorted(
+            tuple(r) for r in duckdb.sql(
+                anchor_text_index_sql(edges)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_pairs_apply_crawl_filters(self, spark):
+        pairs = anchor_pairs(self._pages(spark, 40))
+        # no query-string links, no self links admitted
+        assert pairs.filter(F.col("dst_url").contains("?")).count() == 0
+        assert pairs.filter(
+            F.col("dst_url") == F.col("src_url")
+        ).count() == 0
+        # every page contributes c1/dead/c2/c1b minus self-links
+        texts = {r["anchor_text"] for r in
+                 pairs.select("anchor_text").distinct().collect()}
+        assert texts == {"c1", "dead", "c2", "c1b"}
+
+    def test_n_src_hosts_is_distinct(self, spark):
+        idx = anchor_text_index(self._pages(spark, 60))
+        dead = idx.filter(
+            F.col("dst_url").contains("dead.example")
+        ).agg(F.max("n_src_hosts"), F.max("n_links")).collect()[0]
+        # each dead URL is linked once from one host
+        assert tuple(dead) == (1, 1)
+        # hot even targets: c1 of i lands on (2i+1)%n — odd ids, many hosts
+        top = idx.orderBy(F.desc("n_links")).first()
+        assert top["n_links"] >= top["n_src_hosts"]
