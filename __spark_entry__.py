@@ -1435,6 +1435,138 @@ _ANCHOR_EDGES_SQL = f"""
 """
 
 
+SITEMAP_NOW_OFFSET = 40 * 86_400  # refresh pass 40 days after the fetch burst
+_SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+_SITEMAP_FREQS = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never"
+)
+
+
+def _synthetic_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sitemap-XML corpus over ``documents`` (the pages
+    table's sibling, assembled entirely with JVM string expressions like
+    sources/pages.py build_pages): doc ``i%25==0`` is a ``sitemapindex``
+    naming one child sitemap; every other doc is a ``urlset`` listing its
+    own page URL (lastmod only when ``i%3!=0`` — date-only for even ids,
+    ``T06:00:00Z`` for odd; changefreq ``FREQS[i%7]``; priority
+    ``0.(i%10)``) plus a never-fetched ``extra.example`` URL. Every hint
+    shape and verdict branch appears at any sf."""
+    i = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    host = host_expr(i)
+    sm_url = F.concat(
+        F.lit("https://"), host, F.lit("/sitemap-"),
+        i.cast("string"), F.lit(".xml"),
+    )
+    d = F.date_add(F.to_date(F.lit("2024-01-01")), (i % 365).cast("int"))
+    lastmod_str = F.concat(
+        d.cast("string"),
+        F.when(i % 2 == 1, F.lit("T06:00:00Z")).otherwise(F.lit("")),
+    )
+    lastmod_el = F.when(
+        i % 3 != 0,
+        F.concat(F.lit("<lastmod>"), lastmod_str, F.lit("</lastmod>")),
+    ).otherwise(F.lit(""))
+    freq = F.element_at(
+        F.array(*[F.lit(f) for f in _SITEMAP_FREQS]), (i % 7 + 1).cast("int")
+    )
+    urlset = F.concat(
+        F.lit(f'<?xml version="1.0"?><urlset xmlns="{_SITEMAP_NS}">'),
+        F.lit("<url><loc>"), url_expr(i), F.lit("</loc>"),
+        lastmod_el,
+        F.lit("<changefreq>"), freq, F.lit("</changefreq>"),
+        F.lit("<priority>0."), (i % 10).cast("string"),
+        F.lit("</priority></url>"),
+        F.lit("<url><loc>https://extra.example/d/"), i.cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit(f'<sitemapindex xmlns="{_SITEMAP_NS}"><sitemap><loc>https://'),
+        host, F.lit("/sitemap-child.xml</loc><lastmod>"), lastmod_str,
+        F.lit("</lastmod></sitemap></sitemapindex>"),
+    )
+    return docs.select(
+        sm_url.alias("url"),
+        F.when(i % 25 == 0, index).otherwise(urlset).alias("xml"),
+    )
+
+
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemap.py): XML → exploded entry
+    relation through the ElementTree kernel in an Arrow batch — urlset
+    AND sitemapindex documents, W3C lastmod→epoch, priority→milli. The
+    oracle replays the synthetic XML arithmetic without parsing anything,
+    so a hash match proves assemble→parse→explode byte-for-byte."""
+    from spider_spark.sources.sitemap import sitemap_entries
+
+    return sitemap_entries(_synthetic_sitemaps(spark, sf_dir))
+
+
+_SITEMAP_SM_URL = (
+    f"'https://' || {_host_sql('doc_id')} || '/sitemap-' || doc_id || '.xml'"
+)
+_SITEMAP_LASTMOD_EPOCH = (
+    f"({PAGES_EPOCH} + (doc_id % 365) * 86400 + (doc_id % 2) * 21600)::BIGINT"
+)
+_SITEMAP_FREQ_SQL = (
+    "(['always','hourly','daily','weekly','monthly','yearly','never']"
+    ")[doc_id % 7 + 1]"
+)
+
+_SITEMAP_ENTRIES_SQL = f"""
+  SELECT {_SITEMAP_SM_URL} AS sitemap_url,
+         'https://' || {_host_sql('doc_id')} || '/sitemap-child.xml' AS loc,
+         {_SITEMAP_LASTMOD_EPOCH} AS lastmod_epoch,
+         NULL::VARCHAR AS changefreq, NULL::INT AS priority_milli,
+         TRUE AS is_index
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT {_SITEMAP_SM_URL}, {_url_sql('doc_id')},
+         CASE WHEN doc_id % 3 <> 0 THEN {_SITEMAP_LASTMOD_EPOCH} END,
+         {_SITEMAP_FREQ_SQL}, (doc_id % 10) * 100, FALSE
+  FROM documents WHERE doc_id % 25 <> 0
+  UNION ALL
+  SELECT {_SITEMAP_SM_URL}, 'https://extra.example/d/' || doc_id,
+         NULL, NULL, NULL, FALSE
+  FROM documents WHERE doc_id % 25 <> 0
+"""
+
+
+def _q_sitemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven refresh plan (sources/sitemap.py
+    sitemap_refresh_plan): engine-parsed entries ⋈ the pages table's
+    fetch state → per-URL refetch verdict with reason (changed > stale >
+    new), changefreq TTLs, deterministic keep-one per loc. One keyed
+    left join, integer verdict arithmetic — the recrawl scheduler's
+    sitemap-aware sibling (operators/recrawl.py consumes the output as
+    seeds)."""
+    from spider_spark.sources.sitemap import (
+        sitemap_entries,
+        sitemap_refresh_plan,
+    )
+
+    entries = sitemap_entries(_synthetic_sitemaps(spark, sf_dir))
+    fetched = _docs(spark, sf_dir).select(
+        url_expr(F.col("doc_id")).alias("url"),
+        (F.lit(PAGES_EPOCH) + F.col("doc_id")).alias("fetch_epoch"),
+    )
+    return sitemap_refresh_plan(
+        entries, fetched, PAGES_EPOCH + SITEMAP_NOW_OFFSET
+    )
+
+
+def _sql_sitemap_refresh() -> str:
+    from spider_spark.sources.sitemap import sitemap_refresh_sql
+
+    fetched = (
+        f"SELECT {_url_sql('doc_id')} AS loc, "
+        f"({PAGES_EPOCH} + doc_id)::BIGINT AS fetch_epoch FROM documents"
+    )
+    return sitemap_refresh_sql(
+        _SITEMAP_ENTRIES_SQL, fetched, PAGES_EPOCH + SITEMAP_NOW_OFFSET
+    )
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -2237,6 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
+        "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
+        "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -2329,6 +2463,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
+        "sitemap_entries": _SITEMAP_ENTRIES_SQL,
+        "sitemap_refresh": _sql_sitemap_refresh(),
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
