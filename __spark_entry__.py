@@ -1567,6 +1567,38 @@ def _sql_sitemap_refresh() -> str:
     )
 
 
+def _q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (functions/encoding.py): every third document is
+    corrupted JVM-side with the classic UTF-8-read-as-Latin-1 mis-decode
+    (``F.decode(F.encode(text))`` — the real artifact, not a token
+    substitution), then repaired by the sloppy-cp1252 round-trip kernel.
+    The oracle asserts the repair inverts the corruption EXACTLY (fixed
+    text == original text, bit-for-bit at the value hash) and that only
+    non-ASCII rows report a fix (``octet_length > length`` ⇔ the
+    corruption changed bytes). One Arrow pass; ASCII rows take the
+    scan-only fast path."""
+    from spider_spark.functions.encoding import fix_mojibake_udf
+
+    i = F.col("doc_id")
+    corrupted = F.when(
+        i % 3 == 0, F.decode(F.encode("text", "UTF-8"), "ISO-8859-1")
+    ).otherwise(F.col("text"))
+    d = _docs(spark, sf_dir).select("doc_id", corrupted.alias("_c"))
+    fixed = fix_mojibake_udf(F.col("_c"))
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        (fixed != F.col("_c")).alias("was_fixed"),
+    )
+
+
+_SQL_MOJIBAKE_FIX = """
+SELECT doc_id, text AS fixed,
+       (doc_id % 3 = 0 AND strlen(text) > length(text)) AS was_fixed
+FROM documents
+"""
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -2371,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
+        "mojibake_fix": _q_mojibake_fix,          # encoding repair (ftfy-style)
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -2465,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "sitemap_refresh": _sql_sitemap_refresh(),
+        "mojibake_fix": _SQL_MOJIBAKE_FIX,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
