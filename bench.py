@@ -304,6 +304,26 @@ def main() -> None:
     timed("graph_pagerank_1m", lambda: force(pagerank(gedges, n_iter=10)))
     timed("dup_spans", lambda: force(span_dup_stats(docs, width=8, stride=2)))
 
+    # anchor-text index: a second full-corpus HTML parse pass (the anchor
+    # capturing kernel) + two keyed aggs — measured over the same 1M-page
+    # table the crawl entries use, so pages/sec is comparable to the
+    # crawl's fetch_parse phase
+    from spider_spark.operators.anchors import anchor_text_index
+
+    timed("anchor_index", lambda: force(anchor_text_index(pages)))
+
+    # mojibake repair: Arrow kernel scan over the documents corpus (every
+    # third row carries a real Latin-1 mis-decode, as in the driver query)
+    from spider_spark.functions.encoding import fix_mojibake_udf
+
+    moji = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"),
+        ).otherwise(F.col("text")).alias("_c")
+    )
+    timed("mojibake", lambda: force(moji.select(fix_mojibake_udf("_c"))))
+
     # continuous-crawl seen-set maintenance at the 1M-URL scale: cuckoo
     # build over every page url, freshness scan, expiry-wave delete
     # (~10% of the table), unseen gate re-admission — the operator loop a
