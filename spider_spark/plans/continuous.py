@@ -231,22 +231,42 @@ class ContinuousCrawler:
         return blocked.count() if blocked is not None else 0
 
     def wave(self, now_epoch: int, ttl_sec: int,
-             jitter_frac: float = 0.1) -> WaveReport:
+             jitter_frac: float = 0.1,
+             extra_due: DataFrame | None = None) -> WaveReport:
         """One freshness wave at logical time ``now_epoch``: expire the due
         slice from the seen set (exact table + cuckoo fingerprints), then
         re-crawl it as seeds. Deterministic — same (now, ttl, jitter) on
-        the same corpus replays bit-identically."""
+        the same corpus replays bit-identically.
+
+        ``extra_due`` is an optional ``url`` column of CANONICAL urls the
+        caller wants refreshed regardless of TTL — e.g. a sitemap refresh
+        plan's verdicts (sources/sitemap.py sitemap_refresh_plan: a
+        ``changed`` lastmod beats any TTL; a ``new`` sitemap entry is a
+        fresh seed). URLs we already hold are expired-and-refetched like
+        TTL-due ones; URLs we never crawled join the wave as new seeds
+        (the seen gate is untouched for them — nothing to expire)."""
         if self.seen is None:
             raise ValueError("bootstrap() first")
         due = recrawl_due(
             self.pages, now_epoch, ttl_sec, jitter_frac=jitter_frac
         ).select(F.col("url").alias("canon_url"))
-        # only URLs we actually hold can be refreshed (recrawl_due scans
+        due_new = None
+        if extra_due is not None:
+            ex = extra_due.select(F.col("url").alias("canon_url"))
+            # set semantics: a URL both TTL-due and extra-due expires once
+            due = due.unionByName(ex).distinct()
+            due_new = self._ckpt(
+                ex.join(self.seen.select("canon_url"),
+                        on="canon_url", how="left_anti").distinct()
+            )
+        # only URLs we actually hold can be expired (recrawl_due scans
         # the corpus; the seen set may lag it after partial bootstraps)
         due = self._ckpt(
             due.join(self.seen.select("canon_url"), on="canon_url", how="left_semi")
         )
         n_due = due.count()
+        if due_new is not None:
+            n_due += due_new.count()
         if n_due:
             delete_from(self.filter, due, "canon_url", count_items=False)
             self.filter.n_items -= n_due
@@ -260,8 +280,11 @@ class ContinuousCrawler:
             if self.dedup_index is not None
             else self._engine()
         )
+        seeds = due
+        if due_new is not None:
+            seeds = due.unionByName(due_new)
         result = engine.crawl(
-            due.select(F.col("canon_url").alias("url")),
+            seeds.select(F.col("canon_url").alias("url")),
             seeds_canonical=True, seeds_unique=True,
             prior_seen=self.seen, start_rank=self.next_rank,
         )

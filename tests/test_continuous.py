@@ -111,6 +111,77 @@ class TestContinuousWaves:
         assert cc.seen.count() == n_seen
 
 
+class TestExtraDueWave:
+    """wave(extra_due=): sitemap-style forced refresh — held URLs expire
+    and refetch regardless of TTL; never-crawled URLs join as new seeds."""
+
+    def _crawler(self, spark, pages):
+        cc = ContinuousCrawler(
+            spark, pages, CrawlConfig(depth=6, bloom_capacity=10_000),
+            expected_urls=10_000, n_shards=2,
+        )
+        cc.bootstrap(SEEDS)
+        return cc
+
+    @staticmethod
+    def _pick(cc, pages):
+        """(held, unseen): a LIVE page we hold, and a live page never
+        crawled. Seen also holds dead.example fetch-misses — exclude them,
+        a dead 'held' would just miss again."""
+        live = F.col("canon_url").startswith("https://h")
+        held = (
+            cc.seen.filter(live).select("canon_url")
+            .orderBy("canon_url").first()[0]
+        )
+        unseen = (
+            pages.select(F.col("url").alias("canon_url"))
+            .join(cc.seen.select("canon_url"), on="canon_url", how="left_anti")
+            .orderBy("canon_url").first()[0]
+        )
+        return held, unseen
+
+    def test_changed_and_new_urls(self, spark, pages):
+        cc = self._crawler(spark, pages)
+        before = _rows(cc.seen, "canon_url")
+        rank_before = cc.next_rank
+        held, unseen = self._pick(cc, pages)
+        extra = spark.createDataFrame(
+            [(held,), (unseen,), (held,)], "url string"  # dup row: set semantics
+        )
+        # TTL huge: nothing is age-due — the wave is driven by extra_due only
+        rep = cc.wave(PAGES_EPOCH + 301, ttl_sec=10_000_000,
+                      extra_due=extra)
+        assert rep.due == 2
+        # both live pages fetched; the new URL's unexplored subtree may
+        # legitimately add more fetches/admissions beyond the due pair
+        assert rep.fetched >= 2
+        after = _rows(cc.seen, "canon_url")
+        assert before <= after and (unseen,) in after
+        fresh = {
+            r["canon_url"]
+            for r in cc.seen.filter(
+                F.col("admission_rank") >= rank_before
+            ).select("canon_url").collect()
+        }
+        assert held in fresh and unseen in fresh
+        # the wave's results carry a successful fetch for both
+        got = {
+            r["url"]
+            for r in rep.result.results.filter(F.col("fetched")).collect()
+        }
+        assert {held, unseen} <= got
+
+    def test_extra_due_deterministic(self, spark, pages):
+        outs = []
+        for _ in range(2):
+            cc = self._crawler(spark, pages)
+            held, unseen = self._pick(cc, pages)
+            extra = spark.createDataFrame([(held,), (unseen,)], "url string")
+            cc.wave(PAGES_EPOCH + 301, ttl_sec=10_000_000, extra_due=extra)
+            outs.append(_rows(cc.seen, "canon_url", "depth", "admission_rank"))
+        assert outs[0] == outs[1]
+
+
 class TestIngestDedupGate:
     """MinHashIndex wired into the wave loop: content that near-dups an
     already-indexed document under a DIFFERENT url is dropped before
