@@ -1368,7 +1368,11 @@ def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse(F.col("html"), F.col("url")).alias("p"),
     )
     return (
-        parsed.select("src_host", F.explode("p.links").alias("l"))
+        # explode_outer + isNotNull: a plain explode lets Catalyst infer a
+        # size(p.links) > 0 filter below the projection, re-running the
+        # Arrow parse kernel twice per page (operators/anchors.py note)
+        parsed.select("src_host", F.explode_outer("p.links").alias("l"))
+        .filter(F.col("l").isNotNull())
         .select("src_host", F.col("l.host").alias("dst_host"))
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))

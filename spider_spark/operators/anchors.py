@@ -43,6 +43,12 @@ def anchor_pairs(pages: DataFrame, url_col: str = "url",
     any host-graph builder wanting labelled edges) starts from."""
     from spider_spark.operators.blocklist import host_of
 
+    # explode_outer, NOT explode: a plain explode makes Catalyst's
+    # InferFiltersFromGenerate push a `size(udf(..)) > 0` filter below the
+    # projection, which re-evaluates the Arrow parse kernel — doubling the
+    # dominant cost of the whole operator. The outer generate infers no
+    # filter; the post-explode isNotNull drops link-less pages for the
+    # price of a row predicate.
     return (
         pages.select(
             F.col(url_col).alias("src_url"),
@@ -50,8 +56,9 @@ def anchor_pairs(pages: DataFrame, url_col: str = "url",
             extract_anchors_udf(F.col(html_col), F.col(url_col)).alias("_a"),
         )
         .select(
-            "src_url", "src_host", F.explode("_a").alias("l")
+            "src_url", "src_host", F.explode_outer("_a").alias("l")
         )
+        .filter(F.col("l").isNotNull())
         .select(
             "src_url", "src_host",
             F.col("l.url").alias("dst_url"),

@@ -174,12 +174,16 @@ def sitemap_entries(sitemaps: DataFrame, xml_col: str = "xml",
     lastmod_epoch, changefreq, priority_milli, is_index)``. One Arrow
     parse pass + posexplode; document order within a sitemap is not
     semantically meaningful in the protocol, so plain explode."""
+    # explode_outer + isNotNull, not explode: keeps Catalyst from
+    # inferring a size() filter that re-evaluates the parse UDF (see
+    # operators/anchors.py anchor_pairs for the full note)
     return (
         sitemaps.select(
             F.col(url_col).alias("sitemap_url"),
             parse_sitemap_udf(F.col(xml_col).cast("string")).alias("_e"),
         )
-        .select("sitemap_url", F.explode("_e").alias("e"))
+        .select("sitemap_url", F.explode_outer("_e").alias("e"))
+        .filter(F.col("e").isNotNull())
         .select(
             "sitemap_url",
             F.col("e.loc").alias("loc"),

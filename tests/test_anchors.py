@@ -135,6 +135,17 @@ class TestAnchorIndex:
                  pairs.select("anchor_text").distinct().collect()}
         assert texts == {"c1", "dead", "c2", "c1b"}
 
+    def test_parse_kernel_runs_once(self, spark):
+        """Plan pin: exactly ONE ArrowEvalPython node. A plain explode
+        lets InferFiltersFromGenerate push a size(udf(..))>0 filter that
+        re-evaluates the parse kernel — doubling the operator's dominant
+        cost; explode_outer + isNotNull keeps it single-pass."""
+        plan = (
+            anchor_text_index(self._pages(spark, 20))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+
     def test_n_src_hosts_is_distinct(self, spark):
         idx = anchor_text_index(self._pages(spark, 60))
         dead = idx.filter(

@@ -112,6 +112,21 @@ class TestSitemapEntries:
         ]
 
 
+class TestPlanShape:
+    def test_parse_kernel_runs_once(self, spark):
+        """Plan pin: one ArrowEvalPython (see test_anchors for the
+        InferFiltersFromGenerate double-eval trap)."""
+        df = spark.createDataFrame(
+            [("u", "<urlset><url><loc>x</loc></url></urlset>")],
+            "url string, xml string",
+        )
+        plan = (
+            sitemap_entries(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+
+
 class TestRefreshPlan:
     NOW = 1704067200 + 30 * 86_400  # 2024-01-31
 
