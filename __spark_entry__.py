@@ -2289,6 +2289,80 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+KMV_K = 32
+CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 2048, 20
+
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketches.py): distinct users
+    per event type from a k-minimum-values synopsis — the bounded-state,
+    mergeable alternative to countDistinct for per-host frontier stats
+    at 10^10-URL scale. One narrow (group, 8-byte-hash) distinct with
+    map-side partials + the salted two-stage bottom-k."""
+    from spider_spark.operators.sketches import kmv_distinct
+
+    _ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=KMV_K)
+
+
+def _sql_kmv_distinct() -> str:
+    from spider_spark.operators.sketches import kmv_distinct_sql
+
+    return kmv_distinct_sql("event_type", "user_id", KMV_K,
+                            "events", group_name="event_type")
+
+
+def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.py): the corpus
+    token stream folds into a ≤ depth×width counter table (fixed size
+    regardless of vocabulary — the 100 TB heavy-hitter shape), then the
+    exact top-20 tokens probe it. Returns (token, exact_count,
+    est_count); est ≥ exact always, equality when the lightest row is
+    collision-free."""
+    from spider_spark.functions.text import normalized_text
+    from spider_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(
+            F.split(normalized_text(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sketch = cms_build(toks, "token", CMS_DEPTH, CMS_WIDTH)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CMS_TOPK)
+    )
+    est = cms_estimate(sketch, top.select("token"), "token",
+                       CMS_DEPTH, CMS_WIDTH)
+    return top.join(est, "token").select("token", "exact_count", "est_count")
+
+
+def _sql_cms_token_freq() -> str:
+    from spider_spark.operators.dedupe import NORM_SQL
+    from spider_spark.operators.sketches import cms_estimate_sql
+
+    norm = NORM_SQL.format(x="text")
+    probe = cms_estimate_sql("toks", "token", "top", "top.token",
+                             CMS_DEPTH, CMS_WIDTH, "token")
+    return f"""
+    WITH toks AS (
+      SELECT tok AS token FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), top AS (
+      SELECT token, count(*)::BIGINT AS exact_count
+      FROM toks GROUP BY token
+      ORDER BY exact_count DESC, token ASC LIMIT {CMS_TOPK}
+    )
+    SELECT top.token AS token, top.exact_count, est.est_count
+    FROM top JOIN ({probe}) est USING (token)
+    """
+
+
 BLOCKED_HOST = "h7.example"
 
 
@@ -2457,6 +2531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_hosts": _q_trap_hosts,              # spider-trap host audit
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
+        "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
+        "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -2553,6 +2629,8 @@ def oracle_sql() -> dict[str, str]:
         "trap_hosts": _sql_trap_hosts(),
         "cdx_lookup": _sql_cdx_lookup(),
         "top_ngrams": _sql_top_ngrams(),
+        "kmv_distinct_users": _sql_kmv_distinct(),
+        "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
         "bm25_index_search": _SQL_BM25,

@@ -324,6 +324,20 @@ def main() -> None:
     )
     timed("mojibake", lambda: force(moji.select(fix_mojibake_udf("_c"))))
 
+    # mergeable sketches: KMV distinct-URLs-per-host over the full 1M-page
+    # table (the bounded-state frontier statistic) and a count-min pass
+    # over the documents token stream (fixed d×w counter table regardless
+    # of vocabulary)
+    from spider_spark.functions.text import normalized_text
+    from spider_spark.operators.sketches import cms_build, kmv_distinct
+
+    hosted = pages.selectExpr("parse_url(url, 'HOST') AS host", "url")
+    timed("kmv_distinct", lambda: force(kmv_distinct(hosted, "host", "url", k=64)))
+    toks = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    timed("cms_freq", lambda: force(cms_build(toks, "token", 4, 2048)))
+
     # continuous-crawl seen-set maintenance at the 1M-URL scale: cuckoo
     # build over every page url, freshness scan, expiry-wave delete
     # (~10% of the table), unseen gate re-admission — the operator loop a

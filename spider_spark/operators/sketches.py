@@ -1,0 +1,268 @@
+"""Mergeable bounded-state sketches: KMV distinct-count, count-min freq.
+
+A 100 TB corpus is summarized continuously — distinct URLs per host for
+frontier sizing, distinct fingerprints per release for datacards, token
+frequencies for boilerplate/stopword discovery. Exact answers need a
+full-width shuffle per question; a *sketch* is a fixed-size, mergeable
+summary built in one pass, so per-shard / per-day sketches combine
+without rescanning the corpus (the same union-then-reduce shape the
+bloom/cuckoo seen filters use for membership).
+
+Two classic sketches, both exact-integer so the DuckDB oracle replays
+them bit-for-bit:
+
+* **KMV (k-minimum-values)** distinct-count estimator (Bar-Yossef et
+  al. 2002; Beyer et al. 2007 "On synopses for distinct-value
+  estimation"): keep the ``k`` smallest distinct ``md5_60`` hashes per
+  group; the k-th smallest ``h_k`` of ``D`` uniform draws over
+  ``[0, 2^60)`` sits near ``k·2^60/D``, so ``D̂ = (k-1)·2^60 / h_k``
+  (the unbiased form). Groups with fewer than ``k`` distinct keys keep
+  everything — the estimate is exact there. The retained-hash set is
+  the sketch: ``KMV(A ∪ B)`` ≡ re-minimize(``KMV(A) ∪ KMV(B)``),
+  verified in tests/test_sketches.py.
+
+* **Count-min** frequency sketch (Cormode & Muthukrishnan 2005):
+  ``depth × width`` integer counters; item ``x`` increments cell
+  ``(r, md5_60(r‖x) mod width)`` for each row ``r``; the estimate is
+  the min over rows — always ≥ the true count, over by at most the
+  collision mass in the lightest row. Sketches merge counter-wise.
+
+Scale shape:
+
+* ``kmv_sketch`` — one narrow ``(group, hash)`` distinct (8-byte
+  values, map-side partial aggregation collapses duplicates before the
+  exchange) followed by the salted two-stage bottom-k the stratified
+  sampler uses (operators/sampling.py): no task ever ranks more than
+  one salt shard of a hot group, stage 2 sees ≤ ``salt·k`` rows/group.
+* ``cms_build`` — one scan: a ``depth``-element literal array explodes
+  per item, then ONE cell-keyed count with map-side partials. The
+  output is ≤ ``depth·width`` rows no matter the corpus — the whole
+  point. ``cms_estimate`` broadcasts the sketch (it is tiny by
+  construction) so probing is a zero-shuffle scan of the query items.
+
+Reference parity: no analog in the reference (an asyncio crawler);
+training-data extension layer, same family as operators/ngrams.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_spark.operators.dedupe import md5_60, md5_60_sql
+
+__all__ = [
+    "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_distinct",
+    "kmv_distinct_sql",
+    "cms_build", "cms_merge", "cms_estimate", "cms_estimate_sql",
+]
+
+HASH_SPACE = 1 << 60  # md5_60 values are uniform in [0, 2^60)
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count
+# ---------------------------------------------------------------------------
+
+
+def _bottom_k(hashes: DataFrame, group_col: str, k: int, salt: int) -> DataFrame:
+    """The ``k`` smallest ``_h`` per group from a distinct ``(group, _h)``
+    relation — salted two-stage so hot groups never rank on one task.
+    The global bottom-k is contained in the union of per-shard bottom-k,
+    so the result is exact."""
+    h = F.col("_h")
+    w1 = Window.partitionBy(group_col, F.pmod(h, F.lit(salt))).orderBy(h.asc())
+    stage1 = (
+        hashes.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(h.asc())
+    return (
+        stage1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_r2")
+    )
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str | Column,
+               k: int = 64, salt: int = 8) -> DataFrame:
+    """``(group, _h)`` rows: the ``k`` smallest distinct 60-bit hashes of
+    ``key_col`` per group — the mergeable KMV synopsis. ≤ ``k`` rows per
+    group regardless of input size."""
+    if k < 2:
+        raise ValueError(f"k must be ≥2 (the estimator divides by k-1): {k}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    hashes = df.select(
+        F.col(group_col), md5_60(key.cast("string")).alias("_h")
+    ).distinct()
+    return _bottom_k(hashes, group_col, k, salt)
+
+
+def kmv_merge(sketches: list[DataFrame], group_col: str,
+              k: int = 64, salt: int = 8) -> DataFrame:
+    """Union per-shard sketches and re-minimize: identical to sketching
+    the concatenated inputs (KMV's defining property — tested)."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return _bottom_k(merged.distinct(), group_col, k, salt)
+
+
+def kmv_estimate(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Collapse a sketch to ``(group, sketch_size, kth_hash,
+    est_distinct)``. Groups that retained fewer than ``k`` hashes saw
+    their whole key set — the estimate is the exact count. The
+    ``(k-1)·2^60 / h_k`` quotient runs in overflow-safe int64: with
+    ``q = 2^60 div h_k`` and ``r = 2^60 mod h_k`` the exact value is
+    ``(k-1)·q + ((k-1)·r) div h_k`` — every intermediate is bounded by
+    the estimate itself for any real cardinality."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("_h").alias("kth_hash"),
+    )
+    q = F.expr(f"{HASH_SPACE} div greatest(kth_hash, 1)")
+    r = F.expr(f"{HASH_SPACE} % greatest(kth_hash, 1)")
+    full = F.lit(k - 1) * q + F.expr(
+        f"({k - 1} * ({HASH_SPACE} % greatest(kth_hash, 1))) "
+        "div greatest(kth_hash, 1)"
+    )
+    est = F.when(F.col("sketch_size") < k, F.col("sketch_size")).otherwise(full)
+    return agg.select(
+        group_col, "sketch_size", "kth_hash",
+        est.cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_distinct(df: DataFrame, group_col: str, key_col: str | Column,
+                 k: int = 64, salt: int = 8) -> DataFrame:
+    """One-call form: sketch + estimate."""
+    return kmv_estimate(kmv_sketch(df, group_col, key_col, k, salt),
+                        group_col, k)
+
+
+def kmv_distinct_sql(group_expr: str, key_expr: str, k: int,
+                     rel: str, group_name: str = "grp") -> str:
+    """DuckDB mirror of :func:`kmv_distinct` (the salt is a physical-plan
+    detail — the retained set is identical). Same q/r integer-quotient
+    decomposition, so the estimate matches bit-for-bit."""
+    h = md5_60_sql(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+    WITH hashes AS (
+      SELECT DISTINCT {group_expr} AS {group_name}, {h} AS _h FROM {rel}
+    ), ranked AS (
+      SELECT {group_name}, _h,
+             row_number() OVER (PARTITION BY {group_name} ORDER BY _h) AS _rn
+      FROM hashes
+    ), agg AS (
+      SELECT {group_name},
+             count(*)::BIGINT AS sketch_size,
+             max(_h) AS kth_hash
+      FROM ranked WHERE _rn <= {k} GROUP BY {group_name}
+    )
+    SELECT {group_name}, sketch_size, kth_hash,
+           (CASE WHEN sketch_size < {k} THEN sketch_size
+                 ELSE {k - 1} * ({HASH_SPACE} // greatest(kth_hash, 1))
+                      + ({k - 1} * ({HASH_SPACE} % greatest(kth_hash, 1)))
+                        // greatest(kth_hash, 1)
+            END)::BIGINT AS est_distinct
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# count-min frequency
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(item: Column, depth: int, width: int) -> Column:
+    """``depth`` ``(r, c)`` structs for one item: row ``r`` hashes
+    ``'r|item'`` — independent-enough hash rows from the one shared
+    md5_60, identical in the SQL mirror."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(md5_60(F.concat(F.lit(f"{r}|"), item)),
+                   F.lit(width)).alias("c"),
+        )
+        for r in range(depth)
+    ])
+
+
+def _check_dims(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth ≥1 and width ≥2: {depth}×{width}")
+
+
+def cms_build(items: DataFrame, item_col: str,
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """``(r, c, cnt)`` counter table over one item per input row (explode
+    tokens upstream). ≤ ``depth·width`` output rows; one scan, one
+    cell-keyed count with map-side partials."""
+    _check_dims(depth, width)
+    cells = _cms_cells(F.col(item_col).cast("string"), depth, width)
+    return (
+        items.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-wise sum — sketches over disjoint shards combine into the
+    sketch of the union (tested)."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """``(item, est_count)`` for each query item: min over the item's
+    ``depth`` cells. The sketch is ≤ ``depth·width`` rows by
+    construction — broadcast it, so probing never shuffles the queries.
+    Items the sketch never saw estimate to 0 (count-min never
+    underestimates, so 0 is exact there)."""
+    _check_dims(depth, width)
+    cells = _cms_cells(F.col(item_col).cast("string"), depth, width)
+    probes = queries.select(
+        F.col(item_col), F.explode(cells).alias("cell")
+    ).select(item_col, F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_estimate_sql(items_rel: str, item_expr: str, queries_rel: str,
+                     query_expr: str, depth: int = 4,
+                     width: int = 1024, item_name: str = "item") -> str:
+    """DuckDB mirror: build the sketch over ``items_rel`` and probe it
+    with ``queries_rel`` — the same two relations the Spark pair sees."""
+    def cell(x: str) -> str:
+        return (md5_60_sql(f"rows.r::VARCHAR || '|' || {x}")
+                + f" % {width}")
+
+    return f"""
+    WITH rows AS (SELECT unnest(range({depth})) AS r),
+    sketch AS (
+      SELECT rows.r AS r, {cell(f"CAST({item_expr} AS VARCHAR)")} AS c,
+             count(*)::BIGINT AS cnt
+      FROM {items_rel} CROSS JOIN rows
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT {query_expr} AS {item_name}, rows.r AS r,
+             {cell(f"CAST({query_expr} AS VARCHAR)")} AS c
+      FROM {queries_rel} CROSS JOIN rows
+    )
+    SELECT probes.{item_name} AS {item_name},
+           min(coalesce(sketch.cnt, 0))::BIGINT AS est_count
+    FROM probes LEFT JOIN sketch USING (r, c)
+    GROUP BY 1
+    """

@@ -1,0 +1,194 @@
+"""KMV distinct-count and count-min sketches (operators/sketches.py).
+
+Covers: estimator accuracy on known cardinalities, the exact small-group
+path, the mergeability contracts (sketch(A ∪ B) ≡ merge(sketch(A),
+sketch(B)) for KMV's retained set, counter-wise sum for CMS), the
+never-underestimates CMS guarantee, bounded sketch size, and bit-exact
+DuckDB mirror parity of both SQL generators.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_estimate_sql,
+    cms_merge,
+    kmv_distinct,
+    kmv_distinct_sql,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+K = 48
+
+
+def _keys_df(spark, groups: dict[str, int]):
+    """One row per (group, key i) with every key repeated twice — the
+    distinct count per group is exactly ``groups[g]``."""
+    rows = [
+        (g, f"{g}-key-{i}")
+        for g, n in groups.items()
+        for i in range(n)
+        for _ in (0, 1)
+    ]
+    return spark.createDataFrame(rows, "grp string, key string")
+
+
+class TestKMV:
+    def test_small_group_is_exact(self, spark):
+        df = _keys_df(spark, {"a": 7, "b": K - 1})
+        out = {
+            r["grp"]: r
+            for r in kmv_distinct(df, "grp", "key", k=K).collect()
+        }
+        assert out["a"]["est_distinct"] == 7
+        assert out["a"]["sketch_size"] == 7
+        assert out["b"]["est_distinct"] == K - 1
+
+    def test_estimator_accuracy(self, spark):
+        true = {"big": 5000, "mid": 800}
+        df = _keys_df(spark, true)
+        out = {
+            r["grp"]: r["est_distinct"]
+            for r in kmv_distinct(df, "grp", "key", k=K).collect()
+        }
+        for g, n in true.items():
+            # std error ≈ 1/sqrt(k-2) ≈ 15%; the fixture is deterministic
+            assert abs(out[g] - n) / n < 0.35, (g, out[g], n)
+
+    def test_sketch_is_bounded(self, spark):
+        df = _keys_df(spark, {"big": 5000})
+        assert kmv_sketch(df, "grp", "key", k=K).count() == K
+
+    def test_merge_equals_union_sketch(self, spark):
+        a = _keys_df(spark, {"g": 300})
+        # overlapping shard: keys 150..449 (union has 450 distinct)
+        b = a.select(
+            "grp", F.concat(F.lit("g-key-"),
+                            (F.expr("CAST(substr(key, 7) AS INT)")
+                             + 150).cast("string")).alias("key")
+        )
+        merged = kmv_merge(
+            [kmv_sketch(a, "grp", "key", k=K),
+             kmv_sketch(b, "grp", "key", k=K)],
+            "grp", k=K,
+        )
+        direct = kmv_sketch(a.unionByName(b), "grp", "key", k=K)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        est = kmv_estimate(merged, "grp", K).collect()[0]
+        assert abs(est["est_distinct"] - 450) / 450 < 0.35
+
+    def test_sql_mirror_parity(self, spark):
+        df = _keys_df(spark, {"a": 7, "big": 900, "mid": 120})
+        got = sorted(
+            map(tuple, kmv_distinct(df, "grp", "key", k=K).collect())
+        )
+        con = duckdb.connect()
+        con.register("rel", df.toPandas())
+        want = sorted(
+            map(tuple,
+                con.execute(
+                    kmv_distinct_sql("grp", "key", K, "rel", "grp")
+                ).fetchall())
+        )
+        assert got == want
+
+    def test_k_validation(self, spark):
+        df = _keys_df(spark, {"a": 3})
+        with pytest.raises(ValueError):
+            kmv_sketch(df, "grp", "key", k=1)
+
+
+DEPTH, WIDTH = 4, 256
+
+
+def _tokens_df(spark):
+    """Zipf-ish token stream: token-i appears (40 - i) times."""
+    rows = [(f"tok{i:02d}",) for i in range(40) for _ in range(40 - i)]
+    return spark.createDataFrame(rows, "token string")
+
+
+class TestCMS:
+    def test_never_underestimates(self, spark):
+        toks = _tokens_df(spark)
+        sk = cms_build(toks, "token", DEPTH, WIDTH)
+        exact = {
+            r["token"]: r["n"]
+            for r in toks.groupBy("token").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        est = cms_estimate(
+            sk, toks.select("token").distinct(), "token", DEPTH, WIDTH
+        ).collect()
+        n_total = sum(exact.values())
+        for r in est:
+            assert r["est_count"] >= exact[r["token"]]
+            # generous deterministic bound: collisions ≤ total stream mass
+            assert r["est_count"] <= exact[r["token"]] + n_total
+
+    def test_sketch_is_bounded(self, spark):
+        sk = cms_build(_tokens_df(spark), "token", DEPTH, WIDTH)
+        assert sk.count() <= DEPTH * WIDTH
+        assert sk.agg(F.sum("cnt")).collect()[0][0] == DEPTH * 820
+
+    def test_unseen_item_estimates_zero_or_collision(self, spark):
+        sk = cms_build(_tokens_df(spark), "token", DEPTH, WIDTH)
+        q = spark.createDataFrame([("never-seen-token",)], "token string")
+        est = cms_estimate(sk, q, "token", DEPTH, WIDTH).collect()[0]
+        assert est["est_count"] >= 0  # ≥0 always; 0 unless all 4 cells collide
+
+    def test_merge_equals_union_sketch(self, spark):
+        toks = _tokens_df(spark)
+        a = toks.filter(F.col("token") < "tok20")
+        b = toks.filter(F.col("token") >= "tok20")
+        merged = cms_merge(
+            cms_build(a, "token", DEPTH, WIDTH),
+            cms_build(b, "token", DEPTH, WIDTH),
+        )
+        direct = cms_build(toks, "token", DEPTH, WIDTH)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_sql_mirror_parity(self, spark):
+        toks = _tokens_df(spark)
+        queries = toks.select("token").distinct()
+        got = sorted(
+            map(tuple,
+                cms_estimate(
+                    cms_build(toks, "token", DEPTH, WIDTH),
+                    queries, "token", DEPTH, WIDTH,
+                ).collect())
+        )
+        con = duckdb.connect()
+        con.register("toks", toks.toPandas())
+        con.register("qs", queries.toPandas())
+        want = sorted(
+            map(tuple,
+                con.execute(
+                    cms_estimate_sql("toks", "token", "qs", "qs.token",
+                                     DEPTH, WIDTH, "token")
+                ).fetchall())
+        )
+        assert got == want
+
+    def test_dim_validation(self, spark):
+        with pytest.raises(ValueError):
+            cms_build(_tokens_df(spark), "token", depth=0)
+
+    def test_probe_broadcasts_sketch(self, spark):
+        toks = _tokens_df(spark)
+        plan = cms_estimate(
+            cms_build(toks, "token", DEPTH, WIDTH),
+            toks.select("token").distinct(), "token", DEPTH, WIDTH,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
