@@ -2289,6 +2289,55 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (functions/robots.py): deterministic synthetic
+    bodies — star group + every-3rd-host agent-specific override group +
+    every-5th-host Sitemap line, salted with comments, caps variation,
+    empty Disallow values, and unknown fields — parsed by the RFC 9309
+    kernel in one Arrow pass. The oracle replays the generation
+    arithmetic, so the hash match proves group selection, override
+    semantics, value ordering, and noise tolerance byte-for-byte."""
+    from spider_spark.functions.robots import parse_robots_df
+
+    _ensure_shipped(spark)
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("i")).filter("i < 50")
+    i = F.col("i").cast("string")
+    star = F.concat(
+        F.lit("# synthetic robots corpus\nUSER-AGENT: *   # caps + comment\n"
+              "Disallow: /private/"), i,
+        F.lit("/\nDisallow:\nDisallow: /tmp/\nunknown-field: ignored\n"),
+    )
+    sitemap = F.when(
+        F.col("i") % 5 == 0,
+        F.concat(F.lit("Sitemap: https://h"), i, F.lit(".example/sm.xml\n")),
+    ).otherwise(F.lit(""))
+    override = F.when(
+        F.col("i") % 3 == 0,
+        F.concat(F.lit("User-agent: spider\nDisallow: /spider/"), i,
+                 F.lit("/\nCrawl-delay: "),
+                 (F.col("i") % 7).cast("string"), F.lit("\n")),
+    ).otherwise(F.lit(""))
+    robots = ids.select(
+        F.concat(F.lit("h"), i, F.lit(".example")).alias("host"),
+        F.concat(star, sitemap, override).alias("robots_txt"),
+    )
+    return parse_robots_df(robots, agent="spider").select(
+        "host", "disallow_prefixes", "crawl_delay",
+        F.size("sitemaps").cast("long").alias("n_sitemaps"),
+    )
+
+
+_SQL_ROBOTS_RULES = """
+SELECT 'h' || i || '.example' AS host,
+       CASE WHEN i % 3 = 0 THEN ['/spider/' || i || '/']
+            ELSE ['/private/' || i || '/', '/tmp/'] END AS disallow_prefixes,
+       CASE WHEN i % 3 = 0 THEN CAST(i % 7 AS DOUBLE) END AS crawl_delay,
+       (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_sitemaps
+FROM (SELECT doc_id AS i FROM documents WHERE doc_id < 50)
+"""
+
+
 KMV_K = 32
 CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 2048, 20
 
@@ -2531,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_hosts": _q_trap_hosts,              # spider-trap host audit
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
+        "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -2629,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_hosts": _sql_trap_hosts(),
         "cdx_lookup": _sql_cdx_lookup(),
         "top_ngrams": _sql_top_ngrams(),
+        "robots_rules": _SQL_ROBOTS_RULES,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
