@@ -2181,6 +2181,30 @@ _SQL_WARC_INGEST = (
 )
 
 
+def _q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WARC export round-trip (sources/warc.py write_warc):
+    the pages table shards by md5_60(url) into per-shard gzip-membered
+    archives written executor-side (ONE shuffle, one file per task,
+    atomic placement, byte-deterministic), then the streaming reader
+    re-ingests them. Digest parity against the SQL page oracle proves
+    the export lost nothing — same oracle as warc_ingest, different
+    write path (the real sink vs the driver-side fixture writer)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.sources.warc import read_warc, write_warc
+
+    _ensure_shipped(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="warc_export_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_warc(pages, tmp, n_shards=8).collect()  # manifest forces the write
+    return read_warc(spark, tmp).select(
+        "url", F.md5(F.col("html")).alias("digest")
+    )
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in gap-based ``session_window`` aggregation (the
     operator Structured Streaming uses for session analytics; identical
@@ -2590,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_indexed": _q_hybrid_search_indexed,  # index-probing RRF
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
+        "warc_export": _q_warc_export,            # distributed WARC sink
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
         "main_content": _q_main_content,          # boilerplate removal
     }
@@ -2690,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,
+        "warc_export": _SQL_WARC_INGEST,
         "repetition_stats": repetition_stats_sql(),
         "main_content": _SQL_MAIN_CONTENT,
     }

@@ -143,32 +143,117 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, WARC_PAGES_SCHEMA)
 
 
+def warc_record(url: str, ts: datetime | None, html: bytes) -> bytes:
+    """One conforming ``response`` record: WARC/1.0 headers + HTTP/1.1 200
+    envelope. Pure function of its inputs — the writer's determinism
+    contract rests on it."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+        + html
+    )
+    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        b"\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+
+
 def write_warc_file(path: str, pages: list[tuple[str, datetime, bytes]],
                     compress: bool = False) -> None:
     """Minimal conforming WARC writer for fixtures: one ``response``
-    record per (url, ts, html) with an HTTP/1.1 200 envelope."""
-    out = io.BytesIO()
-    for url, ts, html in pages:
-        http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-            + b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
-            + html
-        )
-        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-        rec = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            + f"WARC-Target-URI: {url}\r\n".encode()
-            + f"WARC-Date: {date}\r\n".encode()
-            + f"Content-Length: {len(http)}\r\n".encode()
-            + b"Content-Type: application/http; msgtype=response\r\n"
-            b"\r\n"
-            + http
-            + b"\r\n\r\n"
-        )
-        out.write(rec)
-    data = out.getvalue()
+    record per (url, ts, html), driver-side."""
+    data = b"".join(warc_record(u, t, h) for u, t, h in pages)
     if compress:
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One gzip member with ``mtime=0`` — byte-identical across runs (a
+    default-mtime header would stamp wall-clock time into the output and
+    break the writer's determinism contract)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(data)
+    return buf.getvalue()
+
+
+WARC_MANIFEST_SCHEMA = (
+    "shard int, path string, n_records long, n_bytes long, sha256 string"
+)
+
+
+def write_warc(df: DataFrame, out_dir: str, n_shards: int = 16,
+               compress: bool = True) -> DataFrame:
+    """Distributed WARC export: pages rows → ``n_shards`` archive files
+    under ``out_dir`` (a shared filesystem, the same assumption the
+    filter shardstore makes). Returns the manifest — one row per
+    non-empty shard with record/byte counts and the sha256 of the
+    *uncompressed* record stream (compression-invariant, so a ``.gz``
+    export verifies against a plain one).
+
+    Deterministic by construction: shard = ``md5_60(url) mod n_shards``
+    (a pure function of the key — stable across runs, retries, and
+    partition layouts), records sorted by url within a shard, gzip
+    members stamped ``mtime=0``. Re-running the export produces
+    byte-identical files — the property that makes exported corpora
+    content-addressable and diffable across releases.
+
+    Scale shape: ONE hash shuffle on the shard key, then each shard
+    streams through a single ``applyInPandas`` task writing its own
+    file (Common Crawl's layout: many ~1 GB segment files). Each record
+    is its own gzip member (also the Common Crawl convention), which is
+    exactly what :func:`read_warc`'s streaming multi-member inflate
+    consumes — round-trip tested. Writes are tmp-file + atomic
+    ``os.replace`` so a killed export never leaves a torn archive."""
+    import hashlib
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be ≥1: {n_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+    from spider_spark.operators.dedupe import md5_60
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(md5_60(F.col("url")), F.lit(n_shards)).cast("int")
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        digest = hashlib.sha256()
+        out = io.BytesIO()
+        for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            if pd.isna(ts):
+                ts = None  # NaT is truthy — normalize so the epoch fallback fires
+            elif hasattr(ts, "to_pydatetime"):
+                ts = ts.to_pydatetime()
+            rec = warc_record(str(url), ts, bytes(html))
+            digest.update(rec)
+            out.write(_gzip_member(rec) if compress else rec)
+        data = out.getvalue()
+        path = os.path.join(out_dir, f"shard-{s:05d}{ext}")
+        tmp = f"{path}.inprogress"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame([{
+            "shard": s, "path": path, "n_records": len(pdf),
+            "n_bytes": len(data), "sha256": digest.hexdigest(),
+        }])
+
+    return (
+        df.select("url", "warc_ts", "html")
+        .withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandas(write_shard, WARC_MANIFEST_SCHEMA)
+    )
