@@ -1347,6 +1347,28 @@ WITH pr AS ({pagerank_sql(_HOST_EDGES_SQL, n_iter=PR_ITERS)})
 SELECT node AS host, rank_fp FROM pr
 """
 
+HITS_ITERS = 5
+
+
+def _q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point HITS (operators/graph.py hits): hub/authority
+    scores over the same host graph host_pagerank ranks — hubs are the
+    link-discovery pages a crawler re-visits, authorities the content
+    pages it ranks up. Divide-only normalization keeps every
+    intermediate in int64; the oracle unrolls the identical arithmetic
+    as MATERIALIZED CTEs."""
+    from spider_spark.operators.graph import hits
+
+    out = hits(_host_edges_df(spark, sf_dir), n_iter=HITS_ITERS)
+    return out.select(F.col("node").alias("host"), "auth_fp", "hub_fp")
+
+
+def _sql_host_hits() -> str:
+    from spider_spark.operators.graph import hits_sql
+
+    return (f"WITH ht AS ({hits_sql(_HOST_EDGES_SQL, n_iter=HITS_ITERS)}) "
+            "SELECT node AS host, auth_fp, hub_fp FROM ht")
+
 
 def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host-level link graph extracted from the PAGES' ACTUAL
@@ -2550,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_survivors": _q_corpus_survivors,  # composed exact+near dedup
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
+        "host_hits": _q_host_hits,                # hubs & authorities
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
@@ -2649,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
+        "host_hits": _sql_host_hits(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,

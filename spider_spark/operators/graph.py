@@ -1,6 +1,6 @@
 """Distributed graph operators for web-corpus pipelines.
 
-Two operators the crawl/dedupe stack composes with, each paired with a
+Operators the crawl/dedupe stack composes with, each paired with a
 DuckDB-SQL mirror so the driver's oracle can verify it value-for-value:
 
 * **connected components** — turns a near-duplicate *pair* list (MinHash-LSH
@@ -28,7 +28,10 @@ DuckDB-SQL mirror so the driver's oracle can verify it value-for-value:
   O(links). Contribution order ``(rank div deg) * w`` keeps every
   intermediate ≤ total rank mass — no 64-bit overflow at any graph size.
 
-Scale notes: both operators keep per-round state linear in nodes and
+* **HITS** — Kleinberg hubs & authorities over the same host graph
+  (integer fixed-point with divide-only normalization; see :func:`hits`).
+
+Scale notes: all operators keep per-round state linear in nodes and
 shuffle only on stable integer keys; ``localCheckpoint`` truncates the
 iterative lineage (Spark's plan would otherwise double per round). The
 driver loop's one action per round is inherent to fixpoint iteration.
@@ -226,6 +229,139 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     wedges.unpersist()
     nodes.unpersist()
     return ranks.select(F.col("node"), F.col("rank").alias("rank_fp"))
+
+
+# -- integer fixed-point HITS (hubs & authorities) ----------------------------
+
+HITS_SCALE = 10**8  # per-iteration normalization target (see overflow note)
+
+
+def hits(edges: DataFrame, n_iter: int = 10,
+         scale: int = HITS_SCALE) -> DataFrame:
+    """``(node, auth_fp, hub_fp)`` after ``n_iter`` HITS iterations
+    (Kleinberg 1999) over the multigraph ``edges(src, dst)`` — the
+    companion signal to :func:`pagerank` for frontier prioritization:
+    hubs are the directory/index pages worth re-crawling for link
+    discovery, authorities the content pages worth ranking up.
+
+    All integer fixed-point so the DuckDB oracle replays it exactly:
+
+        auth_raw(v) = Σ_in  w(u,v) · hub(u)
+        auth'(v)    = auth_raw(v) div max(1, (Σ auth_raw) div scale)
+        hub_raw(u)  = Σ_out w(u,v) · auth'(v)
+        hub'(u)     = hub_raw(u) div max(1, (Σ hub_raw) div scale)
+
+    The divide-by-quotient normalization (instead of the textbook
+    multiply-then-divide) keeps every intermediate inside int64 with
+    pure divisions: normalized totals stay < 2·scale (the quotient
+    floor can under-divide by at most a factor of two), so the raw
+    sums next iteration are bounded by ``2 · total_link_weight ·
+    scale`` — within int64 for ~4·10^10 weighted links at the default
+    scale (a documented ceiling; lower ``scale`` to raise it). Per iteration:
+    two keyed shuffles over the pre-aggregated (src, dst, w) edge list
+    plus two one-row broadcast sums — same cost class as a PageRank
+    step. ``localCheckpoint`` truncates the iterative lineage."""
+    wedges = (
+        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(
+            F.coalesce(F.sum("raw"), F.lit(0)).cast("long").alias("tot")
+        )
+        return (
+            nodes.join(raw, F.col("node") == raw["rnode"], "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(raw, 0L) div greatest(1L, tot div {scale}L)"
+                ).alias(col),
+            )
+        )
+
+    hubs = nodes.select(
+        "node", F.lit(scale).cast("long").alias("hub")
+    ).localCheckpoint(eager=True)
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            wedges.join(hubs, wedges["src"] == hubs["node"])
+            .groupBy(wedges["dst"].alias("rnode"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("raw"))
+        )
+        auth = _normalize(araw, "auth").localCheckpoint(eager=True)
+        hraw = (
+            wedges.join(auth, wedges["dst"] == auth["node"])
+            .groupBy(wedges["src"].alias("rnode"))
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("raw"))
+        )
+        hubs = _normalize(hraw, "hub").localCheckpoint(eager=True)
+    wedges.unpersist()
+    nodes.unpersist()
+    return (
+        auth.join(hubs, on="node")
+        .select(
+            "node",
+            F.col("auth").alias("auth_fp"),
+            F.col("hub").alias("hub_fp"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, n_iter: int = 10,
+             scale: int = HITS_SCALE) -> str:
+    """DuckDB mirror of :func:`hits`: the iteration chain unrolled as
+    MATERIALIZED CTEs (h0 → a1 → h1 → …) with identical integer
+    arithmetic — each state CTE is referenced by both the next raw-sum
+    and its normalization total, so inlining would expand the chain
+    exponentially (the pagerank_sql lesson)."""
+    steps = []
+    for k in range(n_iter):
+        steps.append(f"""
+    ar{k} AS MATERIALIZED (
+      SELECT w.dst AS node, sum(w.w * h.hub)::BIGINT AS raw
+      FROM wed w JOIN h{k} h ON h.node = w.src GROUP BY w.dst
+    ),
+    at{k} AS MATERIALIZED (
+      SELECT coalesce(sum(raw), 0)::BIGINT AS tot FROM ar{k}
+    ),
+    a{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             (coalesce(r.raw, 0) // greatest(1, t.tot // {scale}))::BIGINT AS auth
+      FROM nodes n CROSS JOIN at{k} t LEFT JOIN ar{k} r ON r.node = n.node
+    ),
+    hr{k} AS MATERIALIZED (
+      SELECT w.src AS node, sum(w.w * a.auth)::BIGINT AS raw
+      FROM wed w JOIN a{k + 1} a ON a.node = w.dst GROUP BY w.src
+    ),
+    ht{k} AS MATERIALIZED (
+      SELECT coalesce(sum(raw), 0)::BIGINT AS tot FROM hr{k}
+    ),
+    h{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             (coalesce(r.raw, 0) // greatest(1, t.tot // {scale}))::BIGINT AS hub
+      FROM nodes n CROSS JOIN ht{k} t LEFT JOIN hr{k} r ON r.node = n.node
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    wed AS MATERIALIZED (
+      SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges),
+    h0 AS MATERIALIZED (
+      SELECT node, {scale}::BIGINT AS hub FROM nodes),{chain}
+    SELECT a.node, a.auth AS auth_fp, h.hub AS hub_fp
+    FROM a{n_iter} a JOIN h{n_iter} h ON h.node = a.node
+    """
 
 
 def pagerank_sql(edges_sql: str, n_iter: int = 10,

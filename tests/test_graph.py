@@ -160,3 +160,82 @@ class TestPagerank:
         )
         want = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
         assert got == want
+
+
+def _reference_hits(edges, n_iter, scale):
+    """Plain-Python integer HITS mirroring the operator's arithmetic."""
+    from collections import Counter
+
+    w = Counter(edges)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(n_iter):
+        araw = Counter()
+        for (s, d), wt in w.items():
+            araw[d] += wt * hub[s]
+        tot = sum(araw.values())
+        auth = {n: araw.get(n, 0) // max(1, tot // scale) for n in nodes}
+        hraw = Counter()
+        for (s, d), wt in w.items():
+            hraw[s] += wt * auth[d]
+        tot = sum(hraw.values())
+        hub = {n: hraw.get(n, 0) // max(1, tot // scale) for n in nodes}
+    return {n: (auth[n], hub[n]) for n in nodes}
+
+
+class TestHits:
+    def test_matches_integer_reference(self, spark):
+        from spider_spark.operators.graph import HITS_SCALE, hits
+
+        edges = [(i % 7, (3 * i + 1) % 7) for i in range(40)] + [(0, 3)] * 5
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["auth_fp"], r["hub_fp"])
+            for r in hits(df, n_iter=6).collect()
+        }
+        assert got == _reference_hits(edges, n_iter=6, scale=HITS_SCALE)
+
+    def test_star_graph_roles(self, spark):
+        from spider_spark.operators.graph import hits
+
+        # many hub pages each linking the one authority
+        edges = [(i, 99) for i in range(1, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["auth_fp"], r["hub_fp"])
+            for r in hits(df, n_iter=4).collect()
+        }
+        assert got[99][0] == max(a for a, _ in got.values())  # top authority
+        assert got[99][1] == 0  # no out-links: zero hub score
+        hubs = {got[i][1] for i in range(1, 10)}
+        assert len(hubs) == 1 and hubs.pop() > 0  # symmetric hubs
+
+    def test_normalization_bounds_scores(self, spark):
+        from spider_spark.operators.graph import HITS_SCALE, hits
+
+        edges = [(i, (i + 1) % 20) for i in range(20)] + [(i, 7) for i in range(20) if i != 7]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = hits(df, n_iter=8)
+        tot_a = out.agg(F.sum("auth_fp")).collect()[0][0]
+        # divide-only normalization: tot/q with q = tot div scale, so the
+        # renormalized total lands in (scale/2, 2·scale)
+        assert HITS_SCALE / 2 < tot_a < 2 * HITS_SCALE
+
+    def test_matches_duckdb_mirror(self, spark):
+        import duckdb
+
+        from spider_spark.operators.graph import hits, hits_sql
+
+        edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4), (4, 0), (3, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["auth_fp"], r["hub_fp"])
+            for r in hits(df, n_iter=5).collect()
+        }
+        vals = ", ".join(f"({s}, {d})" for s, d in edges)
+        sql = hits_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", n_iter=5
+        )
+        want = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
+        assert got == want
