@@ -2335,6 +2335,51 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+_URL_BUILD = (
+    "concat('http://h', CAST({i} % 7 AS STRING), '.example/p/', "
+    "CAST({i} AS STRING), CASE CAST({i} % 4 AS INT) "
+    "WHEN 0 THEN concat('?utm_source=feed&id=', CAST({i} AS STRING)) "
+    "WHEN 1 THEN concat('?id=', CAST({i} AS STRING), '&fbclid=x', "
+    "CAST({i} AS STRING)) "
+    "WHEN 2 THEN '?gclid=g&utm_campaign=c' ELSE '' END)"
+)
+
+_URL_BUILD_DUCK = (
+    "concat('http://h', CAST({i} % 7 AS VARCHAR), '.example/p/', "
+    "CAST({i} AS VARCHAR), CASE CAST({i} % 4 AS INT) "
+    "WHEN 0 THEN concat('?utm_source=feed&id=', CAST({i} AS VARCHAR)) "
+    "WHEN 1 THEN concat('?id=', CAST({i} AS VARCHAR), '&fbclid=x', "
+    "CAST({i} AS VARCHAR)) "
+    "WHEN 2 THEN '?gclid=g&utm_campaign=c' ELSE '' END)"
+)
+
+
+def _q_url_param_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-parameter scrub (functions/urlkit.py
+    strip_tracking_params): synthetic URLs carry utm/gclid/fbclid
+    clutter in four shapes (tracking-first, tracking-last,
+    all-tracking, none); the cleaner drops exactly the tracking keys,
+    preserves survivor order, and removes an emptied '?'. Zero-shuffle
+    whole-stage-codegen projection; the oracle runs the mirrored SQL
+    expression over the same synthetic build."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    from spider_spark.functions.urlkit import strip_tracking_params
+
+    url = F.expr(_URL_BUILD.format(i="doc_id"))
+    return docs.select(
+        "doc_id", url.alias("url"),
+        strip_tracking_params(_URL_BUILD.format(i="doc_id")).alias("clean_url"),
+    )
+
+
+def _sql_url_param_scrub() -> str:
+    from spider_spark.functions.urlkit import strip_tracking_params_sql
+
+    u = _URL_BUILD_DUCK.format(i="doc_id")
+    return (f"SELECT doc_id, {u} AS url, "
+            f"{strip_tracking_params_sql(u)} AS clean_url FROM documents")
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing (functions/robots.py): deterministic synthetic
     bodies — star group + every-3rd-host agent-specific override group +
@@ -2628,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
+        "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -2729,6 +2775,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_lookup": _sql_cdx_lookup(),
         "top_ngrams": _sql_top_ngrams(),
         "robots_rules": _SQL_ROBOTS_RULES,
+        "url_param_scrub": _sql_url_param_scrub(),
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

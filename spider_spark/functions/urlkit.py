@@ -260,3 +260,60 @@ def generate_refs_with_host(
         if s != seed_s:
             out.append({"url": s, "host": u.host})
     return out
+
+
+# -- tracking-parameter scrubbing ---------------------------------------------
+
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "utm_id", "gclid", "dclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+    "igshid", "ref_src", "ref_url", "_ga", "yclid",
+)
+
+
+def strip_tracking_params(url: str, params: tuple[str, ...] = TRACKING_PARAMS):
+    """JVM Column: ``url`` with ad/analytics click-tracking query
+    parameters removed (utm_* and friends — the de-facto list large
+    crawlers scrub; two URLs differing only in click IDs are the same
+    page, so the seen-set and dedup keys should agree on them).
+
+    Pure string surgery inside whole-stage codegen: split the query at
+    the first ``?``, drop ``key=value`` pairs whose key is in the list,
+    rejoin; a query left empty drops its ``?``. Parameter order is
+    preserved for survivors (no re-sorting — the cleaned URL stays a
+    real URL the site accepts). ``url`` is a column name / SQL
+    expression string (Column objects have no portable SQL rendering).
+    Mirrored by :func:`strip_tracking_params_sql`."""
+    from pyspark.sql import functions as F
+
+    u = url
+    lst = ", ".join(f"'{p}'" for p in params)
+    kept = (
+        f"filter(split(substr({u}, instr({u}, '?') + 1), '&'), "
+        f"p -> NOT element_at(split(p, '='), 1) IN ({lst}))"
+    )
+    return F.expr(
+        f"CASE WHEN instr({u}, '?') = 0 THEN {u} ELSE "
+        f"concat(substring_index({u}, '?', 1), "
+        f"CASE WHEN size({kept}) = 0 THEN '' "
+        f"ELSE concat('?', array_join({kept}, '&')) END) END"
+    )
+
+
+def strip_tracking_params_sql(url_expr: str,
+                              params: tuple[str, ...] = TRACKING_PARAMS) -> str:
+    """DuckDB mirror of :func:`strip_tracking_params` (list_filter /
+    len / strpos in place of the Spark names; 1-based element access on
+    both engines)."""
+    lst = ", ".join(f"'{p}'" for p in params)
+    kept = (
+        f"list_filter(string_split(substr({url_expr}, "
+        f"strpos({url_expr}, '?') + 1), '&'), "
+        f"p -> NOT list_contains([{lst}], string_split(p, '=')[1]))"
+    )
+    return (
+        f"CASE WHEN strpos({url_expr}, '?') = 0 THEN {url_expr} ELSE "
+        f"concat(string_split({url_expr}, '?')[1], "
+        f"CASE WHEN len({kept}) = 0 THEN '' "
+        f"ELSE concat('?', array_to_string({kept}, '&')) END) END"
+    )
