@@ -2380,6 +2380,75 @@ def _sql_url_param_scrub() -> str:
             f"{strip_tracking_params_sql(u)} AS clean_url FROM documents")
 
 
+def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL consolidation (operators/canonical.py): synthetic
+    pages declare ``<link rel=canonical>`` in five shapes — none (with a
+    decoy canonical in ``<body>``, which documented handling ignores),
+    absolute leader link, leader link behind a stylesheet ``<link>``
+    (rel token-list matching), RELATIVE href in mixed case (resolved
+    through the crawl's own URL algebra), and a first-wins double
+    declaration. The operator keys every URL by its effective canonical
+    and window-counts cluster sizes in one shuffle; the oracle replays
+    the declaration arithmetic."""
+    from spider_spark.operators.canonical import canonical_clusters
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    u = url_expr(i)
+    cross = url_expr((F.lit(3) * i + 2) % n)
+    head = (
+        F.when(i % 5 == 0, F.lit("<head><title>L</title></head>"))
+        .when(i % 5 == 1, F.concat(
+            F.lit('<head><link rel="canonical" href="'),
+            url_expr(i - 1), F.lit('"></head>')))
+        .when(i % 5 == 2, F.concat(
+            F.lit('<head><link rel="stylesheet" href="/s.css">'
+                  '<link rel="canonical" href="'),
+            url_expr(i - 2), F.lit('"></head>')))
+        .when(i % 5 == 3, F.concat(
+            F.lit('<head><link REL="Canonical" href="/d/'),
+            i.cast("string"), F.lit('"></head>')))
+        .otherwise(F.concat(
+            F.lit('<head><link rel="canonical" href="'), cross,
+            F.lit('"><link rel="canonical" href="'), u,
+            F.lit('"></head>')))
+    )
+    body = F.when(
+        i % 5 == 0,
+        F.concat(F.lit('<body><link rel="canonical" href="'), cross,
+                 F.lit('"><p>x</p></body>')),
+    ).otherwise(F.lit("<body><p>x</p></body>"))
+    pages = docs.select(
+        u.alias("url"),
+        F.encode(
+            F.concat(F.lit("<html>"), head, body, F.lit("</html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return canonical_clusters(pages)
+
+
+_SQL_CANONICAL_CLUSTERS = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+c AS (
+  SELECT {_url_sql('doc_id')} AS url,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN NULL
+      WHEN 1 THEN {_url_sql('doc_id - 1')}
+      WHEN 2 THEN {_url_sql('doc_id - 2')}
+      WHEN 3 THEN {_url_sql('doc_id')}
+      ELSE {_url_sql('(3*doc_id+2) % nn.n')}
+    END AS canonical_url
+  FROM documents, nn
+)
+SELECT url, canonical_url,
+  coalesce(canonical_url, url) AS canonical_key,
+  count(*) OVER (PARTITION BY coalesce(canonical_url, url)) AS cluster_size
+FROM c
+"""
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing (functions/robots.py): deterministic synthetic
     bodies — star group + every-3rd-host agent-specific override group +
@@ -2674,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
+        "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -2776,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "url_param_scrub": _sql_url_param_scrub(),
+        "canonical_clusters": _SQL_CANONICAL_CLUSTERS,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

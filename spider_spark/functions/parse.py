@@ -345,3 +345,79 @@ def extract_anchors_udf(html: pd.Series, page_url: pd.Series) -> pd.Series:
     return pd.Series(
         [parse_anchors(h, u) for h, u in zip(html, page_url)]
     )
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical extraction (duplicate-URL consolidation signal)
+# ---------------------------------------------------------------------------
+
+
+class _CanonicalParser(HTMLParser):
+    """Captures the FIRST ``<link rel=canonical href=...>`` in ``<head>``
+    — per Google's documented handling, later canonical declarations are
+    ignored and declarations outside the head don't count. ``rel`` is a
+    space-separated token list, matched case-insensitively."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.canonical: str | None = None
+        self._done = False
+
+    def handle_starttag(self, tag, attrs):
+        if self._done:
+            return
+        if tag == "body":
+            self._done = True
+            return
+        if tag == "link" and self.canonical is None:
+            d = dict(attrs)
+            rel = (d.get("rel") or "").lower().split()
+            href = d.get("href")
+            if "canonical" in rel and href:
+                self.canonical = href.strip()
+                self._done = True
+
+    def handle_endtag(self, tag):
+        if tag == "head":
+            self._done = True
+
+
+def extract_canonical(html: bytes | str,
+                      base_url: str | None = None) -> str | None:
+    """The page's declared canonical URL (normalized absolute form), or
+    None. A relative href resolves against ``base_url`` through the
+    engine's own URL algebra (functions/urlkit.py CanonURL.join — the
+    crawl's resolution rules, not a second implementation); a relative
+    declaration with no base to resolve against is unusable → None."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _CanonicalParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    href = p.canonical
+    if href is None:
+        return None
+    target = CanonURL.parse(href)
+    if not target.is_absolute:
+        if not base_url:
+            return None
+        target = CanonURL.parse(base_url).join(href)
+    return str(target)
+
+
+def make_canonical_udf():
+    """(html, page_url) → canonical target (absolute) or NULL, one Arrow
+    batch per partition — the input signal for canonical-URL dedup
+    clustering (two URLs declaring the same canonical are one page)."""
+
+    @pandas_udf(StringType())
+    def canonical_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_canonical(h, u) for h, u in zip(html, url)],
+            dtype="object",
+        )
+
+    return canonical_udf
