@@ -2449,6 +2449,42 @@ FROM c
 """
 
 
+def _q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): synthetic
+    one-hop redirect edges over the documents ids — descending chains
+    (ids ≡ 1,2,3 mod 8 hop to id-1, terminating at the ≡0 terminal),
+    a 2-cycle (≡6 ↔ ≡7) and a chain draining into it (≡5). Pointer
+    doubling resolves terminals + exact hop counts and NULLs cycle
+    members; the oracle walks the same functionalized edges with a
+    recursive CTE."""
+    from spider_spark.operators.redirects import resolve_redirects
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    m8 = (i % 8).cast("int")
+    edges = docs.filter(m8.isin(1, 2, 3, 5, 6, 7)).select(
+        url_expr(i).alias("src"),
+        F.when(m8.isin(1, 2, 3, 7), url_expr(i - 1))
+         .otherwise(url_expr((i + 1) % n)).alias("dst"),
+    )
+    return resolve_redirects(edges)
+
+
+def _sql_redirect_resolution() -> str:
+    from spider_spark.operators.redirects import resolve_redirects_sql
+
+    edges = f"""
+      SELECT {_url_sql('doc_id')} AS src,
+        CASE WHEN CAST(doc_id % 8 AS INT) IN (1, 2, 3, 7)
+             THEN {_url_sql('doc_id - 1')}
+             ELSE {_url_sql('(doc_id + 1) % nn.n')} END AS dst
+      FROM documents, (SELECT count(*)::BIGINT AS n FROM documents) nn
+      WHERE CAST(doc_id % 8 AS INT) IN (1, 2, 3, 5, 6, 7)
+    """
+    return resolve_redirects_sql(edges)
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing (functions/robots.py): deterministic synthetic
     bodies — star group + every-3rd-host agent-specific override group +
@@ -2744,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
         "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
+        "redirect_resolution": _q_redirect_resolution,  # 3xx chain resolve
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -2847,6 +2884,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _SQL_ROBOTS_RULES,
         "url_param_scrub": _sql_url_param_scrub(),
         "canonical_clusters": _SQL_CANONICAL_CLUSTERS,
+        "redirect_resolution": _sql_redirect_resolution(),
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
