@@ -2485,6 +2485,56 @@ def _sql_redirect_resolution() -> str:
     return resolve_redirects_sql(edges)
 
 
+_MIME_BODY_SPARK = """CASE CAST({i} % 9 AS INT)
+  WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS STRING), '</body></html>')
+  WHEN 1 THEN concat('  \n<html><body>ws-lead ', CAST({i} AS STRING), '</body></html>')
+  WHEN 2 THEN concat('%PDF-1.7\n% doc ', CAST({i} AS STRING))
+  WHEN 3 THEN concat(CHAR(137), 'PNG', CHAR(13), CHAR(10), CHAR(26), CHAR(10), 'payload', CAST({i} AS STRING))
+  WHEN 4 THEN concat(CHAR(31), CHAR(139), CHAR(8), 'gzmember', CAST({i} AS STRING))
+  WHEN 5 THEN concat('WARC/1.0', CHAR(13), CHAR(10), 'WARC-Type: response ', CAST({i} AS STRING))
+  WHEN 6 THEN concat('<?xml version="1.0"?><urlset>', CAST({i} AS STRING), '</urlset>')
+  WHEN 7 THEN concat('plain text body number ', CAST({i} AS STRING))
+  ELSE concat('BIN', CHAR(1), CHAR(2), 'junk', CAST({i} AS STRING)) END"""
+
+_MIME_BODY_DUCK = """CASE CAST({i} % 9 AS INT)
+  WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS VARCHAR), '</body></html>')
+  WHEN 1 THEN concat('  ', chr(10), '<html><body>ws-lead ', CAST({i} AS VARCHAR), '</body></html>')
+  WHEN 2 THEN concat('%PDF-1.7', chr(10), '% doc ', CAST({i} AS VARCHAR))
+  WHEN 3 THEN concat(chr(137), 'PNG', chr(13), chr(10), chr(26), chr(10), 'payload', CAST({i} AS VARCHAR))
+  WHEN 4 THEN concat(chr(31), chr(139), chr(8), 'gzmember', CAST({i} AS VARCHAR))
+  WHEN 5 THEN concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: response ', CAST({i} AS VARCHAR))
+  WHEN 6 THEN concat('<?xml version="1.0"?><urlset>', CAST({i} AS VARCHAR), '</urlset>')
+  WHEN 7 THEN concat('plain text body number ', CAST({i} AS VARCHAR))
+  ELSE concat('BIN', chr(1), chr(2), 'junk', CAST({i} AS VARCHAR)) END"""
+
+
+def _q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-type sniffing (functions/mime.py): synthetic fetch
+    payloads in nine shapes (html, whitespace-led html, pdf, png, gzip,
+    warc, xml, plain text, control-byte junk) rendered to REAL bytes;
+    the engine sniffs the bytes with the JVM rule chain, and the oracle
+    runs the SAME rule table (sniff_mime_sql) over the identical
+    codepoints — the decision procedure itself is what's hash-checked,
+    not a replayed expectation."""
+    from spider_spark.functions.mime import sniff_mime
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    body = F.expr(_MIME_BODY_SPARK.format(i="doc_id"))
+    return docs.select(
+        "doc_id",
+        sniff_mime(
+            F.encode(body, "ISO-8859-1").alias("content")).alias("mime"),
+    )
+
+
+def _sql_mime_sniff() -> str:
+    from spider_spark.functions.mime import sniff_mime_sql
+
+    body = _MIME_BODY_DUCK.format(i="doc_id")
+    return (f"SELECT doc_id, {sniff_mime_sql(f'({body})')} AS mime "
+            "FROM documents")
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing (functions/robots.py): deterministic synthetic
     bodies — star group + every-3rd-host agent-specific override group +
@@ -2781,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
         "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
         "redirect_resolution": _q_redirect_resolution,  # 3xx chain resolve
+        "mime_sniff": _q_mime_sniff,              # payload-type routing
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -2885,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "url_param_scrub": _sql_url_param_scrub(),
         "canonical_clusters": _SQL_CANONICAL_CLUSTERS,
         "redirect_resolution": _sql_redirect_resolution(),
+        "mime_sniff": _sql_mime_sniff(),
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
