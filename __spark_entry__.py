@@ -2485,6 +2485,95 @@ def _sql_redirect_resolution() -> str:
     return resolve_redirects_sql(edges)
 
 
+_ALIAS_DIRTY = "({url} || '?utm_source=feed&gclid=x')"
+
+
+def _q_url_alias_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL alias consolidation — the COMPOSITION of the three alias
+    signals a crawl accumulates, merged into identity clusters: tracking
+    -parameter variants (urlkit.strip_tracking_params over dirty ids ≡0
+    mod 3), resolved redirect chains (operators/redirects.py over the
+    ≡1,2,3 mod 8 hop arithmetic, ok rows only), and rel=canonical
+    declarations parsed from real HTML (operators/canonical.py, ids ≡1,2
+    mod 5). The union feeds hash-min connected components; every signal
+    runs through its REAL operator, and the oracle recomputes each edge
+    family independently (mirrored scrubber SQL, recursive-CTE walk,
+    declaration arithmetic) before the transitive-closure mirror."""
+    from spider_spark.functions.urlkit import strip_tracking_params
+    from spider_spark.operators.canonical import canonical_map
+    from spider_spark.operators.graph import connected_components
+    from spider_spark.operators.redirects import resolve_redirects
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    u = url_expr(i)
+
+    dirty = _ALIAS_DIRTY.format(url=_url_sql("doc_id"))
+    scrub_edges = docs.filter(i % 3 == 0).select(
+        F.expr(dirty).alias("id_a"),
+        strip_tracking_params(dirty).alias("id_b"),
+    )
+
+    m8 = (i % 8).cast("int")
+    hop_edges = docs.filter(m8.isin(1, 2, 3)).select(
+        u.alias("src"), url_expr(i - 1).alias("dst"))
+    redirect_edges = (
+        resolve_redirects(hop_edges)
+        .filter(F.col("status") == "ok")
+        .select(F.col("src_url").alias("id_a"),
+                F.col("final_url").alias("id_b"))
+    )
+
+    m5 = (i % 5).cast("int")
+    pages = docs.filter(m5.isin(1, 2)).select(
+        u.alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                url_expr(i - (i % 5)),
+                F.lit('"></head><body>x</body></html>'),
+            ), "UTF-8").alias("html"),
+    )
+    canon_edges = (
+        canonical_map(pages)
+        .filter(F.col("canonical_url").isNotNull())
+        .select(F.col("url").alias("id_a"),
+                F.col("canonical_url").alias("id_b"))
+    )
+
+    edges = scrub_edges.union(redirect_edges).union(canon_edges)
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("url"), "cluster_id")
+
+
+def _sql_url_alias_clusters() -> str:
+    from spider_spark.functions.urlkit import strip_tracking_params_sql
+    from spider_spark.operators.graph import connected_components_sql
+    from spider_spark.operators.redirects import resolve_redirects_sql
+
+    dirty = _ALIAS_DIRTY.format(url=_url_sql("doc_id"))
+    hop_edges = f"""
+      SELECT {_url_sql('doc_id')} AS src, {_url_sql('doc_id - 1')} AS dst
+      FROM documents WHERE CAST(doc_id % 8 AS INT) IN (1, 2, 3)
+    """
+    edges = f"""
+      SELECT {dirty} AS id_a, {strip_tracking_params_sql(dirty)} AS id_b
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT src_url, final_url
+      FROM ({resolve_redirects_sql(hop_edges)}) WHERE status = 'ok'
+      UNION ALL
+      SELECT {_url_sql('doc_id')},
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 1 THEN {_url_sql('doc_id - 1')}
+               ELSE {_url_sql('doc_id - 2')} END
+      FROM documents WHERE CAST(doc_id % 5 AS INT) IN (1, 2)
+    """
+    return (f"WITH cc AS ({connected_components_sql(edges)}) "
+            "SELECT id AS url, cluster_id FROM cc")
+
+
 _MIME_BODY_SPARK = """CASE CAST({i} % 9 AS INT)
   WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS STRING), '</body></html>')
   WHEN 1 THEN concat('  \n<html><body>ws-lead ', CAST({i} AS STRING), '</body></html>')
@@ -2832,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
         "redirect_resolution": _q_redirect_resolution,  # 3xx chain resolve
         "mime_sniff": _q_mime_sniff,              # payload-type routing
+        "url_alias_clusters": _q_url_alias_clusters,  # scrub+3xx+canonical ∘ CC
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -2937,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_clusters": _SQL_CANONICAL_CLUSTERS,
         "redirect_resolution": _sql_redirect_resolution(),
         "mime_sniff": _sql_mime_sniff(),
+        "url_alias_clusters": _sql_url_alias_clusters(),
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

@@ -139,3 +139,28 @@ class TestWebCurationSemantic:
             )
         ).count()
         assert bad == 0
+
+
+class TestUrlAliasClusters:
+    @pytest.fixture(scope="class")
+    def clusters(self, spark, sf_dir):
+        return entry._q_url_alias_clusters(spark, sf_dir).cache()
+
+    def test_cross_signal_merge(self, clusters):
+        """doc 3 (≡3 mod 8, ≡0 mod 3, ≡3 mod 5): its dirty tracking
+        variant and its redirect chain 3→2→1→0 must land in ONE cluster
+        — scrub and redirect edges share the url(3) node."""
+        got = {r["url"]: r["cluster_id"] for r in clusters.collect()}
+        u3 = "https://h4.example/d/3"
+        dirty3 = u3 + "?utm_source=feed&gclid=x"
+        u0 = "https://h0.example/d/0"
+        assert got[dirty3] == got[u3] == got[u0]
+        # cluster id is the lexicographic min member
+        assert got[u0] <= u0
+
+    def test_cycle_members_never_enter(self, clusters):
+        """redirect hop edges only exist for ids ≡1,2,3 mod 8 — acyclic
+        by construction; the ok-filter is what admits them. No NULL ids."""
+        assert clusters.filter(
+            F.col("url").isNull() | F.col("cluster_id").isNull()
+        ).count() == 0
