@@ -2574,6 +2574,52 @@ def _sql_url_alias_clusters() -> str:
             "SELECT id AS url, cluster_id FROM cc")
 
 
+def _q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots admission gate (functions/parse.py
+    extract_meta_robots): head-scoped ``<meta name=robots>`` directives
+    in six shapes — absent (with a body decoy, ignored per documented
+    handling), noindex, NOFOLLOW in caps, none (≡ both), an explicit
+    allow, and two tags combining most-restrictive. noindex pages must
+    not reach the results table; nofollow pages contribute no frontier
+    links. The oracle replays the declaration arithmetic."""
+    from spider_spark.functions.parse import make_meta_robots_udf
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    m6 = (i % 6).cast("int")
+    head = (
+        F.when(m6 == 0, F.lit("<head><title>t</title></head>"))
+        .when(m6 == 1, F.lit('<head><meta name="robots" content="noindex"></head>'))
+        .when(m6 == 2, F.lit('<head><meta name="ROBOTS" content="NOFOLLOW"></head>'))
+        .when(m6 == 3, F.lit('<head><meta name="robots" content="none"></head>'))
+        .when(m6 == 4, F.lit('<head><meta name="robots" content="index, follow"></head>'))
+        .otherwise(F.lit('<head><meta name="robots" content="noindex">'
+                         '<meta name="robots" content=" nofollow "></head>'))
+    )
+    body = F.when(
+        m6 == 0,
+        F.lit('<body><meta name="robots" content="none"><p>x</p></body>'),
+    ).otherwise(F.lit("<body><p>x</p></body>"))
+    pages = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html>"), head, body, F.lit("</html>")),
+                 "UTF-8").alias("html"),
+    )
+    mr = make_meta_robots_udf()
+    return pages.select(
+        "doc_id", mr(F.col("html")).alias("r")
+    ).select("doc_id", F.col("r.noindex").alias("noindex"),
+             F.col("r.nofollow").alias("nofollow"))
+
+
+_SQL_META_ROBOTS = """
+SELECT doc_id,
+  CAST(doc_id % 6 AS INT) IN (1, 3, 5) AS noindex,
+  CAST(doc_id % 6 AS INT) IN (2, 3, 5) AS nofollow
+FROM documents
+"""
+
+
 _MIME_BODY_SPARK = """CASE CAST({i} % 9 AS INT)
   WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS STRING), '</body></html>')
   WHEN 1 THEN concat('  \n<html><body>ws-lead ', CAST({i} AS STRING), '</body></html>')
@@ -2922,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": _q_redirect_resolution,  # 3xx chain resolve
         "mime_sniff": _q_mime_sniff,              # payload-type routing
         "url_alias_clusters": _q_url_alias_clusters,  # scrub+3xx+canonical ∘ CC
+        "meta_robots": _q_meta_robots,            # noindex/nofollow gate
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -3028,6 +3075,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolution": _sql_redirect_resolution(),
         "mime_sniff": _sql_mime_sniff(),
         "url_alias_clusters": _sql_url_alias_clusters(),
+        "meta_robots": _SQL_META_ROBOTS,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

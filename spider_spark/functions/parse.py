@@ -27,7 +27,13 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from spider_spark.functions.urlkit import CanonURL, generate_refs_with_host
 
@@ -421,3 +427,81 @@ def make_canonical_udf():
         )
 
     return canonical_udf
+
+
+# ---------------------------------------------------------------------------
+# meta robots directives (crawl-admission signal)
+# ---------------------------------------------------------------------------
+
+
+class _MetaRobotsParser(HTMLParser):
+    """Collects every ``<meta name=robots content=...>`` in ``<head>``.
+    Multiple tags combine MOST-RESTRICTIVE (documented search-engine
+    handling); names and directive tokens are case-insensitive, tokens
+    comma-separated with surrounding whitespace ignored."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.noindex = False
+        self.nofollow = False
+        self._done = False
+
+    def _apply(self, content: str) -> None:
+        for tok in content.lower().split(","):
+            tok = tok.strip()
+            if tok in ("noindex", "none"):
+                self.noindex = True
+            if tok in ("nofollow", "none"):
+                self.nofollow = True
+
+    def handle_starttag(self, tag, attrs):
+        if self._done:
+            return
+        if tag == "body":
+            self._done = True
+            return
+        if tag == "meta":
+            d = dict(attrs)
+            if (d.get("name") or "").strip().lower() == "robots":
+                self._apply(d.get("content") or "")
+
+    def handle_endtag(self, tag):
+        if tag == "head":
+            self._done = True
+
+
+def extract_meta_robots(html: bytes | str) -> tuple[bool, bool]:
+    """``(noindex, nofollow)`` from the page's head-scoped meta robots
+    directives; absent/indifferent declarations yield (False, False).
+    ``noindex`` pages must not enter the results/index tables;
+    ``nofollow`` pages contribute no frontier links."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _MetaRobotsParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return (p.noindex, p.nofollow)
+
+
+META_ROBOTS_SCHEMA = StructType(
+    [
+        StructField("noindex", BooleanType(), False),
+        StructField("nofollow", BooleanType(), False),
+    ]
+)
+
+
+def make_meta_robots_udf():
+    """html → struct(noindex, nofollow), one Arrow batch per partition —
+    the admission gate a crawl applies before indexing a page or
+    expanding its links."""
+
+    @pandas_udf(META_ROBOTS_SCHEMA)
+    def meta_robots_udf(html: pd.Series) -> pd.DataFrame:
+        vals = [extract_meta_robots(h) for h in html]
+        return pd.DataFrame(vals, columns=["noindex", "nofollow"])
+
+    return meta_robots_udf

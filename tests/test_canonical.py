@@ -110,3 +110,48 @@ class TestCanonicalClusters:
         plan = (canonical_clusters(_pages(spark))
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("ArrowEvalPython") == 1
+
+
+from spider_spark.functions.parse import extract_meta_robots
+
+
+class TestExtractMetaRobots:
+    def test_absent(self):
+        assert extract_meta_robots("<head></head><body>x</body>") == (False, False)
+
+    def test_noindex_nofollow_tokens(self):
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="noindex"></head>') == (True, False)
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="nofollow"></head>') == (False, True)
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="noindex, nofollow"></head>') == (True, True)
+
+    def test_none_means_both(self):
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="none"></head>') == (True, True)
+
+    def test_case_and_whitespace(self):
+        assert extract_meta_robots(
+            '<head><meta name=" ROBOTS " content=" NoIndex ,  NOFOLLOW "></head>'
+        ) == (True, True)
+
+    def test_affirmative_is_noop(self):
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="index, follow"></head>') == (False, False)
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="all"></head>') == (False, False)
+
+    def test_multiple_tags_most_restrictive(self):
+        assert extract_meta_robots(
+            '<head><meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow"></head>') == (True, True)
+
+    def test_body_and_other_names_ignored(self):
+        assert extract_meta_robots(
+            '<head><meta name="googlebot" content="noindex"></head>'
+            '<body><meta name="robots" content="none"></body>') == (False, False)
+
+    def test_bytes_and_malformed(self):
+        assert extract_meta_robots(
+            b'<head><meta name="robots" content="noindex"') in ((False, False), (True, False))
