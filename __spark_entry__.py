@@ -542,6 +542,41 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.7
+_EXCERPT_WORDS = 12
+_EXCERPT_ID_BASE = 1_000_000
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (operators/dedupe.py
+    containment_pairs): the corpus plus synthetic 12-word excerpt docs
+    (every 41st document quoted under id+1M — the aggregator/quote
+    fixture). The excerpts sit almost wholly inside their source, so the
+    asymmetric measure fires where symmetric Jaccard stays silent; the
+    mutual near-dups surface as row pairs in both directions."""
+    from spider_spark.operators.dedupe import containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    excerpts = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + _EXCERPT_ID_BASE).alias("doc_id"),
+        F.array_join(F.slice(words, 1, _EXCERPT_WORDS), " ").alias("text"),
+    )
+    return containment_pairs(
+        docs.union(excerpts), threshold=CONTAINMENT_THRESHOLD)
+
+
+def _sql_containment() -> str:
+    from spider_spark.operators.dedupe import containment_pairs_sql
+
+    aug = (f"(SELECT doc_id, text FROM documents UNION ALL "
+           f"SELECT doc_id + {_EXCERPT_ID_BASE}, "
+           f"array_to_string(string_split(text, ' ')[1:{_EXCERPT_WORDS}], ' ') "
+           f"FROM documents WHERE doc_id % 41 = 0) aug")
+    return containment_pairs_sql(
+        threshold=CONTAINMENT_THRESHOLD, table=aug)
+
+
 def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_docs(spark, sf_dir))
 
@@ -2897,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,                  # published line-level cleaner
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "jaccard_pairs": _q_jaccard,
+        "containment_pairs": _q_containment,      # directed quote detection
         "minhash_lsh_pairs": _q_lsh_pairs,
         "minhash_index_probe": _q_minhash_index_probe,  # ingest-time dup gate
         "exact_index_probe": _q_exact_index_probe,      # exact-dup ingest gate
@@ -3002,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _c4_clean_sql(),
         "pii_redact": _pii_redact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
+        "containment_pairs": _sql_containment(),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),
         "minhash_index_probe": minhash_probe_sql(
             "doc_id % 10 <> 0", "doc_id % 10 = 0"

@@ -187,6 +187,92 @@ def jaccard_pairs_sql(threshold: float = 0.5, n: int = 3, table: str = "document
 
 
 # ---------------------------------------------------------------------------
+# directed containment (quote / aggregator detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int = 1000) -> DataFrame:
+    """Directed near-superset pairs: ``(inner_id, outer_id, containment)``
+    where ``containment = |shingles(inner) ∩ shingles(outer)| /
+    |shingles(inner)| ≥ threshold``. The asymmetric Broder measure —
+    Jaccard misses the aggregator/quote case where a short document sits
+    almost wholly inside a long one (the union denominator dilutes it);
+    containment normalizes by the CONTAINED side only. Both directions of
+    an unordered pair are tested; mutual containment emits two rows.
+
+    Same plan shape (and skew guard) as :func:`jaccard_pairs`: shingle
+    explode → hot-shingle broadcast anti-join → pair intersection counts
+    inside shingle buckets → one size join; the direction split is a
+    projection, not extra shuffles."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("b")).filter(
+        F.col("b") > max_bucket
+    )
+    sh = sh.join(F.broadcast(hot.select("shingle")), on="shingle", how="left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), on="id_b")
+    )
+    fwd = joined.withColumn(
+        "containment", F.col("n_common") / F.col("sz_a")
+    ).filter(F.col("containment") >= threshold).select(
+        F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id"),
+        "containment",
+    )
+    rev = joined.withColumn(
+        "containment", F.col("n_common") / F.col("sz_b")
+    ).filter(F.col("containment") >= threshold).select(
+        F.col("id_b").alias("inner_id"), F.col("id_a").alias("outer_id"),
+        "containment",
+    )
+    return fwd.union(rev)
+
+
+def containment_pairs_sql(threshold: float = 0.7, n: int = 3,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_bucket: int = 1000) -> str:
+    sh = shingles_sql(n=n, id_col=id_col, text_col=text_col, table=table)
+    return f"""
+    WITH sh AS ({sh}),
+    ok AS (SELECT * FROM sh WHERE shingle NOT IN (
+       SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {max_bucket})),
+    sizes AS (SELECT {id_col} AS id, count(*) AS sz FROM ok GROUP BY {id_col}),
+    inter AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS n_common
+      FROM ok a JOIN ok b USING (shingle)
+      WHERE a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT id_a, id_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    )
+    SELECT id_a AS inner_id, id_b AS outer_id,
+           n_common * 1.0 / sz_a AS containment
+    FROM joined WHERE n_common * 1.0 / sz_a >= {threshold}
+    UNION ALL
+    SELECT id_b, id_a, n_common * 1.0 / sz_b
+    FROM joined WHERE n_common * 1.0 / sz_b >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -198,3 +198,57 @@ class TestSimHashHotBucket:
         # the hot templated pairs are gone; the legitimate pair survives
         assert (100, 101) in got and got[(100, 101)] == 0
         assert not any(a < 100 for a, _ in got)
+
+
+class TestContainment:
+    """Directed containment (quote/aggregator detection): asymmetric hits
+    Jaccard can't see, direction semantics, and mirror parity."""
+
+    @pytest.fixture(scope="class")
+    def cdocs(self, spark):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        rows = [
+            (1, base),                                   # long source
+            (2, "alpha beta gamma delta epsilon zeta"),  # excerpt of 1
+            (3, "unrelated words entirely different content here now"),
+            (4, base + " phi"),                          # near-dup of 1
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_excerpt_detected_directionally(self, cdocs):
+        from spider_spark.operators.dedupe import containment_pairs
+
+        got = {(r["inner_id"], r["outer_id"]): r["containment"]
+               for r in containment_pairs(cdocs, threshold=0.9).collect()}
+        # the excerpt is contained in its source, not vice versa
+        assert got[(2, 1)] == 1.0
+        assert (1, 2) not in got
+        assert got[(2, 4)] == 1.0           # excerpt also inside the near-dup
+        # mutual containment of the near-dup pair: both directions
+        assert (1, 4) in got and (4, 1) in got
+        assert all(k[0] != 3 and k[1] != 3 for k in got)
+
+    def test_jaccard_blind_to_excerpt(self, cdocs):
+        from spider_spark.operators.dedupe import jaccard_pairs
+
+        j = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(cdocs, threshold=0.5).collect()}
+        assert (1, 2) not in j and (2, 1) not in j
+
+    def test_mirror_parity(self, cdocs):
+        import duckdb
+
+        from spider_spark.operators.dedupe import (
+            containment_pairs,
+            containment_pairs_sql,
+        )
+
+        got = {(r["inner_id"], r["outer_id"]): round(r["containment"], 9)
+               for r in containment_pairs(cdocs, threshold=0.5).collect()}
+        con = duckdb.connect()
+        con.register("cdocs_rel", cdocs.toPandas())
+        want = {(r[0], r[1]): round(r[2], 9) for r in con.execute(
+            containment_pairs_sql(threshold=0.5, table="cdocs_rel")
+        ).fetchall()}
+        assert got == want and got
