@@ -2655,6 +2655,84 @@ FROM documents
 """
 
 
+def _q_page_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass head audit (functions/parse.py make_head_audit_udf):
+    title (no-title rule every 17th id), the canonical_clusters
+    declaration shapes (mod 5), and the meta_robots directive shapes
+    (mod 6) combined in ONE synthetic head — extracted by ONE Arrow
+    kernel pass instead of three. The oracle replays all three
+    arithmetic families; the hash match proves the fused kernel agrees
+    with the individual ones on every combination the moduli generate."""
+    from spider_spark.functions.parse import make_head_audit_udf
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    u = url_expr(i)
+    title = F.when(i % 17 == 0, F.lit("")).otherwise(
+        F.format_string("<title>Doc %s</title>", i.cast("string")))
+    m5 = (i % 5).cast("int")
+    canon = (
+        F.when(m5 == 0, F.lit(""))
+        .when(m5 == 1, F.concat(F.lit('<link rel="canonical" href="'),
+                                url_expr(i - 1), F.lit('">')))
+        .when(m5 == 2, F.concat(
+            F.lit('<link rel="stylesheet" href="/s.css">'
+                  '<link rel="canonical" href="'),
+            url_expr(i - 2), F.lit('">')))
+        .when(m5 == 3, F.concat(F.lit('<link REL="Canonical" href="/d/'),
+                                i.cast("string"), F.lit('">')))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="'),
+            url_expr((F.lit(3) * i + 2) % n),
+            F.lit('"><link rel="canonical" href="'), u, F.lit('">')))
+    )
+    m6 = (i % 6).cast("int")
+    robots = (
+        F.when(m6 == 0, F.lit(""))
+        .when(m6 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(m6 == 2, F.lit('<meta name="ROBOTS" content="NOFOLLOW">'))
+        .when(m6 == 3, F.lit('<meta name="robots" content="none">'))
+        .when(m6 == 4, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit('<meta name="robots" content="noindex">'
+                         '<meta name="robots" content=" nofollow ">'))
+    )
+    pages = docs.select(
+        "doc_id", u.alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head>"), title, canon, robots,
+                     F.lit("</head><body><p>x</p></body></html>")),
+            "UTF-8").alias("html"),
+    )
+    audit = make_head_audit_udf()
+    return pages.select(
+        "doc_id", audit(F.col("html"), F.col("url")).alias("a")
+    ).select(
+        "doc_id", F.col("a.title").alias("title"),
+        F.col("a.canonical_url").alias("canonical_url"),
+        F.col("a.noindex").alias("noindex"),
+        F.col("a.nofollow").alias("nofollow"),
+    )
+
+
+_SQL_PAGE_AUDIT = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+       ELSE 'Doc ' || doc_id END AS title,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN NULL
+    WHEN 1 THEN {_url_sql('doc_id - 1')}
+    WHEN 2 THEN {_url_sql('doc_id - 2')}
+    WHEN 3 THEN {_url_sql('doc_id')}
+    ELSE {_url_sql('(3*doc_id+2) % nn.n')}
+  END AS canonical_url,
+  CAST(doc_id % 6 AS INT) IN (1, 3, 5) AS noindex,
+  CAST(doc_id % 6 AS INT) IN (2, 3, 5) AS nofollow
+FROM documents, nn
+"""
+
+
 _MIME_BODY_SPARK = """CASE CAST({i} % 9 AS INT)
   WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS STRING), '</body></html>')
   WHEN 1 THEN concat('  \n<html><body>ws-lead ', CAST({i} AS STRING), '</body></html>')
@@ -3005,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": _q_mime_sniff,              # payload-type routing
         "url_alias_clusters": _q_url_alias_clusters,  # scrub+3xx+canonical ∘ CC
         "meta_robots": _q_meta_robots,            # noindex/nofollow gate
+        "page_audit": _q_page_audit,              # fused single-pass head kernel
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -3113,6 +3192,7 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": _sql_mime_sniff(),
         "url_alias_clusters": _sql_url_alias_clusters(),
         "meta_robots": _SQL_META_ROBOTS,
+        "page_audit": _SQL_PAGE_AUDIT,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

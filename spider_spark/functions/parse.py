@@ -505,3 +505,109 @@ def make_meta_robots_udf():
         return pd.DataFrame(vals, columns=["noindex", "nofollow"])
 
     return meta_robots_udf
+
+
+# ---------------------------------------------------------------------------
+# single-pass head audit (title + canonical + meta robots)
+# ---------------------------------------------------------------------------
+
+
+class _HeadAuditParser(HTMLParser):
+    """ONE pass collecting every head signal the pipeline consumes:
+    first ``<title>`` text, first-wins ``rel=canonical`` href, and
+    most-restrictive meta-robots directives. Head-scoped like the
+    individual parsers; semantics identical to them (pinned by test)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title_parts: list[str] | None = None
+        self._in_title = False
+        self._title_done = False
+        self.canonical: str | None = None
+        self.noindex = False
+        self.nofollow = False
+        self._done = False
+
+    def handle_starttag(self, tag, attrs):
+        if self._done:
+            return
+        if tag == "body":
+            self._done = True
+        elif tag == "title" and not self._title_done:
+            self._in_title = True
+            self.title_parts = []
+        elif tag == "link" and self.canonical is None:
+            d = dict(attrs)
+            if "canonical" in (d.get("rel") or "").lower().split():
+                href = d.get("href")
+                if href:
+                    self.canonical = href.strip()
+        elif tag == "meta":
+            d = dict(attrs)
+            if (d.get("name") or "").strip().lower() == "robots":
+                for tok in (d.get("content") or "").lower().split(","):
+                    tok = tok.strip()
+                    if tok in ("noindex", "none"):
+                        self.noindex = True
+                    if tok in ("nofollow", "none"):
+                        self.nofollow = True
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+        elif tag == "head":
+            self._done = True
+
+    def handle_data(self, data):
+        if self._in_title and not self._done:
+            self.title_parts.append(data)
+
+
+def audit_head(html: bytes | str, base_url: str | None = None):
+    """(title, canonical, noindex, nofollow) in one parse. Title gets the
+    crawl's truthy-only newline-strip transform; canonical resolves
+    through CanonURL like :func:`extract_canonical`."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _HeadAuditParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    title = "".join(p.title_parts) if p.title_parts is not None else None
+    if title:
+        title = title.replace("\n", "").strip()
+    canonical = None
+    if p.canonical is not None:
+        target = CanonURL.parse(p.canonical)
+        if not target.is_absolute:
+            target = CanonURL.parse(base_url).join(p.canonical) if base_url else None
+        canonical = str(target) if target is not None else None
+    return title, canonical, p.noindex, p.nofollow
+
+
+HEAD_AUDIT_SCHEMA = StructType(
+    [
+        StructField("title", StringType(), True),
+        StructField("canonical_url", StringType(), True),
+        StructField("noindex", BooleanType(), False),
+        StructField("nofollow", BooleanType(), False),
+    ]
+)
+
+
+def make_head_audit_udf():
+    """(html, page_url) → struct(title, canonical_url, noindex, nofollow)
+    — every head signal in ONE Arrow batch pass. At corpus scale this is
+    the shape to use when more than one signal is consumed: three
+    separate kernels would decode and walk every page three times."""
+
+    @pandas_udf(HEAD_AUDIT_SCHEMA)
+    def head_audit_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        vals = [audit_head(h, u) for h, u in zip(html, url)]
+        return pd.DataFrame(
+            vals, columns=["title", "canonical_url", "noindex", "nofollow"])
+
+    return head_audit_udf

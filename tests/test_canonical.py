@@ -155,3 +155,51 @@ class TestExtractMetaRobots:
     def test_bytes_and_malformed(self):
         assert extract_meta_robots(
             b'<head><meta name="robots" content="noindex"') in ((False, False), (True, False))
+
+
+from spider_spark.functions.parse import (
+    audit_head,
+    extract_meta_robots,
+    parse_page,
+)
+
+AUDIT_PAGES = [
+    '<html><head><title>T1</title><link rel="canonical" href="/c">'
+    '<meta name="robots" content="noindex"></head><body>x</body></html>',
+    '<html><head></head><body><link rel="canonical" href="/b">'
+    '<meta name="robots" content="none"></body></html>',
+    '<head><link rel="canonical" href="https://a.example/1">'
+    '<link rel="canonical" href="https://a.example/2">'
+    '<meta name="robots" content="nofollow">'
+    '<meta name="ROBOTS" content="NOINDEX"></head>',
+    '<head><title>A\nB</title></head>',
+    "<head></head>",
+]
+
+
+class TestAuditHead:
+    def test_agrees_with_individual_kernels(self):
+        for h in AUDIT_PAGES:
+            fused = audit_head(h, BASE)
+            want = (
+                parse_page(h)[0],
+                extract_canonical(h, BASE),
+                *extract_meta_robots(h),
+            )
+            assert fused == want, h
+
+    def test_one_arrow_pass(self, spark):
+        from spider_spark.functions.parse import make_head_audit_udf
+
+        df = spark.createDataFrame(
+            [(bytearray(AUDIT_PAGES[0].encode()), BASE)],
+            "html binary, url string")
+        a = make_head_audit_udf()
+        out = df.select(a(F.col("html"), F.col("url")).alias("a")).select(
+            "a.title", "a.canonical_url", "a.noindex", "a.nofollow")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        row = out.collect()[0]
+        assert (row["title"], row["canonical_url"],
+                row["noindex"], row["nofollow"]) == (
+            "T1", "https://h1.example/c", True, False)
