@@ -228,19 +228,24 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.7, n: int = 3,
         .join(sizes.withColumnRenamed(id_col, "id_b")
               .withColumnRenamed("sz", "sz_b"), on="id_b")
     )
-    fwd = joined.withColumn(
-        "containment", F.col("n_common") / F.col("sz_a")
-    ).filter(F.col("containment") >= threshold).select(
-        F.col("id_a").alias("inner_id"), F.col("id_b").alias("outer_id"),
-        "containment",
+    # both directions come off ONE pass over `joined` (array + explode);
+    # a union of two filtered branches would recompute the whole
+    # shingle-join subtree twice
+    both = joined.select(
+        F.explode(F.array(
+            F.struct(
+                F.col("id_a").alias("inner_id"),
+                F.col("id_b").alias("outer_id"),
+                (F.col("n_common") / F.col("sz_a")).alias("containment"),
+            ),
+            F.struct(
+                F.col("id_b").alias("inner_id"),
+                F.col("id_a").alias("outer_id"),
+                (F.col("n_common") / F.col("sz_b")).alias("containment"),
+            ),
+        )).alias("p")
     )
-    rev = joined.withColumn(
-        "containment", F.col("n_common") / F.col("sz_b")
-    ).filter(F.col("containment") >= threshold).select(
-        F.col("id_b").alias("inner_id"), F.col("id_a").alias("outer_id"),
-        "containment",
-    )
-    return fwd.union(rev)
+    return both.select("p.*").filter(F.col("containment") >= threshold)
 
 
 def containment_pairs_sql(threshold: float = 0.7, n: int = 3,
