@@ -1382,6 +1382,32 @@ WITH pr AS ({pagerank_sql(_HOST_EDGES_SQL, n_iter=PR_ITERS)})
 SELECT node AS host, rank_fp FROM pr
 """
 
+TRUST_ITERS = 8
+
+
+def _q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (operators/graph.py trustrank): seed-biased PageRank
+    over the same host graph — teleport + dangling mass land only on the
+    trusted hosts (those hosting a doc ≡ 3 mod 7), so trust decays with
+    link distance from the vetted set; spam-farm demotion for frontier
+    priority. Bit-exact unrolled-CTE mirror."""
+    from spider_spark.operators.graph import trustrank
+
+    seeds = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 3).select(
+        host_expr(F.col("doc_id")).alias("node")).distinct()
+    tr = trustrank(_host_edges_df(spark, sf_dir), seeds, n_iter=TRUST_ITERS)
+    return tr.select(F.col("node").alias("host"), "trust_fp")
+
+
+def _sql_host_trustrank() -> str:
+    from spider_spark.operators.graph import trustrank_sql
+
+    seeds = (f"SELECT DISTINCT {_host_sql('doc_id')} AS node "
+             "FROM documents WHERE doc_id % 7 = 3")
+    return (f"WITH tr AS ({trustrank_sql(_HOST_EDGES_SQL, seeds, n_iter=TRUST_ITERS)}) "
+            "SELECT node AS host, trust_fp FROM tr")
+
+
 HITS_ITERS = 5
 
 
@@ -3023,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
+        "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
@@ -3131,6 +3158,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_hits": _sql_host_hits(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
+        "host_trustrank": _sql_host_trustrank(),
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "sitemap_refresh": _sql_sitemap_refresh(),

@@ -231,6 +231,147 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     return ranks.select(F.col("node"), F.col("rank").alias("rank_fp"))
 
 
+def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 10,
+              scale: int = PR_SCALE) -> DataFrame:
+    """``(node, trust_fp)`` — TrustRank (Gyöngyi et al. 2004): PageRank
+    with the teleport vector concentrated on a TRUSTED seed set instead
+    of uniform. Trust flows outward from vetted hosts, so spam farms —
+    which inflate plain PageRank via dense self-linking — score near
+    zero unless a trusted page links toward them. The crawl uses it to
+    demote frontier priority for link-farm neighborhoods the trap guard
+    can't see structurally.
+
+    Same integer fixed-point contract as :func:`pagerank` (bit-exact
+    DuckDB mirror), with two deviations that ARE the algorithm:
+    teleport mass ``(15*scale) div (100*|S|)`` lands only on seeds, and
+    dangling mass redistributes to seeds (``dang div |S|``) — the
+    teleport distribution, per the paper, not uniform. Seeds are
+    intersected with the graph's nodes on both engines. Per-iteration
+    cost is identical to a PageRank step; the seed flag rides the
+    checkpointed rank state like ``__out`` does."""
+    wedges = (
+        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_nodes = nodes.join(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+        on="node", how="left_semi",
+    ).persist()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed appears in the graph")
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * scale // (PR_DAMP_DEN * n_seeds)
+    ranks = (
+        nodes
+        .join(deg.select(F.col("src").alias("node"),
+                         F.lit(True).alias("__out")), on="node", how="left")
+        .join(seed_nodes.withColumn("__seed", F.lit(True)),
+              on="node", how="left")
+        .select(
+            "node",
+            F.when(F.col("__seed").isNotNull(),
+                   F.lit(scale // n_seeds)).otherwise(F.lit(0))
+             .cast("long").alias("rank"),
+            F.coalesce("__out", F.lit(False)).alias("__out"),
+            F.col("__seed").isNotNull().alias("__seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    srcs = wedges.join(deg, on="src")
+    for _ in range(n_iter):
+        contrib = (
+            srcs.join(ranks, srcs["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("(rank div deg) * w").alias("c"))
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("inode")).agg(
+            F.sum("c").alias("inc")
+        )
+        dangling = ranks.filter(~F.col("__out")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dang")
+        )
+        ranks = (
+            ranks.select("node", "__out", "__seed")
+            .join(incoming, F.col("node") == incoming["inode"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                F.col("node"),
+                (
+                    F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * (coalesce(inc, 0L)"
+                        f" + (CASE WHEN __seed THEN dang div {n_seeds}L"
+                        f" ELSE 0L END))) div {PR_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+                F.col("__out"),
+                F.col("__seed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wedges.unpersist()
+    nodes.unpersist()
+    seed_nodes.unpersist()
+    return ranks.select(F.col("node"), F.col("rank").alias("trust_fp"))
+
+
+def trustrank_sql(edges_sql: str, seeds_sql: str, n_iter: int = 10,
+                  scale: int = PR_SCALE) -> str:
+    """DuckDB mirror of :func:`trustrank` — the pagerank chain with
+    seed-gated teleport and seed-directed dangling redistribution."""
+    steps = []
+    for k in range(n_iter):
+        steps.append(f"""
+    d{k} AS MATERIALIZED (
+      SELECT coalesce(sum(rank), 0)::BIGINT AS dang FROM r{k}
+      WHERE node NOT IN (SELECT src FROM deg)
+    ),
+    r{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             ((CASE WHEN n.node IN (SELECT node FROM seedset)
+               THEN ({PR_DAMP_DEN - PR_DAMP_NUM}::BIGINT * {scale}) // ({PR_DAMP_DEN} * ns.n)
+               ELSE 0 END)
+              + ({PR_DAMP_NUM} * (coalesce(s.inc, 0)
+                 + CASE WHEN n.node IN (SELECT node FROM seedset)
+                   THEN dd.dang // ns.n ELSE 0 END)) // {PR_DAMP_DEN}
+             )::BIGINT AS rank
+      FROM nodes n CROSS JOIN ns CROSS JOIN d{k} dd
+      LEFT JOIN (
+        SELECT w.dst AS node, sum((r.rank // d.deg) * w.w) AS inc
+        FROM wed w
+        JOIN deg d ON d.src = w.src
+        JOIN r{k} r ON r.node = w.src
+        GROUP BY w.dst
+      ) s ON s.node = n.node
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    wed AS MATERIALIZED (
+      SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+    deg AS MATERIALIZED (
+      SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges),
+    seedset AS MATERIALIZED (
+      SELECT DISTINCT node FROM nodes
+      WHERE node IN (SELECT * FROM ({seeds_sql}))),
+    ns AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM seedset),
+    r0 AS MATERIALIZED (
+      SELECT node, (CASE WHEN node IN (SELECT node FROM seedset)
+        THEN {scale} // ns.n ELSE 0 END)::BIGINT AS rank
+      FROM nodes CROSS JOIN ns),{chain}
+    SELECT node, rank AS trust_fp FROM r{n_iter}
+    """
+
+
 # -- integer fixed-point HITS (hubs & authorities) ----------------------------
 
 HITS_SCALE = 10**8  # per-iteration normalization target (see overflow note)

@@ -239,3 +239,61 @@ class TestHits:
         )
         want = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
         assert got == want
+
+
+class TestTrustRank:
+    """Seed-biased teleport semantics + mirror parity (the contract query
+    hash-checks the full arithmetic; these make the semantics visible)."""
+
+    EDGES = [
+        ("seed", "good"), ("good", "better"),
+        # a dense spam clique nothing trusted points at
+        ("spam1", "spam2"), ("spam2", "spam1"), ("spam1", "spam1"),
+    ]
+
+    def _run(self, spark, seeds, n_iter=6):
+        from spider_spark.operators.graph import trustrank
+
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        s = spark.createDataFrame([(x,) for x in seeds], "node string")
+        return {r["node"]: r["trust_fp"]
+                for r in trustrank(e, s, n_iter=n_iter).collect()}
+
+    def test_unreachable_spam_gets_zero(self, spark):
+        got = self._run(spark, ["seed"])
+        assert got["spam1"] == 0 and got["spam2"] == 0
+        assert got["seed"] > 0 and got["good"] > 0 and got["better"] > 0
+        # trust decays with distance from the seed
+        assert got["seed"] > got["good"] > got["better"]
+
+    def test_plain_pagerank_rewards_the_clique(self, spark):
+        from spider_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        pr = {r["node"]: r["rank_fp"] for r in pagerank(e, n_iter=6).collect()}
+        got = self._run(spark, ["seed"])
+        # the self-reinforcing clique outranks the honest chain under
+        # uniform teleport, and scores zero under seed-biased teleport —
+        # the exact inversion TrustRank exists for
+        assert pr["spam1"] > pr["good"]
+        assert got["spam1"] == 0 < got["good"]
+
+    def test_seed_outside_graph_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, ["nowhere"])
+
+    def test_mirror_parity(self, spark):
+        import duckdb
+
+        from spider_spark.operators.graph import trustrank_sql
+
+        got = self._run(spark, ["seed", "spam1"], n_iter=4)
+        con = duckdb.connect()
+        edges_sql = " UNION ALL ".join(
+            f"SELECT '{a}' AS src, '{b}' AS dst" for a, b in self.EDGES)
+        want = {r[0]: r[1] for r in con.execute(trustrank_sql(
+            edges_sql, "SELECT 'seed' AS node UNION ALL SELECT 'spam1'",
+            n_iter=4)).fetchall()}
+        assert got == want
