@@ -515,8 +515,11 @@ def make_meta_robots_udf():
 class _HeadAuditParser(HTMLParser):
     """ONE pass collecting every head signal the pipeline consumes:
     first ``<title>`` text, first-wins ``rel=canonical`` href, and
-    most-restrictive meta-robots directives. Head-scoped like the
-    individual parsers; semantics identical to them (pinned by test)."""
+    most-restrictive meta-robots directives. Canonical/robots are
+    head-scoped like the individual parsers; the title matches
+    :func:`parse_page`'s first-title-ANYWHERE rule (the reference's
+    ``soup.title``), so the fused kernel is a drop-in for all three —
+    semantics identity is pinned by test."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -529,13 +532,14 @@ class _HeadAuditParser(HTMLParser):
         self._done = False
 
     def handle_starttag(self, tag, attrs):
+        if tag == "title" and not self._title_done:
+            self._in_title = True
+            self.title_parts = []
+            return
         if self._done:
             return
         if tag == "body":
             self._done = True
-        elif tag == "title" and not self._title_done:
-            self._in_title = True
-            self.title_parts = []
         elif tag == "link" and self.canonical is None:
             d = dict(attrs)
             if "canonical" in (d.get("rel") or "").lower().split():
@@ -560,7 +564,7 @@ class _HeadAuditParser(HTMLParser):
             self._done = True
 
     def handle_data(self, data):
-        if self._in_title and not self._done:
+        if self._in_title:
             self.title_parts.append(data)
 
 

@@ -173,6 +173,7 @@ AUDIT_PAGES = [
     '<meta name="robots" content="nofollow">'
     '<meta name="ROBOTS" content="NOINDEX"></head>',
     '<head><title>A\nB</title></head>',
+    '<html><head></head><body><title>body title</title></body></html>',
     "<head></head>",
 ]
 
