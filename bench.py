@@ -302,6 +302,15 @@ def main() -> None:
     assert n_clusters == g_nodes // G_BLOCK, n_clusters
 
     timed("graph_pagerank_1m", lambda: force(pagerank(gedges, n_iter=10)))
+
+    # TrustRank on the same graph: one trusted node per block (node ≡ 0
+    # mod G_BLOCK) — per-iteration cost class identical to PageRank plus
+    # the seed flag riding the checkpointed state
+    from spider_spark.operators.graph import trustrank
+
+    gseeds = spark.range(0, g_nodes, G_BLOCK).select(F.col("id").alias("node"))
+    timed("graph_trustrank_1m",
+          lambda: force(trustrank(gedges, gseeds, n_iter=10)))
     timed("dup_spans", lambda: force(span_dup_stats(docs, width=8, stride=2)))
 
     # anchor-text index: a second full-corpus HTML parse pass (the anchor
