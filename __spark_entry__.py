@@ -2510,6 +2510,49 @@ FROM c
 """
 
 
+def _q_anchor_nofollow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Endorsement-only anchor index (operators/anchors.py,
+    honor_nofollow=True): synthetic pages link to c1 plainly, to c2 with
+    rel=nofollow ('paid'), to a dead URL with rel="sponsored ugc" ('ad'),
+    and to themselves via a query-string link (admission drop). Only the
+    endorsed links may reach the index — the oracle replays the plain
+    edges (minus self-links) through the shared two-stage aggregation
+    mirror; any nofollow leak breaks the hash."""
+    from spider_spark.operators.anchors import anchor_text_index
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    u = url_expr(i)
+    html = F.concat(
+        F.lit("<html><body><a href=\""), url_expr((F.lit(2) * i + 1) % n),
+        F.lit("\">c1</a><a rel=\"nofollow\" href=\""),
+        url_expr((F.lit(3) * i + 2) % n),
+        F.lit("\">paid</a><a rel=\"sponsored ugc\" href=\"https://dead.example/d/"),
+        i.cast("string"),
+        F.lit("\">ad</a><a href=\""), u,
+        F.lit("?q=1\">self</a></body></html>"),
+    )
+    pages = docs.select(
+        u.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return anchor_text_index(pages, honor_nofollow=True)
+
+
+def _sql_anchor_nofollow_index() -> str:
+    from spider_spark.operators.anchors import anchor_text_index_sql
+
+    edges = f"""
+      SELECT * FROM (
+        SELECT {_url_sql('doc_id')} AS src_url,
+               {_host_sql('doc_id')} AS src_host,
+               {_url_sql('(2*doc_id+1) % nn.n')} AS dst_url,
+               'c1' AS anchor_text
+        FROM documents, (SELECT count(*)::BIGINT AS n FROM documents) nn
+      ) WHERE dst_url <> src_url
+    """
+    return anchor_text_index_sql(edges)
+
+
 def _q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution (operators/redirects.py): synthetic
     one-hop redirect edges over the documents ids — descending chains
@@ -3107,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
         "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
         "redirect_resolution": _q_redirect_resolution,  # 3xx chain resolve
+        "anchor_nofollow_index": _q_anchor_nofollow_index,  # endorsement-only
         "mime_sniff": _q_mime_sniff,              # payload-type routing
         "url_alias_clusters": _q_url_alias_clusters,  # scrub+3xx+canonical ∘ CC
         "meta_robots": _q_meta_robots,            # noindex/nofollow gate
@@ -3217,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "url_param_scrub": _sql_url_param_scrub(),
         "canonical_clusters": _SQL_CANONICAL_CLUSTERS,
         "redirect_resolution": _sql_redirect_resolution(),
+        "anchor_nofollow_index": _sql_anchor_nofollow_index(),
         "mime_sniff": _sql_mime_sniff(),
         "url_alias_clusters": _sql_url_alias_clusters(),
         "meta_robots": _SQL_META_ROBOTS,

@@ -269,9 +269,14 @@ ANCHORS_SCHEMA = ArrayType(
             StructField("url", StringType(), False),
             StructField("host", StringType(), False),
             StructField("anchor_text", StringType(), False),
+            StructField("nofollow", BooleanType(), False),
         ]
     )
 )
+
+# rel tokens that opt a link out of endorsement (nofollow and its 2019
+# refinements — search engines treat all three as "don't credit this")
+_NOFOLLOW_RELS = frozenset({"nofollow", "ugc", "sponsored"})
 
 
 class _AnchorParser(_PageParser):
@@ -284,7 +289,16 @@ class _AnchorParser(_PageParser):
     def __init__(self) -> None:
         super().__init__()
         self.anchor_texts: list[list[str]] = []
+        self.anchor_nofollow: list[bool] = []
         self._open_anchor: list[str] | None = None
+
+    @staticmethod
+    def _rel_nofollow(attrs) -> bool:
+        for name, value in attrs:
+            if name == "rel":
+                toks = (value or "").lower().split()
+                return any(t in _NOFOLLOW_RELS for t in toks)
+        return False
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
@@ -294,12 +308,14 @@ class _AnchorParser(_PageParser):
         if tag == "a" and len(self.hrefs) > n_hrefs:  # had an href
             self._open_anchor = []
             self.anchor_texts.append(self._open_anchor)
+            self.anchor_nofollow.append(self._rel_nofollow(attrs))
 
     def handle_startendtag(self, tag, attrs):
         n_hrefs = len(self.hrefs)
         super().handle_startendtag(tag, attrs)
         if tag == "a" and len(self.hrefs) > n_hrefs:
             self.anchor_texts.append([])  # <a .../> carries no text
+            self.anchor_nofollow.append(self._rel_nofollow(attrs))
 
     def handle_endtag(self, tag):
         super().handle_endtag(tag)
@@ -320,7 +336,9 @@ def parse_anchors(
     the page, self-link drop — the crawl's admission filters, so the
     anchor index describes exactly the links a crawl would follow).
     ``anchor_text`` is the anchor's character data, whitespace-collapsed
-    and stripped (empty for image-only / empty anchors)."""
+    and stripped (empty for image-only / empty anchors); ``nofollow`` is
+    True when the anchor's ``rel`` carries nofollow/ugc/sponsored (the
+    link exists but endorses nothing)."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     p = _AnchorParser()
@@ -332,7 +350,7 @@ def parse_anchors(
     base = CanonURL.parse(page_url)
     page_s = str(base)
     out: list[dict] = []
-    for href, parts in zip(p.hrefs, p.anchor_texts):
+    for href, parts, nf in zip(p.hrefs, p.anchor_texts, p.anchor_nofollow):
         u = CanonURL.parse(href)
         if u.query_string:
             continue
@@ -342,7 +360,8 @@ def parse_anchors(
         if s == page_s:
             continue
         text = " ".join(" ".join(parts).split())
-        out.append({"url": s, "host": u.host, "anchor_text": text})
+        out.append({"url": s, "host": u.host, "anchor_text": text,
+                    "nofollow": nf})
     return out
 
 

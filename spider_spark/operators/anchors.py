@@ -36,11 +36,16 @@ __all__ = ["anchor_pairs", "anchor_text_index", "anchor_text_index_sql"]
 
 
 def anchor_pairs(pages: DataFrame, url_col: str = "url",
-                 html_col: str = "html") -> DataFrame:
-    """Raw ``(src_url, src_host, dst_url, dst_host, anchor_text)`` edge
-    records parsed from the pages' HTML, one row per admitted link in
-    document order. The exploded relation every anchor aggregation (and
-    any host-graph builder wanting labelled edges) starts from."""
+                 html_col: str = "html",
+                 honor_nofollow: bool = False) -> DataFrame:
+    """Raw ``(src_url, src_host, dst_url, dst_host, anchor_text,
+    nofollow)`` edge records parsed from the pages' HTML, one row per
+    admitted link in document order. The exploded relation every anchor
+    aggregation (and any host-graph builder wanting labelled edges)
+    starts from. ``honor_nofollow=True`` drops links whose ``rel``
+    carries nofollow/ugc/sponsored — an endorsement index must not
+    credit them (the row predicate costs nothing; the flag column stays
+    for consumers that weight rather than drop)."""
     from spider_spark.operators.blocklist import host_of
 
     # explode_outer, NOT explode: a plain explode makes Catalyst's
@@ -49,7 +54,7 @@ def anchor_pairs(pages: DataFrame, url_col: str = "url",
     # dominant cost of the whole operator. The outer generate infers no
     # filter; the post-explode isNotNull drops link-less pages for the
     # price of a row predicate.
-    return (
+    out = (
         pages.select(
             F.col(url_col).alias("src_url"),
             host_of(F.col(url_col)).alias("src_host"),
@@ -64,19 +69,24 @@ def anchor_pairs(pages: DataFrame, url_col: str = "url",
             F.col("l.url").alias("dst_url"),
             F.col("l.host").alias("dst_host"),
             F.col("l.anchor_text").alias("anchor_text"),
+            F.col("l.nofollow").alias("nofollow"),
         )
     )
+    if honor_nofollow:
+        out = out.filter(~F.col("nofollow"))
+    return out
 
 
 def anchor_text_index(pages: DataFrame, url_col: str = "url",
-                      html_col: str = "html") -> DataFrame:
+                      html_col: str = "html",
+                      honor_nofollow: bool = False) -> DataFrame:
     """Per-(target, anchor-text) index: ``(dst_url, anchor_text, n_links,
     n_src_hosts)`` where ``n_links`` counts admitted links carrying that
     exact text and ``n_src_hosts`` counts DISTINCT linking hosts (the
     spam-resistance denominator). Two keyed aggs, both map-side
     combinable; exact arithmetic only."""
     pre = (
-        anchor_pairs(pages, url_col, html_col)
+        anchor_pairs(pages, url_col, html_col, honor_nofollow=honor_nofollow)
         .groupBy("dst_url", "anchor_text", "src_host")
         .agg(F.count(F.lit(1)).alias("_n"))
     )

@@ -156,3 +156,39 @@ class TestAnchorIndex:
         # hot even targets: c1 of i lands on (2i+1)%n — odd ids, many hosts
         top = idx.orderBy(F.desc("n_links")).first()
         assert top["n_links"] >= top["n_src_hosts"]
+
+
+class TestNofollow:
+    HTML = (b'<html><body>'
+            b'<a href="https://t.example/1">plain</a>'
+            b'<a rel="nofollow" href="https://t.example/2">paid</a>'
+            b'<a rel="SPONSORED ugc" href="https://t.example/3">ad</a>'
+            b'<a rel="noopener" href="https://t.example/4">safe</a>'
+            b'</body></html>')
+
+    def test_kernel_flags(self):
+        from spider_spark.functions.parse import parse_anchors
+
+        recs = parse_anchors(self.HTML, "https://p.example/x")
+        flags = {r["anchor_text"]: r["nofollow"] for r in recs}
+        assert flags == {"plain": False, "paid": True, "ad": True,
+                         "safe": False}
+
+    def test_honor_nofollow_drops(self, spark):
+        df = spark.createDataFrame(
+            [("https://p.example/x", bytearray(self.HTML))],
+            "url string, html binary")
+        kept = {r["anchor_text"]
+                for r in anchor_pairs(df, honor_nofollow=True).collect()}
+        assert kept == {"plain", "safe"}
+        all_ = {r["anchor_text"]: r["nofollow"]
+                for r in anchor_pairs(df).collect()}
+        assert all_["paid"] is True and all_["plain"] is False
+
+    def test_index_excludes_nofollow(self, spark):
+        df = spark.createDataFrame(
+            [("https://p.example/x", bytearray(self.HTML))],
+            "url string, html binary")
+        idx = {r["anchor_text"]
+               for r in anchor_text_index(df, honor_nofollow=True).collect()}
+        assert idx == {"plain", "safe"}
