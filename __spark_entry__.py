@@ -2441,6 +2441,45 @@ def _sql_url_param_scrub() -> str:
             f"{strip_tracking_params_sql(u)} AS clean_url FROM documents")
 
 
+_FOLD_VARIANT = """CASE CAST(doc_id % 6 AS INT)
+  WHEN 0 THEN {base}
+  WHEN 1 THEN 'https://www.' || {host} || '/d/' || doc_id || '/index.html'
+  WHEN 2 THEN {base} || '/'
+  WHEN 3 THEN {base} || '?utm_source=feed&gclid=x'
+  WHEN 4 THEN 'https://www.' || {host} || '/d/' || doc_id || '/?fbclid=z'
+  ELSE {base} || '/index.php' END"""
+
+
+def _q_url_fold_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive URL variant folding (functions/urlkit.py
+    fold_url_variants): six classic surface variants of each page's URL
+    (plain, www+index-file, trailing slash, tracking query, www+slash+
+    tracking, index.php) — the fold maps all six onto the bare base URL.
+    The oracle applies the MIRRORED rule chain, not the arithmetic
+    shortcut, so the rules themselves are hash-checked. Codegen-only
+    projection, zero shuffle."""
+    from spider_spark.functions.urlkit import fold_url_variants
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    variant = _FOLD_VARIANT.format(
+        base=_url_sql("doc_id"), host=_host_sql("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.expr(variant).alias("url"),
+        fold_url_variants(f"({variant})").alias("folded_url"),
+    )
+
+
+def _sql_url_fold_variants() -> str:
+    from spider_spark.functions.urlkit import fold_url_variants_sql
+
+    variant = _FOLD_VARIANT.format(
+        base=_url_sql("doc_id"), host=_host_sql("doc_id"))
+    return (f"SELECT doc_id, ({variant}) AS url, "
+            f"{fold_url_variants_sql(f'({variant})')} AS folded_url "
+            "FROM documents")
+
+
 def _q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL consolidation (operators/canonical.py): synthetic
     pages declare ``<link rel=canonical>`` in five shapes — none (with a
@@ -3148,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
+        "url_fold_variants": _q_url_fold_variants,  # aggressive alias fold
         "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
         "redirect_resolution": _q_redirect_resolution,  # 3xx chain resolve
         "anchor_nofollow_index": _q_anchor_nofollow_index,  # endorsement-only
@@ -3259,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "url_param_scrub": _sql_url_param_scrub(),
+        "url_fold_variants": _sql_url_fold_variants(),
         "canonical_clusters": _SQL_CANONICAL_CLUSTERS,
         "redirect_resolution": _sql_redirect_resolution(),
         "anchor_nofollow_index": _sql_anchor_nofollow_index(),

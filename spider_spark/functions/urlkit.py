@@ -317,3 +317,49 @@ def strip_tracking_params_sql(url_expr: str,
         f"CASE WHEN len({kept}) = 0 THEN '' "
         f"ELSE concat('?', array_to_string({kept}, '&')) END) END"
     )
+
+
+# -- aggressive URL variant folding -------------------------------------------
+
+_INDEX_FILES_RE = r"/(index\.html|index\.htm|index\.php|default\.aspx)$"
+_WWW_RE = r"^(https?://)www\."
+
+
+def fold_url_variants(url: str):
+    """JVM Column: the *aggressive* URL alias fold large crawlers apply on
+    top of exact canonicalization — ``www.``-prefix strip, directory
+    index-file strip (``/index.html`` & friends), trailing-slash
+    unification, and the tracking-parameter scrub — so the classic
+    surface variants of one page share a dedup key. Deliberately a
+    SEPARATE key from the crawl's exact seen-key (the reference keys on
+    exact yarl strings, use_cache.py:22-24): folding is lossy (a site
+    CAN serve different content at ``/a`` and ``/a/``), so it feeds
+    alias clustering and dedup candidates, never the fetch identity.
+
+    ``url`` is a column name / SQL expression string (the
+    strip_tracking_params convention). Pure regexp/CASE chain inside
+    whole-stage codegen; path rules apply only when no query string
+    survives the scrub (RE2-portable — no lookaheads, so the DuckDB
+    mirror is rule-identical)."""
+    from pyspark.sql import functions as F
+
+    scrubbed = strip_tracking_params(url)
+    # the scrub returns a Column; reapply string surgery via expr on its SQL
+    # is impossible — chain Column ops instead
+    u = F.regexp_replace(scrubbed, _WWW_RE, "$1")
+    no_q = ~u.contains("?")
+    u2 = F.when(no_q, F.regexp_replace(u, _INDEX_FILES_RE, "")).otherwise(u)
+    u3 = F.when(no_q, F.regexp_replace(u2, "/+$", "")).otherwise(u2)
+    return u3
+
+
+def fold_url_variants_sql(url_expr: str) -> str:
+    """DuckDB mirror of :func:`fold_url_variants` (same rule order; \\1
+    group syntax in place of Java's $1)."""
+    scrub = strip_tracking_params_sql(url_expr)
+    u = f"regexp_replace(({scrub}), '{_WWW_RE}', '\\1')"
+    u2 = (f"CASE WHEN strpos({u}, '?') = 0 "
+          f"THEN regexp_replace({u}, '{_INDEX_FILES_RE}', '') ELSE {u} END")
+    u3 = (f"CASE WHEN strpos({u}, '?') = 0 "
+          f"THEN regexp_replace(({u2}), '/+$', '') ELSE ({u2}) END")
+    return u3

@@ -69,3 +69,43 @@ class TestStripTrackingParams:
             strip_tracking_params("url", params=("sid",)).alias("c")
         ).collect()[0]["c"]
         assert got == "http://a.example/?id=2"
+
+
+class TestFoldUrlVariants:
+    CASES = [
+        ("https://www.a.example/p/index.html", "https://a.example/p"),
+        ("https://a.example/p/", "https://a.example/p"),
+        ("https://a.example/p", "https://a.example/p"),
+        ("https://www.a.example/p/?utm_source=x", "https://a.example/p"),
+        ("https://a.example/", "https://a.example"),
+        # a surviving real query pins the path rules OFF
+        ("https://a.example/p/index.php?id=2", "https://a.example/p/index.php?id=2"),
+        ("http://www.b.example/default.aspx", "http://b.example"),
+        # www only strips as a host PREFIX
+        ("https://notwww.example/p", "https://notwww.example/p"),
+    ]
+
+    def test_cases_and_mirror(self, spark):
+        import pandas as pd
+
+        from spider_spark.functions.urlkit import (
+            fold_url_variants,
+            fold_url_variants_sql,
+        )
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["f"] for r in
+               df.select(fold_url_variants("url").alias("f")).collect()]
+        con = duckdb.connect()
+        con.register("rel", pd.DataFrame({"url": [u for u, _ in self.CASES]}))
+        want = [r[0] for r in con.execute(
+            f"SELECT {fold_url_variants_sql('url')} FROM rel").fetchall()]
+        assert got == want == [w for _, w in self.CASES]
+
+    def test_plan_is_jvm_only(self, spark):
+        from spider_spark.functions.urlkit import fold_url_variants
+
+        df = spark.createDataFrame([("https://a.example/",)], "url string")
+        plan = (df.select(fold_url_variants("url").alias("f"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan and "Arrow" not in plan
