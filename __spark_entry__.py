@@ -67,6 +67,8 @@ from spider_spark.operators.packing import pack_sequences, pack_sequences_sql
 from spider_spark.operators.sampling import (
     hash_split,
     hash_split_sql,
+    priority_sample,
+    priority_sample_sql,
     stratified_sample,
     stratified_sample_sql,
     temperature_mix_sample,
@@ -1040,6 +1042,27 @@ def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_BUDGET = token_budget_sample_sql(
     "source", "doc_id::VARCHAR", "n_chars", BUDGET_CHARS,
     "source, doc_id, n_chars",
+)
+
+PRIO_K = 5
+
+
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): PRIO_K docs
+    per language sampled ∝ n_chars without replacement, with the unbiased
+    subset-sum estimate column (est_weight = max(w, τ)). Exact 64-bit
+    integer priorities over the shared md5 hash — selection, threshold,
+    and estimates all replayed bit-for-bit by the oracle. Salted
+    two-stage top-k; no global sort (operators/sampling.py)."""
+    docs = _docs(spark, sf_dir).withColumn("k", F.col("doc_id").cast("string"))
+    return priority_sample(docs, "k", "n_chars", PRIO_K, "lang").select(
+        "lang", "doc_id", "n_chars", "priority", "tau", "est_weight"
+    )
+
+
+_SQL_PRIORITY_SAMPLE = priority_sample_sql(
+    "doc_id::VARCHAR", "n_chars", PRIO_K, "lang, doc_id, n_chars",
+    group_col="lang",
 )
 
 TEMP_MIX_BUDGET = 250
@@ -3170,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
+        "priority_sample": _q_priority_sample,          # DLT weighted sample
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "release_diff": _q_release_diff,                # cross-release audit
@@ -3282,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "temperature_mix_sample": _SQL_TEMP_MIX,
+        "priority_sample": _SQL_PRIORITY_SAMPLE,
         "packed_sequences": _SQL_PACKED,
         "corpus_datacard": _SQL_DATACARD,
         "release_diff": _sql_release_diff(),

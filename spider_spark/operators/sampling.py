@@ -20,7 +20,10 @@ exactly:
   tiny per-bucket offsets, so no single task ever scans a whole group;
 * :func:`temperature_mix_sample` — multi-corpus rebalancing with
   temperature-flattened source weights (∝ √n_s), exact integer keep
-  thresholds, zero-shuffle keep/drop scan.
+  thresholds, zero-shuffle keep/drop scan;
+* :func:`priority_sample` — weighted sampling without replacement with
+  unbiased subset-sum estimators (Duffield, Lund & Thorup, JACM 2007),
+  in an exact 64-bit integer formulation.
 """
 
 from __future__ import annotations
@@ -238,6 +241,127 @@ def temperature_mix_sample(df: DataFrame, source_col: str, key_col: str,
         .filter(md5_60(F.col(key_col)) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted, without replacement)
+# ---------------------------------------------------------------------------
+
+PS_U_RES = 1 << 40   # resolution of the deterministic uniform u ∈ (0,1]
+PS_MAX_W = 1 << 20   # weight clamp so w·PS_U_RES ≤ 2^60 stays inside int64
+
+
+def priority_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    group_col: str | None = None, salt: int = 8) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    estimation of arbitrary subset sums", JACM 2007): a weighted sample of
+    ``k`` rows (per group) *without replacement* whose ``est_weight``
+    column is an unbiased estimator of any subset's total weight — the
+    canonical "sample documents ∝ token count, but still be able to
+    report exact-in-expectation token totals" primitive for corpus
+    datacards and mixture studies.
+
+    The scheme: draw u_i uniform in (0,1], give row i priority
+    q_i = w_i / u_i, keep the k largest priorities; with τ = the (k+1)-th
+    priority, ŵ_i = max(w_i, τ) is unbiased for w_i over any subset of
+    the kept rows. Here u_i is deterministic — the top 40 bits of the
+    md5-derived hash every sampler in this module shares with DuckDB,
+    u_i = (h40+1)/2^40 — and the priority is computed in **exact 64-bit
+    integer arithmetic, in natural weight units**:
+
+        q = (w · 2^40) div (h40 + 1),   w clamped to [1, 2^20]
+
+    so the DuckDB mirror replays selection, threshold, and estimates
+    bit-for-bit (a float w/u could round differently across engines).
+    The 40-bit u and the floor introduce O(2^-40) quantization — far
+    below the estimator's sampling variance; ties break
+    deterministically on ``key``. Output rows carry ``priority``,
+    ``tau`` (the per-group threshold, 0 when the group has ≤ k rows)
+    and ``est_weight`` = max(w, τ) — all plain integers.
+
+    Scale shape: the per-group top-(k+1) runs as the salted two-stage
+    top-k (stage 1 ranks within (group, h mod salt) shards — a hot group
+    never sorts on one task); the threshold is one window over the ≤
+    (k+1)·groups survivors. No global sort, no driver collect."""
+    if k < 1:
+        raise ValueError(f"k must be ≥1: {k}")
+    gcol = group_col if group_col is not None else "_g"
+    work = df if group_col is not None else df.withColumn("_g", F.lit(0))
+    h = md5_60(F.col(key_col))
+    work = (
+        work.withColumn("_h", h)
+        .withColumn(
+            "_w",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(F.col(weight_col).cast("long"), F.lit(PS_MAX_W)),
+            ),
+        )
+        .withColumn(
+            "_q",
+            F.expr(f"(_w * {PS_U_RES}L) div (shiftrightunsigned(_h, 20) + 1L)"),
+        )
+    )
+    order = [F.col("_q").desc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(gcol, F.pmod(F.col("_h"), F.lit(salt))).orderBy(*order)
+    stage1 = (
+        work.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k + 1)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(gcol).orderBy(*order)
+    ranked = stage1.withColumn("_rn", F.row_number().over(w2)).filter(
+        F.col("_rn") <= k + 1
+    )
+    wg = Window.partitionBy(gcol)
+    out = (
+        ranked.withColumn(
+            "tau",
+            F.coalesce(
+                F.max(F.when(F.col("_rn") == k + 1, F.col("_q"))).over(wg),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .withColumn("priority", F.col("_q"))
+        .withColumn("est_weight", F.greatest(F.col("_w"), F.col("tau")))
+        .drop("_h", "_w", "_q", "_rn")
+    )
+    return out.drop("_g") if group_col is None else out
+
+
+def priority_sample_sql(key_col: str, weight_col: str, k: int,
+                        select_cols: str, group_col: str | None = None,
+                        table: str = "documents") -> str:
+    """DuckDB mirror of :func:`priority_sample`: identical integer
+    priorities and threshold via BIGINT ``//`` (the salt is a
+    physical-plan detail — the selected set is identical). ``select_cols``
+    are emitted alongside ``priority``, ``tau`` and ``est_weight``."""
+    h = md5_60_sql(key_col)
+    g = group_col if group_col is not None else "0"
+    return f"""
+    WITH scored AS (
+      SELECT *,
+        greatest(1, least({weight_col}::BIGINT, {PS_MAX_W})) AS _w,
+        (greatest(1, least({weight_col}::BIGINT, {PS_MAX_W})) * {PS_U_RES})
+          // ((({h}) // 1048576) + 1) AS _q
+      FROM {table}
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY {g} ORDER BY _q DESC, {key_col}
+      ) AS _rn FROM scored
+    ), thr AS (
+      SELECT {g} AS _tg,
+        coalesce(max(CASE WHEN _rn = {k + 1} THEN _q END), 0) AS _tau
+      FROM ranked GROUP BY 1
+    )
+    SELECT {select_cols},
+      _q AS priority,
+      _tau AS tau,
+      greatest(_w, _tau) AS est_weight
+    FROM ranked JOIN thr ON {g} = _tg
+    WHERE _rn <= {k}
+    """
 
 
 def temperature_mix_sample_sql(source_col: str, key_col: str, budget: int,

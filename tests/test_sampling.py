@@ -205,3 +205,136 @@ class TestTemperatureMix:
 
     def test_huge_budget_keeps_everything(self, spark, mix):
         assert temperature_mix_sample(mix, "src", "key", 10**6).count() == mix.count()
+
+
+class TestPrioritySample:
+    """Priority sampling (Duffield-Lund-Thorup): integer-exact weighted
+    sampling without replacement with unbiased subset-sum estimators."""
+
+    def _naive(self, rows, k, grouped=True):
+        """Pure-Python reference of the integer spec."""
+        import hashlib
+
+        from spider_spark.operators.sampling import PS_MAX_W, PS_U_RES
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        by_g = {}
+        for g, key, w in rows:
+            gk = g if grouped else 0
+            wc = max(1, min(int(w), PS_MAX_W))
+            q = (wc * PS_U_RES) // ((h60(key) >> 20) + 1)
+            by_g.setdefault(gk, []).append((q, key, g, wc))
+        out = set()
+        for gk, items in by_g.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            tau = items[k][0] if len(items) > k else 0
+            for q, key, g, wc in items[:k]:
+                out.add((g, key, q, tau, max(wc, tau)))
+        return out
+
+    @pytest.fixture(scope="class")
+    def wrows(self):
+        rows = [("g0", f"k{i:03d}", 1 + (i * 37) % 500) for i in range(80)]
+        rows += [("g1", f"q{i}", 10**9 if i == 0 else 3) for i in range(6)]
+        rows += [("g2", "solo", 0)]  # weight 0 → clamped to 1
+        return rows
+
+    @pytest.fixture(scope="class")
+    def wdf(self, spark, wrows):
+        return spark.createDataFrame(
+            wrows, "grp string, key string, w long"
+        ).cache()
+
+    def test_matches_integer_spec(self, spark, wdf, wrows):
+        from spider_spark.operators.sampling import priority_sample
+
+        for k in (1, 5, 20):
+            got = {
+                (r["grp"], r["key"], r["priority"], r["tau"], r["est_weight"])
+                for r in priority_sample(wdf, "key", "w", k, "grp").collect()
+            }
+            assert got == self._naive(wrows, k), f"k={k}"
+
+    def test_ungrouped_and_layout_invariant(self, spark, wdf, wrows):
+        from spider_spark.operators.sampling import priority_sample
+
+        got = {
+            (r["grp"], r["key"], r["priority"], r["tau"], r["est_weight"])
+            for r in priority_sample(
+                wdf.repartition(11), "key", "w", 7, salt=3
+            ).collect()
+        }
+        assert got == self._naive(wrows, 7, grouped=False)
+
+    def test_small_group_kept_whole_tau_zero(self, spark, wdf):
+        from spider_spark.operators.sampling import priority_sample
+
+        out = priority_sample(wdf, "key", "w", 10, "grp")
+        g2 = [r for r in out.collect() if r["grp"] == "g2"]
+        assert len(g2) == 1 and g2[0]["tau"] == 0
+        # with tau=0 the estimate is the (clamped) weight itself
+        assert g2[0]["est_weight"] == 1
+
+    def test_heavy_item_always_sampled(self, spark, wdf):
+        from spider_spark.operators.sampling import priority_sample
+
+        # g1's 10^9-weight row (clamped to 2^20) dominates every priority
+        out = priority_sample(wdf, "key", "w", 1, "grp").collect()
+        g1 = [r for r in out if r["grp"] == "g1"]
+        assert len(g1) == 1 and g1[0]["key"] == "q0"
+
+    def test_matches_duckdb_mirror(self, spark, wdf):
+        from spider_spark.operators.sampling import (
+            priority_sample,
+            priority_sample_sql,
+        )
+
+        got = {
+            (r["grp"], r["key"], r["w"], r["priority"],
+             r["tau"], r["est_weight"])
+            for r in priority_sample(wdf, "key", "w", 6, "grp").collect()
+        }
+        con = duckdb.connect()
+        con.register("t", wdf.toPandas())
+        sql = priority_sample_sql(
+            "key", "w", 6, "grp, key, w", group_col="grp", table="t"
+        )
+        want = set(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_ungrouped_mirror(self, spark, wdf):
+        from spider_spark.operators.sampling import (
+            priority_sample,
+            priority_sample_sql,
+        )
+
+        got = {
+            (r["key"], r["priority"], r["est_weight"])
+            for r in priority_sample(wdf, "key", "w", 9).collect()
+        }
+        con = duckdb.connect()
+        con.register("t", wdf.toPandas())
+        sql = priority_sample_sql("key", "w", 9, "key", table="t")
+        want = set(con.execute(sql).fetchall())
+        # mirror emits (key, priority, tau, est); drop tau for the compare
+        assert got == {(k, p, e) for k, p, _t, e in want}
+
+    def test_subset_sum_estimator_unbiased_shape(self, spark):
+        """Statistical sanity (not bit-exactness): averaged over many
+        disjoint key universes, the estimated total weight of the full
+        sample approaches the true total — the DLT guarantee."""
+        from spider_spark.operators.sampling import priority_sample
+
+        rows = [
+            (f"u{u}", f"u{u}-k{i}", 1 + ((i * 7919 + u * 104729) % 97))
+            for u in range(40)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "grp string, key string, w long")
+        true_total = sum(w for _, _, w in rows)
+        est = priority_sample(df, "key", "w", 8, "grp").agg(
+            F.sum("est_weight")
+        ).collect()[0][0]
+        assert abs(est - true_total) / true_total < 0.05
