@@ -1431,6 +1431,28 @@ def _sql_host_trustrank() -> str:
             "SELECT node AS host, trust_fp FROM tr")
 
 
+OPIC_ITERS = 6
+
+
+def _q_host_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC (operators/graph.py opic; Abiteboul et al. WWW 2003): the
+    online importance a crawler maintains DURING the crawl — cash
+    banked/distributed per fetch round over the same host graph, with the
+    paper's virtual node closing dangling flow. Batch-synchronous integer
+    fixed-point; total cash conserved exactly, unrolled-CTE mirror."""
+    from spider_spark.operators.graph import opic
+
+    out = opic(_host_edges_df(spark, sf_dir), n_iter=OPIC_ITERS)
+    return out.select(F.col("node").alias("host"), "hist_fp", "cash_fp")
+
+
+def _sql_host_opic() -> str:
+    from spider_spark.operators.graph import opic_sql
+
+    return (f"WITH op AS ({opic_sql(_HOST_EDGES_SQL, n_iter=OPIC_ITERS)}) "
+            "SELECT node AS host, hist_fp, cash_fp FROM op")
+
+
 HITS_ITERS = 5
 
 
@@ -3155,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
+        "host_opic": _q_host_opic,                # online crawl-time importance
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
@@ -3267,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _sql_host_hits(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "host_trustrank": _sql_host_trustrank(),
+        "host_opic": _sql_host_opic(),
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "sitemap_refresh": _sql_sitemap_refresh(),

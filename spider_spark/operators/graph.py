@@ -372,6 +372,159 @@ def trustrank_sql(edges_sql: str, seeds_sql: str, n_iter: int = 10,
     """
 
 
+# -- OPIC (online page importance) --------------------------------------------
+
+
+def opic(edges: DataFrame, n_iter: int = 10, scale: int = PR_SCALE,
+         stats: dict | None = None) -> DataFrame:
+    """``(node, hist_fp, cash_fp)`` — OPIC, the Online Page Importance
+    Computation (Abiteboul, Preda & Cobéna, WWW 2003): the importance
+    measure a crawler can maintain *while* crawling, without storing the
+    link matrix or waiting for a batch PageRank to converge. Every node
+    holds "cash"; a fetch banks the node's cash into its history and
+    distributes it over the out-links, plus one share to a **virtual
+    node** linked from/to every page (the paper's connectivity fix —
+    it plays the role PageRank's teleport does); the virtual node's
+    accumulated cash redistributes uniformly each round. A node's
+    importance estimate is its accumulated history.
+
+    This is the batch-synchronous variant (every node "fetched" each
+    round) in the same integer fixed-point contract as :func:`pagerank`:
+
+        share(u)   = cash(u) div (deg(u) + 1)          (the +1 = virtual)
+        cash'(v)   = Σ_in share(u)·w(u,v) + virt div n
+        hist'(u)   = hist(u) + cash(u)
+        virt'      = Σ_u (cash(u) − share(u)·deg(u)) + (virt − (virt div n)·n)
+
+    — all integer division, so the DuckDB mirror replays it bit-for-bit,
+    and **total cash (Σ cash + virt) is conserved exactly** at ``scale``
+    every round (floors route remainders to the virtual node, never drop
+    them) — the conservation law is asserted in tests. Dangling nodes
+    need no special case: deg 0 sends everything to the virtual node,
+    which is precisely the paper's semantics.
+
+    Per iteration: one contribution shuffle over the pre-aggregated edge
+    list + one 1-row aggregate (the virtual inflow — a driver scalar,
+    O(1) state at any graph size). When ``stats`` is supplied, the final
+    virtual-node cash and round count are written to it."""
+    wedges = (
+        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    state = (
+        nodes.join(deg.select(F.col("src").alias("node"),
+                              F.col("deg").alias("__deg")),
+                   on="node", how="left")
+        .select(
+            "node",
+            F.lit(scale // n_nodes).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+            F.coalesce("__deg", F.lit(0)).cast("long").alias("__deg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    virt = scale - (scale // n_nodes) * n_nodes
+    srcs = wedges.join(deg, on="src")
+    for r in range(n_iter):
+        vshare, vkeep = virt // n_nodes, virt % n_nodes
+        # cash flowing to the virtual node: own share + floor remainders
+        tv = state.agg(
+            F.coalesce(
+                F.sum(F.expr("cash - (cash div (__deg + 1)) * __deg")),
+                F.lit(0),
+            ).cast("long")
+        ).collect()[0][0]
+        contrib = (
+            srcs.join(state, srcs["src"] == state["node"])
+            .select(
+                F.col("dst"),
+                F.expr("(cash div (deg + 1)) * w").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("inode")).agg(
+            F.sum("c").alias("inc")
+        )
+        state = (
+            state.join(incoming, state["node"] == incoming["inode"], "left")
+            .select(
+                "node",
+                (F.coalesce("inc", F.lit(0)) + F.lit(vshare))
+                .cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+                "__deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+        virt = tv + vkeep
+    if stats is not None:
+        stats["virt"] = virt
+        stats["rounds"] = n_iter
+    wedges.unpersist()
+    nodes.unpersist()
+    return state.select(
+        F.col("node"), F.col("hist").alias("hist_fp"),
+        F.col("cash").alias("cash_fp"),
+    )
+
+
+def opic_sql(edges_sql: str, n_iter: int = 10, scale: int = PR_SCALE) -> str:
+    """DuckDB mirror of :func:`opic` — the unrolled MATERIALIZED-CTE
+    chain carrying (node, cash, hist) state plus a one-row virtual-node
+    relation per round, identical integer arithmetic."""
+    steps = []
+    for k in range(n_iter):
+        steps.append(f"""
+    tv{k} AS MATERIALIZED (
+      SELECT coalesce(sum(
+        r.cash - (r.cash // (coalesce(d.deg, 0) + 1)) * coalesce(d.deg, 0)
+      ), 0)::BIGINT AS tv
+      FROM s{k} r LEFT JOIN deg d ON d.src = r.node
+    ),
+    s{k + 1} AS MATERIALIZED (
+      SELECT r.node,
+             (coalesce(i.inc, 0) + (v.virt // nn.n))::BIGINT AS cash,
+             (r.hist + r.cash)::BIGINT AS hist
+      FROM s{k} r CROSS JOIN v{k} v CROSS JOIN nn
+      LEFT JOIN (
+        SELECT w.dst AS node, sum((r2.cash // (d.deg + 1)) * w.w) AS inc
+        FROM wed w
+        JOIN deg d ON d.src = w.src
+        JOIN s{k} r2 ON r2.node = w.src
+        GROUP BY w.dst
+      ) i ON i.node = r.node
+    ),
+    v{k + 1} AS MATERIALIZED (
+      SELECT (t.tv + v.virt - (v.virt // nn.n) * nn.n)::BIGINT AS virt
+      FROM tv{k} t CROSS JOIN v{k} v CROSS JOIN nn
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH edges AS MATERIALIZED ({edges_sql}),
+    wed AS MATERIALIZED (
+      SELECT src, dst, count(*)::BIGINT AS w FROM edges GROUP BY 1, 2),
+    deg AS MATERIALIZED (
+      SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges),
+    nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+    s0 AS MATERIALIZED (
+      SELECT node, ({scale} // nn.n)::BIGINT AS cash, 0::BIGINT AS hist
+      FROM nodes CROSS JOIN nn),
+    v0 AS MATERIALIZED (
+      SELECT ({scale} - ({scale} // nn.n) * nn.n)::BIGINT AS virt
+      FROM nn),{chain}
+    SELECT node, hist AS hist_fp, cash AS cash_fp FROM s{n_iter}
+    """
+
+
 # -- integer fixed-point HITS (hubs & authorities) ----------------------------
 
 HITS_SCALE = 10**8  # per-iteration normalization target (see overflow note)

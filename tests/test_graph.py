@@ -297,3 +297,99 @@ class TestTrustRank:
             edges_sql, "SELECT 'seed' AS node UNION ALL SELECT 'spam1'",
             n_iter=4)).fetchall()}
         assert got == want
+
+
+def _reference_opic(edges, n_iter, scale):
+    """Pure-Python replay of the OPIC integer spec (shares no code with
+    the operator)."""
+    from collections import Counter, defaultdict
+
+    wed = Counter(edges)
+    deg = Counter()
+    for (s, _d), w in wed.items():
+        deg[s] += w
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    cash = {v: scale // n for v in nodes}
+    hist = {v: 0 for v in nodes}
+    virt = scale - (scale // n) * n
+    for _ in range(n_iter):
+        vshare, vkeep = virt // n, virt % n
+        tv = sum(
+            cash[u] - (cash[u] // (deg.get(u, 0) + 1)) * deg.get(u, 0)
+            for u in nodes
+        )
+        inbound = defaultdict(int)
+        for (s, d), w in wed.items():
+            inbound[d] += (cash[s] // (deg[s] + 1)) * w
+        for u in nodes:
+            hist[u] += cash[u]
+        cash = {v: inbound[v] + vshare for v in nodes}
+        virt = tv + vkeep
+    return {v: (hist[v], cash[v]) for v in nodes}, virt
+
+
+class TestOpic:
+    EDGES = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "a"),
+        ("d", "a"),             # d has in-degree 0 in reverse: a source
+        ("b", "e"),             # e is a sink (dangling)
+    ]
+
+    @pytest.fixture(scope="class")
+    def edf(self, spark):
+        return spark.createDataFrame(self.EDGES, "src string, dst string").cache()
+
+    def test_matches_reference_and_conserves_mass(self, spark, edf):
+        from spider_spark.operators.graph import opic
+
+        stats = {}
+        got = {
+            r["node"]: (r["hist_fp"], r["cash_fp"])
+            for r in opic(edf, n_iter=7, stats=stats).collect()
+        }
+        want, virt = _reference_opic(self.EDGES, 7, PR_SCALE)
+        assert got == want
+        assert stats["virt"] == virt
+        # exact conservation: circulating + virtual cash == scale
+        assert sum(c for _h, c in got.values()) + stats["virt"] == PR_SCALE
+
+    def test_importance_orders_by_link_mass(self, spark, edf):
+        from spider_spark.operators.graph import opic
+
+        hist = {
+            r["node"]: r["hist_fp"]
+            for r in opic(edf, n_iter=12).collect()
+        }
+        # a and c sit on the 2-cycle with doubled c→a edges: they dominate
+        assert hist["a"] > hist["e"] and hist["c"] > hist["e"]
+        # the source d only ever receives virtual shares
+        assert hist["d"] < hist["a"]
+
+    def test_matches_duckdb_mirror(self, spark, edf):
+        import duckdb
+
+        from spider_spark.operators.graph import opic, opic_sql
+
+        got = {
+            (r["node"], r["hist_fp"], r["cash_fp"])
+            for r in opic(edf, n_iter=5).collect()
+        }
+        con = duckdb.connect()
+        con.register("e", edf.toPandas())
+        want = set(
+            con.execute(opic_sql("SELECT src, dst FROM e", n_iter=5)).fetchall()
+        )
+        assert got == want
+
+    def test_dangling_cash_routes_through_virtual(self, spark):
+        from spider_spark.operators.graph import opic
+
+        # single edge a→b: b is dangling; its cash must return via the
+        # virtual node (uniformly), never vanish
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        stats = {}
+        out = {r["node"]: r for r in opic(df, n_iter=6, stats=stats).collect()}
+        total = sum(r["cash_fp"] for r in out.values()) + stats["virt"]
+        assert total == PR_SCALE
+        assert out["a"]["cash_fp"] > 0  # replenished by the virtual node
