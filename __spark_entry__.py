@@ -1044,6 +1044,24 @@ _SQL_TOKEN_BUDGET = token_budget_sample_sql(
     "source, doc_id, n_chars",
 )
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language doc-length quantiles (operators/quantiles.py):
+    (group, value) histogram + cumulative window + rational thresholds
+    cum·den ≥ num·tot — exact type-1 quantiles with state bounded by the
+    value domain, not the row count; fully relational (no driver
+    histogram collect). The datacard stat approximate sketches can't
+    deliver under a bit-exact contract."""
+    from spider_spark.operators.quantiles import exact_group_quantiles
+
+    return exact_group_quantiles(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+def _sql_length_quantiles() -> str:
+    from spider_spark.operators.quantiles import exact_group_quantiles_sql
+
+    return exact_group_quantiles_sql("lang", "n_chars")
+
+
 PRIO_K = 5
 
 
@@ -3217,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
         "priority_sample": _q_priority_sample,          # DLT weighted sample
+        "length_quantiles": _q_length_quantiles,        # exact datacard stats
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "release_diff": _q_release_diff,                # cross-release audit
@@ -3331,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "temperature_mix_sample": _SQL_TEMP_MIX,
         "priority_sample": _SQL_PRIORITY_SAMPLE,
+        "length_quantiles": _sql_length_quantiles(),
         "packed_sequences": _SQL_PACKED,
         "corpus_datacard": _SQL_DATACARD,
         "release_diff": _sql_release_diff(),
