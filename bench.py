@@ -311,6 +311,13 @@ def main() -> None:
     gseeds = spark.range(0, g_nodes, G_BLOCK).select(F.col("id").alias("node"))
     timed("graph_trustrank_1m",
           lambda: force(trustrank(gedges, gseeds, n_iter=10)))
+
+    # OPIC on the same graph: per-iteration one contribution shuffle +
+    # one 1-row aggregate (the virtual-node inflow) — the crawl-time
+    # importance alternative, same cost class as a PageRank step
+    from spider_spark.operators.graph import opic
+
+    timed("graph_opic_1m", lambda: force(opic(gedges, n_iter=10)))
     timed("dup_spans", lambda: force(span_dup_stats(docs, width=8, stride=2)))
 
     # anchor-text index: a second full-corpus HTML parse pass (the anchor
@@ -346,6 +353,22 @@ def main() -> None:
         F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
     timed("cms_freq", lambda: force(cms_build(toks, "token", 4, 2048)))
+
+    # priority sampling + exact quantiles at the 1M-row scale: the salted
+    # two-stage top-(k+1) over hot host groups, and the (group, value)
+    # histogram + cumulative window (state bounded by the value domain)
+    from spider_spark.operators.quantiles import exact_group_quantiles
+    from spider_spark.operators.sampling import priority_sample
+
+    weighted = hosted.withColumn("w", F.length("url"))
+    timed(
+        "priority_sample_1m",
+        lambda: force(priority_sample(weighted, "url", "w", 100, "host")),
+    )
+    timed(
+        "quantiles_1m",
+        lambda: force(exact_group_quantiles(weighted, "host", "w")),
+    )
 
     # continuous-crawl seen-set maintenance at the 1M-URL scale: cuckoo
     # build over every page url, freshness scan, expiry-wave delete
