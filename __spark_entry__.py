@@ -333,6 +333,90 @@ _SQL_BUDGET_SEEN = (
 )
 
 
+TIER_CAP = 100
+
+
+def _q_tiered_round_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered global round capacity (operators/politeness.py
+    global_round_cap): exact top-``TIER_CAP`` of a synthetic frontier by
+    ``(tier, depth, admission_rank, canon_url)`` — high-tier hosts claim
+    bounded round capacity first. Computed with the salted two-stage
+    row_number (no single-task global sort); the oracle is DuckDB's plain
+    window over the same arithmetic frontier, so the hash match proves the
+    two-stage plan IS the exact global top-N. ``strict_bfs=False`` here so
+    the tier key genuinely leads across depths (the strict gate is
+    engine-tested; see tests/test_politeness.py::TestGlobalRoundCap)."""
+    from spider_spark.operators.politeness import global_round_cap
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host_num = F.when(i % 2 == 0, F.lit(0)).otherwise((F.lit(1) + i % 19))
+    frontier = docs.select(
+        url_expr(i).alias("canon_url"),
+        host_expr(i).alias("host"),
+        (host_num % 4).cast("long").alias("tier"),
+        (F.lit(1) + i % 3).cast("long").alias("depth"),
+        i.cast("long").alias("admission_rank"),
+    )
+    kept, _ = global_round_cap(
+        frontier, TIER_CAP, tier_col="tier", strict_bfs=False
+    )
+    return kept.select("canon_url", "tier", "depth", "admission_rank")
+
+
+def _sql_tiered_round_cap() -> str:
+    host_num = ("CASE WHEN doc_id % 2 = 0 THEN 0 "
+                "ELSE 1 + doc_id % 19 END")
+    return f"""
+WITH f AS (
+  SELECT {_url_sql('doc_id')} AS canon_url,
+    ({host_num}) % 4 AS tier,
+    1 + doc_id % 3 AS depth,
+    doc_id AS admission_rank
+  FROM documents
+)
+SELECT canon_url, tier::BIGINT AS tier, depth::BIGINT AS depth,
+       admission_rank::BIGINT AS admission_rank
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY tier, depth, admission_rank, canon_url
+  ) AS rn FROM f
+) WHERE rn <= {TIER_CAP}
+"""
+
+
+def _q_tiered_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level tier-crawl invariant: a bounded per-round fetch
+    capacity (``max_fetch_per_round``) ordered by host tiers reschedules
+    fetches across rounds but NEVER changes the URL-seen set or its
+    min-depth stamps — checked against the same independent recursive-CTE
+    oracle as the uncapped crawl (strict BFS preserves min-depth discovery;
+    the cap's min-depth gate is the load-bearing piece, see
+    operators/politeness.py global_round_cap docstring)."""
+    pages = pages_from_documents(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    tiers = spark.createDataFrame(
+        [("h0.example", 0), ("h5.example", 1)], "host string, tier int"
+    )
+    engine = CrawlEngine(
+        spark, pages, CrawlConfig(depth=3, max_fetch_per_round=5),
+        host_tiers=tiers,
+    )
+    res = engine.crawl(seed)
+    return res.seen.select(
+        F.col("canon_url").alias("url"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+_SQL_TIERED_CRAWL_SEEN = (
+    "SELECT url, depth::BIGINT AS depth FROM ("
+    + oracle_results_sql(CRAWL_SEED_ID, 3)
+    + ")"
+)
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pipeline: exact-dedup (keep the
     minimum doc_id per fingerprint group) → quality floor → per-doc stats.
@@ -3172,6 +3256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen_depths": _q_crawl_seen_depths,  # D1 seen-set parity
         "crawl_numbered": _q_crawl_numbered,      # L2 row_number
         "budget_seen_invariance": _q_budget_seen_invariance,  # I2
+        "tiered_round_cap": _q_tiered_round_cap,  # tier-ordered capacity
+        "tiered_crawl_seen": _q_tiered_crawl_seen,  # cap+tiers seen invariant
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
         "lang_breakdown": _q_lang_breakdown,
         # dedup suite
@@ -3286,6 +3372,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen_depths": _SQL_CRAWL_SEEN,
         "crawl_numbered": _SQL_CRAWL_NUMBERED,
         "budget_seen_invariance": _SQL_BUDGET_SEEN,
+        "tiered_round_cap": _sql_tiered_round_cap(),
+        "tiered_crawl_seen": _SQL_TIERED_CRAWL_SEEN,
         "host_page_counts": _SQL_HOST_COUNTS,
         "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,

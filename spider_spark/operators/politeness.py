@@ -258,3 +258,71 @@ def schedule(
         eligible.select("canon_url"), on="canon_url", how="left_anti"
     )
     return eligible, carryover, blocked_df
+
+
+def global_round_cap(eligible: DataFrame, cap: int,
+                     tier_col: str | None = None,
+                     salt: int = 8,
+                     strict_bfs: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Tiered global round capacity: split the politeness-eligible set
+    into ``(kept, deferred)`` where ``kept`` is the top ``cap`` rows by
+    ``(tier, depth, admission_rank, canon_url)`` — the "tier crawl"
+    semantic: when round capacity is bounded (executor memory, commit
+    sizing), high-tier hosts' URLs claim it first and everything else
+    waits in carryover. Per-host politeness budgets stay enforced (this
+    runs AFTER :func:`schedule`); the URL-seen set is unchanged because
+    deferred rows drain through carryover exactly like budget carryover
+    does (the module's invariance argument applies verbatim under
+    ``strict_bfs`` — deferred rows keep their depth and re-compete at the
+    min-depth gate).
+
+    ``strict_bfs=True`` gates the pool to the frontier's minimum-depth
+    level BEFORE tiers rank it (non-min-depth rows go straight to
+    ``deferred``). This is load-bearing for the invariance theorem: the
+    tier key outranks depth by design (high-tier hosts claim capacity
+    first), so without the gate a budget-less capped crawl could fetch a
+    high-tier deep URL before a low-tier shallow one, stamp discoveries
+    at non-minimal depths, and shrink the seen set under a binding depth
+    bound. (When a per-host budget is set, :func:`schedule` has already
+    applied this gate and the join below finds every row at one depth —
+    a cheap no-op.) ``strict_bfs=False`` is max-throughput mode: pure
+    ``(tier, depth, admission)`` order across levels, same caveats as the
+    scheduler's non-strict mode.
+
+    Exact top-``cap`` without a global sort: the same salted two-stage
+    ``row_number`` pattern as the stratified sampler — stage 1 ranks
+    within url-hash shards (no single task ever sorts more than one
+    shard), stage 2 ranks the ≤ ``salt × cap`` survivors. Deterministic:
+    ties break on ``canon_url``."""
+    if cap < 1:
+        raise ValueError(f"cap must be ≥1: {cap}")
+    from pyspark.sql import Window
+
+    pool = eligible
+    if strict_bfs:
+        lvl = eligible.agg(F.min("depth").alias("__lvl"))
+        pool = (
+            eligible.join(F.broadcast(lvl), on=F.col("depth") == F.col("__lvl"))
+            .drop("__lvl")
+        )
+
+    cols = ([tier_col] if tier_col else []) + PRIORITY_COLS
+    order = [F.col(c).asc() for c in cols] + [F.col("canon_url").asc()]
+    w1 = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt))
+    ).orderBy(*order)
+    stage1 = (
+        pool.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy().orderBy(*order)
+    kept = (
+        stage1.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= cap)
+        .drop("__r2")
+    )
+    deferred = eligible.join(
+        kept.select("canon_url"), on="canon_url", how="left_anti"
+    )
+    return kept, deferred

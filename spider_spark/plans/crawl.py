@@ -70,7 +70,11 @@ from spider_spark.operators.cuckoo import (
 # serialized checkpoint storage: ~5× smaller than deserialized rows, far
 # less GC pressure, and the extra ser/deser CPU parallelizes with cores
 CHECKPOINT_LEVEL = StorageLevel.MEMORY_AND_DISK
-from spider_spark.operators.politeness import RobotsRules, schedule
+from spider_spark.operators.politeness import (
+    RobotsRules,
+    global_round_cap,
+    schedule,
+)
 from spider_spark.operators.ranking import with_global_rank
 
 FRONTIER_SCHEMA = T.StructType(
@@ -128,6 +132,15 @@ class CrawlConfig:
                                     # operators/politeness.py docstring); False =
                                     # max-throughput mode (any depth may fetch)
     waves: int = 1                  # politeness windows batched per Spark round
+    max_fetch_per_round: int | None = None  # tiered global round capacity:
+                                    # after per-host budgets, keep only the
+                                    # top-N eligible URLs by (tier, depth,
+                                    # admission) — high-tier hosts (engine
+                                    # host_tiers arg) claim bounded round
+                                    # capacity first, the rest carry over
+                                    # (seen set invariant under strict_bfs,
+                                    # operators/politeness.py
+                                    # global_round_cap)
     broadcast_threshold: int = 2_000_000  # frontier rows; above → SMJ fetch-join
     durable: bool = False           # checkpoint rounds via TableIO (resume)
     seen_buckets: int = 32          # durable mode: the seen set is kept in a
@@ -221,6 +234,11 @@ class CrawlEngine:
         blocked_hosts=None,  # list[str] | DataFrame('host') — link-admission gate
         trap_guard: dict | None = None,   # in-crawl trap detection thresholds
         host_stats: DataFrame | None = None,  # prior accrued per-host stats
+        host_tiers: DataFrame | None = None,  # ('host', 'tier' int): crawl
+                                    # priority tiers (lower = sooner) consumed
+                                    # by max_fetch_per_round — e.g. TrustRank/
+                                    # OPIC score buckets; unlisted hosts get
+                                    # the lowest priority
     ):
         self.spark = spark
         self.pages = pages
@@ -279,6 +297,18 @@ class CrawlEngine:
         # ``host_stats`` seeds the accrual with a prior table (a
         # ContinuousCrawler carries it across waves). Cost when on: one
         # candidate materialization + one tiny host agg per round.
+        # tier table for the global round cap: normalized once; joined
+        # (broadcast — it is host-level, tiny next to the frontier) onto the
+        # eligible set only when max_fetch_per_round is set. Tiers order
+        # capacity BETWEEN hosts; per-host rate limits stay the budget's job.
+        self._host_tiers = (
+            host_tiers.select(
+                F.lower(F.col("host")).alias("host"),
+                F.col("tier").cast("int").alias("__tier"),
+            )
+            if host_tiers is not None
+            else None
+        )
         self.trap_guard = trap_guard
         self.host_stats = host_stats
         self._dyn_blocked = None
@@ -592,7 +622,11 @@ class CrawlEngine:
         # eligible, carryover/blocked are statically empty — skip the
         # scheduler plumbing and its count jobs entirely (the reference's
         # semaphore never limits either, quirk Q4).
-        no_politeness = cfg.budget is None and self.rules.trivially_empty
+        no_politeness = (
+            cfg.budget is None
+            and self.rules.trivially_empty
+            and cfg.max_fetch_per_round is None
+        )
         if no_politeness:
             eligible = state.frontier  # already checkpointed by the caller
             carryover = state.frontier.limit(0)
@@ -609,6 +643,26 @@ class CrawlEngine:
                 state.frontier, cfg.budget, self.rules, salt=cfg.salt,
                 strict_bfs=cfg.strict_bfs, waves=cfg.waves,
             )
+            if cfg.max_fetch_per_round is not None:
+                # tiered global round capacity (after per-host budgets):
+                # top-N by (tier, depth, admission); the rest defer into
+                # carryover and re-compete next round at the min-depth gate
+                tier_col = None
+                if self._host_tiers is not None:
+                    eligible = eligible.join(
+                        F.broadcast(self._host_tiers), on="host", how="left"
+                    ).withColumn(
+                        "__tier",
+                        F.coalesce(F.col("__tier"), F.lit(2147483647)),
+                    )
+                    tier_col = "__tier"
+                kept, deferred = global_round_cap(
+                    eligible, cfg.max_fetch_per_round,
+                    tier_col=tier_col, salt=cfg.salt,
+                    strict_bfs=cfg.strict_bfs,
+                )
+                eligible = kept.drop("__tier")
+                carryover = carryover.unionByName(deferred.drop("__tier"))
             # count rides the checkpoint job via observe(): no extra job
             el_obs = Observation()
             eligible = eligible.observe(

@@ -214,3 +214,155 @@ class TestEngineRobots:
         }
         assert "h5.example" not in fetched_hosts
         assert sum(m.blocked for m in res.metrics) > 0
+
+
+class TestGlobalRoundCap:
+    def test_exact_topn_and_partition(self, frontier):
+        from spider_spark.operators.politeness import global_round_cap
+
+        kept, deferred = global_round_cap(frontier, 7, strict_bfs=False)
+        rows = kept.collect()
+        # all depth 1 → the 7 globally smallest admission ranks, exactly
+        assert sorted(r["admission_rank"] for r in rows) == list(range(7))
+        assert deferred.count() == 23
+        # partition: kept ∪ deferred == frontier exactly
+        assert (
+            kept.unionByName(deferred).select("canon_url").distinct().count() == 30
+        )
+
+    def test_tiers_claim_capacity_first(self, frontier):
+        from spider_spark.operators.politeness import global_round_cap
+
+        # h2 is the favored tier; cap 12 = all 10 of h2 + the 2 globally
+        # best of the rest (priority order resumes below the tier)
+        tiered = frontier.withColumn(
+            "t",
+            F.when(F.col("host") == "h2.example", F.lit(0)).otherwise(F.lit(9)),
+        )
+        kept, _ = global_round_cap(tiered, 12, tier_col="t", strict_bfs=False)
+        rows = kept.collect()
+        assert len(rows) == 12
+        assert sum(1 for r in rows if r["host"] == "h2.example") == 10
+        assert sorted(
+            r["admission_rank"] for r in rows if r["host"] != "h2.example"
+        ) == [0, 1]
+
+    def test_strict_bfs_gate_outranks_tiers(self, spark):
+        from spider_spark.operators.politeness import global_round_cap
+
+        # tiers favor the DEEP host; the strict gate must still keep only
+        # min-depth rows (this is the invariance-theorem guard: without it
+        # a capped budget-less crawl would fetch high-tier deep URLs first
+        # and stamp discoveries at non-minimal depths)
+        rows = [
+            ("https://shallow.example/p/%d" % i, "shallow.example", 1,
+             "s", "s", 100 + i, 1, 9)
+            for i in range(4)
+        ] + [
+            ("https://deep.example/p/%d" % i, "deep.example", 2,
+             "s", "s", i, 1, 0)
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "canon_url string, host string, depth int, seed string, "
+            "parent string, admission_rank long, round_admitted int, t int",
+        )
+        kept, deferred = global_round_cap(df, 3, tier_col="t", strict_bfs=True)
+        got = kept.collect()
+        assert {r["depth"] for r in got} == {1}
+        assert sorted(r["admission_rank"] for r in got) == [100, 101, 102]
+        # the un-kept shallow row AND every deep row defer
+        assert deferred.count() == 5
+        # non-strict mode: the tier key leads and the deep host wins
+        kept_ns, _ = global_round_cap(df, 3, tier_col="t", strict_bfs=False)
+        assert {r["depth"] for r in kept_ns.collect()} == {2}
+
+    def test_cap_validation(self, frontier):
+        from spider_spark.operators.politeness import global_round_cap
+
+        with pytest.raises(ValueError):
+            global_round_cap(frontier, 0)
+
+
+class TestEngineRoundCap:
+    @pytest.fixture(scope="class")
+    def pages(self, spark):
+        return synthetic_pages(spark, 200).localCheckpoint(eager=True)
+
+    # NB: odd page ids only link to odd ids (2i+1, 3i+2 both odd for odd i)
+    # and every even id lives on h0 — so these tests seed from an EVEN id
+    # (8) to get levels mixing the hot host h0 with the odd-id hosts.
+
+    def test_seen_set_and_depths_invariant_under_cap(self, spark, pages):
+        base = CrawlEngine(
+            spark, pages, CrawlConfig(depth=3, verify_text=False)
+        ).crawl("https://h0.example/d/8")
+        expected = {(r["canon_url"], r["depth"]) for r in base.seen.collect()}
+        tiers = spark.createDataFrame(
+            [("h0.example", 0)], "host string, tier int"
+        )
+        capped = CrawlEngine(
+            spark,
+            pages,
+            CrawlConfig(depth=3, max_fetch_per_round=4, verify_text=False),
+            host_tiers=tiers,
+        ).crawl("https://h0.example/d/8")
+        got = {(r["canon_url"], r["depth"]) for r in capped.seen.collect()}
+        assert got == expected
+        # the cap stretched levels over extra rounds
+        assert len(capped.metrics) > len(base.metrics)
+        # every round fetched at most the cap
+        assert max(m.fetched for m in capped.metrics) <= 4
+
+    def test_tiers_order_rounds_within_level(self, spark, pages):
+        # within one depth level, every favored-host fetch happens no later
+        # than the round where any other host first fetches (the tier key
+        # ranks the whole level before capacity splits it across rounds)
+        tiers = spark.createDataFrame(
+            [("h0.example", 0)], "host string, tier int"
+        )
+        res = CrawlEngine(
+            spark,
+            pages,
+            CrawlConfig(depth=4, max_fetch_per_round=2, verify_text=False),
+            host_tiers=tiers,
+        ).crawl("https://h0.example/d/8")
+        fetched = res.results.filter(F.col("fetched")).collect()
+        by_depth: dict = {}
+        for r in fetched:
+            by_depth.setdefault(r["depth"], []).append(r)
+        checked = 0
+        for depth, rows in by_depth.items():
+            fav = [r["crawl_round"] for r in rows
+                   if r["url"].startswith("https://h0.example/")]
+            rest = [r["crawl_round"] for r in rows
+                    if not r["url"].startswith("https://h0.example/")]
+            if fav and rest:
+                assert max(fav) <= min(rest), f"depth {depth}"
+                checked += 1
+        assert checked > 0  # the fixture produced mixed-host levels
+
+    def test_inverted_tiers_same_membership_different_schedule(
+        self, spark, pages
+    ):
+        cfgs = []
+        for fav in ("h0.example", "h18.example"):
+            tiers = spark.createDataFrame(
+                [(fav, 0)], "host string, tier int"
+            )
+            res = CrawlEngine(
+                spark,
+                pages,
+                CrawlConfig(depth=4, max_fetch_per_round=2, verify_text=False),
+                host_tiers=tiers,
+            ).crawl("https://h0.example/d/8")
+            cfgs.append(
+                {
+                    (r["url"], r["crawl_round"])
+                    for r in res.results.filter(F.col("fetched")).collect()
+                }
+            )
+        a, b = cfgs
+        assert {u for u, _ in a} == {u for u, _ in b}  # same membership
+        assert a != b  # different schedule
