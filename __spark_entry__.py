@@ -597,6 +597,24 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_docs(spark, sf_dir))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-Edu / DCLM pipeline
+    stage): a fastText-style linear bag-of-words classifier with frozen
+    integer milli-nat log-odds weights — broadcast vocabulary join + one
+    doc-keyed sum, decision by integer cross-multiplication. The frozen
+    table stands in for trained weights (same schema); the plumbing is the
+    product (functions/classifier.py)."""
+    from spider_spark.functions.classifier import quality_classifier_scores
+
+    return quality_classifier_scores(_docs(spark, sf_dir), tau_milli=100)
+
+
+def _sql_quality_classifier() -> str:
+    from spider_spark.functions.classifier import quality_classifier_sql
+
+    return quality_classifier_sql(tau_milli=100)
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / The Pile): flag every
     training doc sharing a word 8-gram with the benchmark set (here the
@@ -3264,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dupes": _q_exact_dupes,
         "decontamination_stats": _q_decontamination,  # benchmark n-gram leak scan
         "gopher_quality": _q_gopher_quality,      # published rule-bundle filter
+        "quality_classifier": _q_quality_classifier,  # frozen linear model filter
         "c4_clean": _q_c4_clean,                  # published line-level cleaner
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "jaccard_pairs": _q_jaccard,
@@ -3379,6 +3398,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dupes": _SQL_EXACT_DUPES,
         "decontamination_stats": _sql_decontamination(),
         "gopher_quality": gopher_rules_sql(),
+        "quality_classifier": _sql_quality_classifier(),
         "c4_clean": _c4_clean_sql(),
         "pii_redact": _pii_redact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
