@@ -1851,6 +1851,52 @@ FROM documents
 """
 
 
+def _q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization cleaning (functions/unicodeclean.py): every
+    third document gets an NFD prefix with zero-width space and NBSP,
+    every fifth a CRLF suffix — injected JVM-side — then the Arrow kernel
+    strips invisibles, maps NBSP, normalizes line endings, drops controls,
+    and NFC-composes. The oracle replays the same injection with chr()
+    arithmetic and DuckDB's nfc_normalize + the same regex chain, so the
+    hash match pins the whole composition byte-for-byte."""
+    from spider_spark.functions.unicodeclean import clean_unicode_udf
+
+    i = F.col("doc_id")
+    # 'Cafe' + combining acute (U+0301) + ZWSP + space + NBSP
+    prefix = "Cafe\u0301\u200b \u00a0"
+    injected = F.concat(
+        F.when(i % 3 == 0, F.lit(prefix)).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(i % 5 == 1, F.lit(" tail\r\nend\r")).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", injected.alias("_inj"))
+    cleaned = clean_unicode_udf(F.col("_inj"))
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (cleaned != F.col("_inj")).alias("was_changed"),
+    )
+
+
+def _sql_unicode_clean() -> str:
+    from spider_spark.functions.unicodeclean import clean_unicode_sql
+
+    inj = (
+        "(CASE WHEN doc_id % 3 = 0 "
+        "THEN 'Cafe' || chr(769) || chr(8203) || ' ' || chr(160) "
+        "ELSE '' END) || text || "
+        "(CASE WHEN doc_id % 5 = 1 "
+        "THEN ' tail' || chr(13) || chr(10) || 'end' || chr(13) "
+        "ELSE '' END)"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {inj} AS inj FROM documents)
+SELECT doc_id, {clean_unicode_sql('inj')} AS cleaned,
+       {clean_unicode_sql('inj')} <> inj AS was_changed
+FROM base
+"""
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -3305,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
         "mojibake_fix": _q_mojibake_fix,          # encoding repair (ftfy-style)
+        "unicode_clean": _q_unicode_clean,        # NFC + invisible-char pass
         # text analysis
         "doc_token_stats": _q_token_stats,
         "corpus_clean": _q_corpus_clean,
@@ -3422,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "sitemap_refresh": _sql_sitemap_refresh(),
         "mojibake_fix": _SQL_MOJIBAKE_FIX,
+        "unicode_clean": _sql_unicode_clean(),
         "doc_token_stats": _SQL_TOKEN_STATS,
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
