@@ -1653,6 +1653,48 @@ GROUP BY 1, 2
 """
 
 
+def _q_link_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink-structure spam features (operators/anchors.py
+    link_spam_features; Ntoulas et al. 2006 link half): admitted-link
+    counts, internal/external split, distinct destination hosts, anchor
+    text mass — parsed from the pages' ACTUAL HTML. The oracle replays
+    the synthetic anchor arithmetic with destination hosts, so the hash
+    match pins parse -> resolve -> filter -> two-stage agg -> zero-fill."""
+    from spider_spark.operators.anchors import link_spam_features
+
+    return link_spam_features(pages_from_documents(spark, sf_dir))
+
+
+def _sql_link_spam_features() -> str:
+    from spider_spark.operators.anchors import link_spam_features_sql
+
+    edges = f"""
+  WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  raw AS (
+    SELECT {_url_sql('doc_id')} AS src_url, {_host_sql('doc_id')} AS src_host,
+           {_url_sql('(2*doc_id+1) % nn.n')} AS dst_url,
+           {_host_sql('(2*doc_id+1) % nn.n')} AS dst_host,
+           'c1' AS anchor_text
+    FROM documents, nn
+    UNION ALL
+    SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+           'https://dead.example/d/' || doc_id, 'dead.example', 'dead'
+    FROM documents
+    UNION ALL
+    SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+           {_url_sql('(3*doc_id+2) % nn.n')},
+           {_host_sql('(3*doc_id+2) % nn.n')}, 'c2' FROM documents, nn
+    UNION ALL
+    SELECT {_url_sql('doc_id')}, {_host_sql('doc_id')},
+           {_url_sql('(2*doc_id+1) % nn.n')},
+           {_host_sql('(2*doc_id+1) % nn.n')}, 'c1b' FROM documents, nn
+  )
+  SELECT * FROM raw WHERE dst_url <> src_url
+"""
+    pages = f"SELECT {_url_sql('doc_id')} AS url FROM documents"
+    return link_spam_features_sql(edges, pages)
+
+
 def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text index (operators/anchors.py): per-(target, anchor-text)
     link counts + exact distinct-source-host counts, parsed from the
@@ -3348,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
         "host_opic": _q_host_opic,                # online crawl-time importance
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
+        "link_spam_features": _q_link_spam_features,  # outlink spam features
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
         "mojibake_fix": _q_mojibake_fix,          # encoding repair (ftfy-style)
@@ -3466,6 +3509,7 @@ def oracle_sql() -> dict[str, str]:
         "host_trustrank": _sql_host_trustrank(),
         "host_opic": _sql_host_opic(),
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
+        "link_spam_features": _sql_link_spam_features(),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "sitemap_refresh": _sql_sitemap_refresh(),
         "mojibake_fix": _SQL_MOJIBAKE_FIX,

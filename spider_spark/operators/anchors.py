@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 
 from spider_spark.functions.parse import extract_anchors_udf
 
-__all__ = ["anchor_pairs", "anchor_text_index", "anchor_text_index_sql"]
+__all__ = [
+    "anchor_pairs",
+    "anchor_text_index",
+    "anchor_text_index_sql",
+    "link_spam_features",
+    "link_spam_features_sql",
+]
 
 
 def anchor_pairs(pages: DataFrame, url_col: str = "url",
@@ -111,4 +117,81 @@ def anchor_text_index_sql(edges_rel: str) -> str:
            count(*)::BIGINT AS n_src_hosts
     FROM pre
     GROUP BY 1, 2
+    """
+
+
+def link_spam_features(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Per-page outlink-structure features — the link half of the classic
+    web-spam feature set (Ntoulas et al., WWW 2006 §4: spam pages skew
+    toward many external links, low anchor diversity, and boilerplate
+    anchor text): ``(url, n_links, n_internal, n_external, n_dst_hosts,
+    anchor_chars)`` over the ADMITTED links (the crawl's filters — query
+    drop, self drop, page-base resolution — so the features describe the
+    edges a crawler would actually follow). Pages whose links were all
+    filtered report zeros rather than vanishing.
+
+    Scale shape: the same single Arrow parse pass as every anchor
+    consumer, then two source-keyed aggregations (the distinct dst-host
+    count pre-aggregates on ``(src, dst_host)`` — never a count_distinct
+    expand over raw link rows). Integer arithmetic only — bit-exact
+    against :func:`link_spam_features_sql`."""
+    edges = anchor_pairs(pages, url_col, html_col)
+    internal = (F.col("dst_host") == F.col("src_host")).cast("int")
+    per_host = edges.groupBy("src_url", "dst_host").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(internal).alias("_int"),
+        F.sum(F.length("anchor_text")).alias("_chars"),
+    )
+    agg = per_host.groupBy("src_url").agg(
+        F.sum("_n").alias("n_links"),
+        F.sum("_int").alias("n_internal"),
+        (F.sum("_n") - F.sum("_int")).alias("n_external"),
+        F.count(F.lit(1)).alias("n_dst_hosts"),
+        F.sum("_chars").alias("anchor_chars"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        pages.select(F.col(url_col).alias("url"))
+        .join(agg.withColumnRenamed("src_url", "url"), on="url", how="left")
+        .select(
+            "url",
+            *[
+                F.coalesce(F.col(c), zero).cast("long").alias(c)
+                for c in (
+                    "n_links", "n_internal", "n_external",
+                    "n_dst_hosts", "anchor_chars",
+                )
+            ],
+        )
+    )
+
+
+def link_spam_features_sql(edges_rel: str, pages_rel: str) -> str:
+    """DuckDB mirror over an edge relation ``(src_url, src_host, dst_url,
+    dst_host, anchor_text)`` and a page-URL relation ``(url)`` — the same
+    two-stage aggregation and zero-fill."""
+    return f"""
+    WITH per_host AS (
+      SELECT src_url, dst_host, count(*)::BIGINT AS _n,
+             sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)::BIGINT AS _int,
+             sum(length(anchor_text))::BIGINT AS _chars
+      FROM ({edges_rel})
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT src_url AS url, sum(_n)::BIGINT AS n_links,
+             sum(_int)::BIGINT AS n_internal,
+             (sum(_n) - sum(_int))::BIGINT AS n_external,
+             count(*)::BIGINT AS n_dst_hosts,
+             sum(_chars)::BIGINT AS anchor_chars
+      FROM per_host GROUP BY 1
+    )
+    SELECT p.url,
+           coalesce(a.n_links, 0)::BIGINT AS n_links,
+           coalesce(a.n_internal, 0)::BIGINT AS n_internal,
+           coalesce(a.n_external, 0)::BIGINT AS n_external,
+           coalesce(a.n_dst_hosts, 0)::BIGINT AS n_dst_hosts,
+           coalesce(a.anchor_chars, 0)::BIGINT AS anchor_chars
+    FROM ({pages_rel}) p LEFT JOIN agg a USING (url)
     """

@@ -192,3 +192,66 @@ class TestNofollow:
         idx = {r["anchor_text"]
                for r in anchor_text_index(df, honor_nofollow=True).collect()}
         assert idx == {"plain", "safe"}
+
+
+class TestLinkSpamFeatures:
+    def test_features_and_zero_fill(self, spark):
+        from spider_spark.operators.anchors import (
+            link_spam_features,
+            link_spam_features_sql,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                # 2 internal (one self dropped), 2 external on 2 hosts
+                ("https://a.example/p", bytearray(
+                    b'<html><body>'
+                    b'<a href="https://a.example/p">self</a>'
+                    b'<a href="/q">inq</a>'
+                    b'<a href="https://a.example/r">inr</a>'
+                    b'<a href="https://b.example/x">bee</a>'
+                    b'<a href="https://c.example/y?k=1">cee</a>'
+                    b'<a>nohref</a></body></html>')),
+                # every link filtered (no-href + self) -> zero row
+                ("https://z.example/only", bytearray(
+                    b'<html><body><a>skip</a>'
+                    b'<a href="https://z.example/only">me</a></body></html>')),
+            ],
+            "url string, html binary",
+        )
+        got = {r["url"]: r for r in link_spam_features(pages).collect()}
+        a = got["https://a.example/p"]
+        # query-string link dropped (crawl admission), self dropped
+        assert (a["n_links"], a["n_internal"], a["n_external"]) == (3, 2, 1)
+        assert a["n_dst_hosts"] == 2
+        assert a["anchor_chars"] == len("inq") + len("inr") + len("bee")
+        z = got["https://z.example/only"]
+        assert (z["n_links"], z["n_internal"], z["n_external"],
+                z["n_dst_hosts"], z["anchor_chars"]) == (0, 0, 0, 0, 0)
+
+    def test_matches_sql_mirror(self, spark):
+        import duckdb as ddb
+
+        from spider_spark.operators.anchors import (
+            anchor_pairs,
+            link_spam_features,
+            link_spam_features_sql,
+        )
+        from spider_spark.sources.pages import synthetic_pages
+
+        pages = synthetic_pages(spark, 60).localCheckpoint(eager=True)
+        got = {
+            tuple(r) for r in link_spam_features(pages).collect()
+        }
+        con = ddb.connect()
+        con.register("edges_pd", anchor_pairs(pages).toPandas())
+        con.register("pages_pd", pages.select("url").toPandas())
+        want = {
+            tuple(r)
+            for r in con.execute(
+                link_spam_features_sql(
+                    "SELECT * FROM edges_pd", "SELECT url FROM pages_pd"
+                )
+            ).fetchall()
+        }
+        assert got == want
