@@ -385,6 +385,50 @@ FROM (
 """
 
 
+def _q_host_budget_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host budget TABLE scheduling (operators/politeness.py
+    schedule(host_budgets=)): round budgets driven by a (host, budget)
+    relation instead of one scalar — TrustRank/OPIC buckets, crawl
+    contracts. The salted two-stage per-host priority queue must emit
+    exactly the top-``budget(host)`` rows per host; the oracle is DuckDB's
+    plain per-host row_number window over the same arithmetic frontier and
+    budget table, so the hash match proves the kernel path IS the exact
+    per-host top-k under a heterogeneous budget vector."""
+    from spider_spark.operators.politeness import schedule
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    frontier = docs.select(
+        url_expr(i).alias("canon_url"),
+        host_expr(i).alias("host"),
+        F.lit(1).alias("depth"),
+        i.cast("long").alias("admission_rank"),
+    )
+    hb = spark.createDataFrame(
+        [(f"h{k}.example", 1 + k % 5) for k in range(20)],
+        "host string, budget int",
+    )
+    eligible, _, _ = schedule(frontier, budget=None, host_budgets=hb)
+    return eligible.select("canon_url", "host", "admission_rank")
+
+
+def _sql_host_budget_schedule() -> str:
+    host_num = "CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 19 END"
+    return f"""
+WITH f AS (
+  SELECT {_url_sql('doc_id')} AS canon_url, {_host_sql('doc_id')} AS host,
+         1 + ({host_num}) % 5 AS hb, doc_id AS admission_rank
+  FROM documents
+)
+SELECT canon_url, host, admission_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY admission_rank
+  ) AS rn FROM f
+) WHERE rn <= hb
+"""
+
+
 def _q_tiered_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-level tier-crawl invariant: a bounded per-round fetch
     capacity (``max_fetch_per_round``) ordered by host tiers reschedules
@@ -3363,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_numbered": _q_crawl_numbered,      # L2 row_number
         "budget_seen_invariance": _q_budget_seen_invariance,  # I2
         "tiered_round_cap": _q_tiered_round_cap,  # tier-ordered capacity
+        "host_budget_schedule": _q_host_budget_schedule,  # budget-table top-k
         "tiered_crawl_seen": _q_tiered_crawl_seen,  # cap+tiers seen invariant
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
         "lang_breakdown": _q_lang_breakdown,
@@ -3482,6 +3527,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_numbered": _SQL_CRAWL_NUMBERED,
         "budget_seen_invariance": _SQL_BUDGET_SEEN,
         "tiered_round_cap": _sql_tiered_round_cap(),
+        "host_budget_schedule": _sql_host_budget_schedule(),
         "tiered_crawl_seen": _SQL_TIERED_CRAWL_SEEN,
         "host_page_counts": _SQL_HOST_COUNTS,
         "lang_breakdown": _SQL_LANG_BREAKDOWN,

@@ -100,10 +100,12 @@ def cmd_crawl(args) -> int:
         logger.log(CRAWL_INFO, "--use-proxy has no effect on a replayed pages table")
 
     durable = getattr(args, "durable", False) or getattr(args, "resume", False)
+    max_fetch = getattr(args, "max_fetch_per_round", 0)
     cfg = CrawlConfig(
         depth=args.depth,
         budget=args.concur if args.concur and args.concur > 0 else None,
         waves=max(1, getattr(args, "waves", 1)),
+        max_fetch_per_round=max_fetch if max_fetch and max_fetch > 0 else None,
         overwrite=args.overwrite,
         use_cache=args.cache,
         verify_text=False,
@@ -278,6 +280,12 @@ def build_parser(config: ConfigController) -> argparse.ArgumentParser:
                    help="depth of scraping (default=1)")
     s.add_argument("--concur", type=int, default=cfg.concurrency_limit,
                    help="per-host politeness budget per round (0 = unlimited)")
+    s.add_argument("--max-fetch-per-round", dest="max_fetch_per_round",
+                   type=int, default=0,
+                   help="tiered global round capacity: cap fetches per "
+                        "round at N, ordered by (depth, admission) — "
+                        "0 = uncapped (operators/politeness.py "
+                        "global_round_cap; seen set invariant)")
     s.add_argument("--waves", type=int, default=1,
                    help="politeness windows batched per Spark round "
                         "(amortizes round overhead; seen set is invariant)")

@@ -179,15 +179,24 @@ def apply_robots(frontier: DataFrame, rules: RobotsRules,
     return allowed, denied
 
 
-def _topk_fn(k: int):
+def _topk_fn(k: int | None):
     """applyInPandas kernel: per-group priority queue emitting the top
-    ``min(k, group's __delay_cap)`` rows by (depth, admission_rank)."""
+    ``min(k, group's __delay_cap, group's __host_budget)`` rows by
+    (depth, admission_rank). ``k=None`` means no global per-host budget —
+    the group's own caps (delay, host-budget column) still apply; with no
+    cap at all the group passes through whole."""
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
         kk = k
         cap = pdf["__delay_cap"].iat[0]
         if pd.notna(cap):
-            kk = min(kk, int(cap))
+            kk = int(cap) if kk is None else min(kk, int(cap))
+        if "__host_budget" in pdf.columns:
+            hb = pdf["__host_budget"].iat[0]
+            if pd.notna(hb):
+                kk = int(hb) if kk is None else min(kk, int(hb))
+        if kk is None:
+            return pdf
         return pdf.nsmallest(kk, PRIORITY_COLS)
 
     return topk
@@ -201,6 +210,7 @@ def schedule(
     round_window_sec: float = 60.0,
     strict_bfs: bool = True,
     waves: int = 1,
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Return ``(eligible, carryover, blocked)`` for this round.
 
@@ -210,16 +220,29 @@ def schedule(
     into the round (budget and delay caps scale by ``waves``); under
     ``strict_bfs`` only the frontier's minimum-depth level competes for
     budget, which preserves min-depth discovery (see module docstring).
+
+    ``host_budgets`` is an optional ``(host, budget)`` table of PER-HOST
+    round budgets (e.g. derived from TrustRank/OPIC buckets, crawl
+    contracts, or abuse history) that composes with the scalar ``budget``
+    and the robots delay caps by minimum. It rides the same broadcast-join
+    + per-group-kernel path as the delay caps — host-level, tiny next to
+    the frontier, never collected. Budgets clamp to ≥1 (a 0-budget host
+    would never drain its carryover and the crawl loop could not
+    terminate; exclusion is robots'/the blocklist's job, not the rate
+    limiter's) and scale by ``waves`` like every other cap. With
+    ``budget=None`` unlisted hosts stay unlimited (the table is the only
+    constraint); the seen-set invariance argument is unchanged — budgets
+    reschedule, never drop (module docstring).
     """
     rules = rules or RobotsRules()
     if rules.trivially_empty:
         allowed, blocked_df = frontier, frontier.limit(0)
-        if budget is None:
+        if budget is None and host_budgets is None:
             return allowed, allowed.limit(0), blocked_df
         allowed = allowed.withColumn("__delay_cap", F.lit(None).cast("int"))
     else:
         allowed, blocked_df = apply_robots(frontier, rules, round_window_sec)
-        if budget is None:
+        if budget is None and host_budgets is None:
             # no budget: delay caps don't apply either (reference parity
             # path keeps robots exclusion but no rate maths)
             return allowed.drop("__delay_cap"), frontier.limit(0), blocked_df
@@ -235,13 +258,20 @@ def schedule(
     else:
         gated = allowed
 
-    k = budget * max(1, waves)
+    k = budget * max(1, waves) if budget is not None else None
     if waves > 1:
         # a batched round spans `waves` politeness windows → delay caps
         # scale identically to the budget
         gated = gated.withColumn(
             "__delay_cap", (F.col("__delay_cap") * waves).cast("int")
         )
+    if host_budgets is not None:
+        hb = host_budgets.select(
+            F.lower(F.col("host")).alias("host"),
+            (F.greatest(F.col("budget").cast("int"), F.lit(1))
+             * max(1, waves)).alias("__host_budget"),
+        )
+        gated = gated.join(F.broadcast(hb), on="host", how="left")
     schema = gated.schema
 
     stage1 = (
@@ -253,7 +283,7 @@ def schedule(
         )
     )
     eligible = stage1.groupBy("host").applyInPandas(_topk_fn(k), schema=schema)
-    eligible = eligible.drop("__delay_cap")
+    eligible = eligible.drop("__delay_cap", "__host_budget")
     carryover = allowed.drop("__delay_cap").join(
         eligible.select("canon_url"), on="canon_url", how="left_anti"
     )

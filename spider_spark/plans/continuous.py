@@ -76,7 +76,9 @@ class ContinuousCrawler:
                  config: CrawlConfig | None = None,
                  expected_urls: int | None = None, n_shards: int = 1,
                  io=None, spill_dir: str | None = None, dedup_index=None,
-                 trap_guard: dict | None = None):
+                 trap_guard: dict | None = None,
+                 host_tiers: DataFrame | None = None,
+                 host_budgets: DataFrame | None = None):
         self.spark = spark
         self.pages = pages
         # ingest-time content near-dup gate: a
@@ -104,6 +106,13 @@ class ContinuousCrawler:
         # min_urls eventually — and stays blocked in every later wave.
         self.trap_guard = trap_guard
         self.trap_stats: DataFrame | None = None
+        # crawl priority tiers for the per-round capacity cap
+        # (CrawlConfig.max_fetch_per_round; operators/politeness.py
+        # global_round_cap) and per-host budget table (schedule
+        # host_budgets=) — carried corpus-lifetime like the trap stats
+        # so every wave's engines rank capacity the same way
+        self.host_tiers = host_tiers
+        self.host_budgets = host_budgets
         self.config = config or CrawlConfig()
         self.io = io
         if io is not None and not self.config.durable:
@@ -130,6 +139,7 @@ class ContinuousCrawler:
             self.spark, self.pages, self.config, io=self.io,
             seen_filter=self.filter, content_gate=content_gate,
             trap_guard=self.trap_guard, host_stats=self.trap_stats,
+            host_tiers=self.host_tiers, host_budgets=self.host_budgets,
         )
 
     # -- ingest-time content dedup (MinHashIndex plumbing) -----------------

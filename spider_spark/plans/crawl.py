@@ -239,6 +239,12 @@ class CrawlEngine:
                                     # by max_fetch_per_round — e.g. TrustRank/
                                     # OPIC score buckets; unlisted hosts get
                                     # the lowest priority
+        host_budgets: DataFrame | None = None,  # ('host', 'budget' int):
+                                    # PER-HOST round budgets composing with
+                                    # cfg.budget and robots delay caps by
+                                    # minimum (operators/politeness.py
+                                    # schedule; clamped ≥1, waves-scaled);
+                                    # unlisted hosts keep cfg.budget
     ):
         self.spark = spark
         self.pages = pages
@@ -309,6 +315,9 @@ class CrawlEngine:
             if host_tiers is not None
             else None
         )
+        # per-host budget table: normalization (lowercase, clamp, wave
+        # scaling) happens inside schedule(); carried as-is
+        self._host_budgets = host_budgets
         self.trap_guard = trap_guard
         self.host_stats = host_stats
         self._dyn_blocked = None
@@ -626,6 +635,7 @@ class CrawlEngine:
             cfg.budget is None
             and self.rules.trivially_empty
             and cfg.max_fetch_per_round is None
+            and self._host_budgets is None
         )
         if no_politeness:
             eligible = state.frontier  # already checkpointed by the caller
@@ -642,6 +652,7 @@ class CrawlEngine:
             eligible, carryover, blocked = schedule(
                 state.frontier, cfg.budget, self.rules, salt=cfg.salt,
                 strict_bfs=cfg.strict_bfs, waves=cfg.waves,
+                host_budgets=self._host_budgets,
             )
             if cfg.max_fetch_per_round is not None:
                 # tiered global round capacity (after per-host budgets):

@@ -95,6 +95,22 @@ class TestCrawlCatch:
         assert any(m.startswith("#1 https://h0.example/d/2 | ") for m in msgs)
         assert sum(1 for m in msgs if m.startswith("#")) == 3
 
+    def test_max_fetch_per_round_same_results(self, run, spark, store, caplog):
+        """--max-fetch-per-round reschedules fetches across rounds but the
+        persisted results (and counters) match the uncapped crawl."""
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        assert run("--pages", "synthetic:120", "crawl",
+                   "https://h0.example/d/2", "--depth", "2") == 0
+        io = ParquetManifestIO(spark, store)
+        base = {r["url"] for r in io.read(cli.RESULTS_TABLE).collect()}
+        io.drop(cli.RESULTS_TABLE)
+        assert run("--pages", "synthetic:120", "crawl",
+                   "https://h0.example/d/2", "--depth", "2",
+                   "--max-fetch-per-round", "3") == 0
+        capped = {r["url"] for r in io.read(cli.RESULTS_TABLE).collect()}
+        assert capped == base and len(base) > 3
+
     def test_no_overwrite_keeps_content(self, run, spark, store, caplog):
         from spider_spark.sources.tableio import ParquetManifestIO
 

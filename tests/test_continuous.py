@@ -368,3 +368,35 @@ class TestDurableContinuous:
     def test_durable_config_requires_io(self, spark, pages):
         with pytest.raises(ValueError):
             ContinuousCrawler(spark, pages, CrawlConfig(durable=True))
+
+
+class TestTieredWaveCapacity:
+    def test_capped_tiered_waves_match_uncapped_membership(self, spark, pages):
+        """Corpus-lifetime host tiers + a per-round fetch cap reschedule
+        wave work without changing what gets (re)crawled: bootstrap and
+        wave seen sets equal the uncapped crawler's exactly."""
+        tiers = spark.createDataFrame(
+            [("h0.example", 0)], "host string, tier int"
+        )
+
+        def build(capped: bool):
+            cfg = CrawlConfig(
+                depth=6, bloom_capacity=10_000,
+                max_fetch_per_round=7 if capped else None,
+            )
+            cc = ContinuousCrawler(
+                spark, pages, cfg, expected_urls=10_000, n_shards=2,
+                host_tiers=tiers if capped else None,
+            )
+            cc.bootstrap(SEEDS)
+            return cc
+
+        base, capped = build(False), build(True)
+        key = lambda cc: _rows(cc.seen, "canon_url", "depth")  # noqa: E731
+        assert key(capped) == key(base)
+        rb = base.wave(PAGES_EPOCH + 400, ttl_sec=300, jitter_frac=0.2)
+        rc = capped.wave(PAGES_EPOCH + 400, ttl_sec=300, jitter_frac=0.2)
+        assert (rc.due, rc.fetched, rc.new_links) == (
+            rb.due, rb.fetched, rb.new_links
+        )
+        assert key(capped) == key(base)

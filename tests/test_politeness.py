@@ -366,3 +366,72 @@ class TestEngineRoundCap:
         a, b = cfgs
         assert {u for u, _ in a} == {u for u, _ in b}  # same membership
         assert a != b  # different schedule
+
+
+class TestHostBudgetTable:
+    def test_per_host_budgets_compose_with_scalar(self, spark, frontier):
+        hb = spark.createDataFrame(
+            [("h0.example", 2), ("h1.example", 7)], "host string, budget int"
+        )
+        eligible, carryover, _ = schedule(frontier, budget=5, host_budgets=hb)
+        by_host = {}
+        for r in eligible.collect():
+            by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+        # min(scalar, table): h0 -> 2, h1 -> 5 (table 7 > scalar), h2 -> 5
+        assert by_host == {"h0.example": 2, "h1.example": 5, "h2.example": 5}
+        assert carryover.count() == 30 - 12
+
+    def test_table_only_budgets(self, spark, frontier):
+        hb = spark.createDataFrame(
+            [("h0.example", 3)], "host string, budget int"
+        )
+        eligible, carryover, _ = schedule(frontier, budget=None, host_budgets=hb)
+        by_host = {}
+        for r in eligible.collect():
+            by_host[r["host"]] = by_host.get(r["host"], 0) + 1
+        # listed host capped, unlisted hosts unlimited
+        assert by_host == {"h0.example": 3, "h1.example": 10, "h2.example": 10}
+        # exact top-3 by admission rank on the capped host
+        got = sorted(
+            r["admission_rank"] for r in eligible.collect()
+            if r["host"] == "h0.example"
+        )
+        assert got == [0, 1, 2]
+
+    def test_zero_budget_clamps_to_one(self, spark, frontier):
+        hb = spark.createDataFrame(
+            [("h0.example", 0)], "host string, budget int"
+        )
+        eligible, _, _ = schedule(frontier, budget=None, host_budgets=hb)
+        n_h0 = eligible.filter(F.col("host") == "h0.example").count()
+        assert n_h0 == 1  # 0 would starve carryover and hang the crawl loop
+
+    def test_waves_scale_table_budgets(self, spark, frontier):
+        hb = spark.createDataFrame(
+            [("h0.example", 2)], "host string, budget int"
+        )
+        eligible, _, _ = schedule(
+            frontier, budget=None, host_budgets=hb, waves=3
+        )
+        assert eligible.filter(F.col("host") == "h0.example").count() == 6
+
+    def test_engine_seen_invariant_under_host_budgets(self, spark):
+        # many even-id seeds: the hot host h0 holds a whole seed level, so
+        # its table budget BINDS (extra carryover rounds), yet membership
+        # and depth stamps must match the unbudgeted crawl exactly
+        pages = synthetic_pages(spark, 200).localCheckpoint(eager=True)
+        seeds = [f"https://h0.example/d/{i}" for i in range(0, 40, 4)]
+        base = CrawlEngine(
+            spark, pages, CrawlConfig(depth=2, verify_text=False)
+        ).crawl(seeds)
+        expected = {(r["canon_url"], r["depth"]) for r in base.seen.collect()}
+        hb = spark.createDataFrame(
+            [("h0.example", 3), ("h18.example", 1)], "host string, budget int"
+        )
+        budgeted = CrawlEngine(
+            spark, pages, CrawlConfig(depth=2, verify_text=False),
+            host_budgets=hb,
+        ).crawl(seeds)
+        got = {(r["canon_url"], r["depth"]) for r in budgeted.seen.collect()}
+        assert got == expected
+        assert len(budgeted.metrics) > len(base.metrics)  # budget bound
