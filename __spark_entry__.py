@@ -3237,6 +3237,107 @@ FROM (SELECT doc_id AS i FROM documents WHERE doc_id < 50)
 """
 
 
+def _q_robots_path_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RFC 9309 path matching (functions/robots.py rules column +
+    operators/politeness.robots_verdict_blocked): per-host synthetic
+    bodies exercising mid-pattern ``*``, ``$`` anchoring, Allow
+    longest-match override, the equal-length tie → Allow rule, and
+    literal ``_`` escaping; eight frontier paths per host hit every rule
+    family. The engine compiles patterns to ``LIKE … ESCAPE '^'`` and
+    folds the verdict as ONE JVM aggregate inside the production
+    ``apply_robots`` gate; the oracle evaluates the SAME compiled
+    patterns with DuckDB's ``LIKE … ESCAPE`` and an arg_max replay of
+    longest-match precedence — the matcher semantics themselves are
+    what's hash-checked."""
+    from spider_spark.functions.robots import parse_robots_df
+    from spider_spark.operators.politeness import RobotsRules, apply_robots
+
+    _ensure_shipped(spark)
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("i")).filter("i < 40")
+    i = F.col("i").cast("string")
+    k = (F.col("i") % 4).cast("string")
+    t = (F.col("i") % 2).cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /p"), k, F.lit("/*\n"),
+        F.lit("Allow: /p"), k, F.lit("/*open*\n"),
+        F.lit("Disallow: /*.zip$\n"),
+        F.lit("Disallow: /t"), t, F.lit("/\n"),
+        F.lit("Allow: /t"), t, F.lit("/\n"),
+        F.lit("Disallow: /u_x/\n"),
+    )
+    hosts = ids.select(
+        F.concat(F.lit("h"), i, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+        F.col("i"),
+    )
+    rules = RobotsRules.from_df(
+        parse_robots_df(hosts.select("host", "robots_txt")))
+    paths = F.array(
+        F.concat(F.lit("/p"), k, F.lit("/doc"), i),        # Disallow /*
+        F.concat(F.lit("/p"), k, F.lit("/x-open-"), i),    # Allow override
+        F.concat(F.lit("/f"), i, F.lit(".zip")),           # $ anchor hits
+        F.concat(F.lit("/f"), i, F.lit(".zipx")),          # $ anchor misses
+        F.concat(F.lit("/t"), t, F.lit("/q")),             # tie → Allow
+        F.concat(F.lit("/u_x/"), i),                       # literal _ hits
+        F.concat(F.lit("/uax/"), i),                       # literal _ misses
+        F.concat(F.lit("/p"), ((F.col("i") + 1) % 4).cast("string"),
+                 F.lit("/doc")),                           # other prefix
+    )
+    frontier = hosts.select(
+        "host", F.explode(paths).alias("path")
+    ).select(
+        "host",
+        F.concat(F.lit("http://"), F.col("host"), F.col("path"))
+        .alias("canon_url"),
+    )
+    allowed, blocked = apply_robots(frontier, rules)
+    return (
+        allowed.drop("__delay_cap").withColumn("blocked", F.lit(False))
+        .unionByName(blocked.withColumn("blocked", F.lit(True)))
+        .select("host", F.col("canon_url").alias("url"), "blocked")
+    )
+
+
+_SQL_ROBOTS_PATH_MATCH = """
+WITH hosts AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40),
+rules AS (
+  SELECT i, '/p' || (i%4) || '/%%' AS lk,
+         strlen('/p' || (i%4) || '/*') AS len, FALSE AS allow
+  FROM hosts
+  UNION ALL SELECT i, '/p' || (i%4) || '/%open%%',
+         strlen('/p' || (i%4) || '/*open*'), TRUE FROM hosts
+  UNION ALL SELECT i, '/%.zip', strlen('/*.zip$'), FALSE FROM hosts
+  UNION ALL SELECT i, '/t' || (i%2) || '/%',
+         strlen('/t' || (i%2) || '/'), FALSE FROM hosts
+  UNION ALL SELECT i, '/t' || (i%2) || '/%',
+         strlen('/t' || (i%2) || '/'), TRUE FROM hosts
+  UNION ALL SELECT i, '/u^_x/%', strlen('/u_x/'), FALSE FROM hosts
+),
+paths AS (
+  SELECT i, CASE j
+    WHEN 0 THEN '/p' || (i%4) || '/doc' || i
+    WHEN 1 THEN '/p' || (i%4) || '/x-open-' || i
+    WHEN 2 THEN '/f' || i || '.zip'
+    WHEN 3 THEN '/f' || i || '.zipx'
+    WHEN 4 THEN '/t' || (i%2) || '/q'
+    WHEN 5 THEN '/u_x/' || i
+    WHEN 6 THEN '/uax/' || i
+    ELSE '/p' || ((i+1)%4) || '/doc' END AS path
+  FROM hosts, (SELECT unnest(range(8)) AS j)
+)
+SELECT 'h' || p.i || '.example' AS host,
+       'http://h' || p.i || '.example' || p.path AS url,
+       coalesce(
+         NOT arg_max(r.allow,
+                     r.len * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END),
+         FALSE) AS blocked
+FROM paths p
+LEFT JOIN rules r ON r.i = p.i AND p.path LIKE r.lk ESCAPE '^'
+GROUP BY 1, 2
+"""
+
+
 KMV_K = 32
 CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 2048, 20
 
@@ -3492,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
+        "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
         "url_fold_variants": _q_url_fold_variants,  # aggressive alias fold
         "canonical_clusters": _q_canonical_clusters,  # rel=canonical dedup
@@ -3613,6 +3715,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_lookup": _sql_cdx_lookup(),
         "top_ngrams": _sql_top_ngrams(),
         "robots_rules": _SQL_ROBOTS_RULES,
+        "robots_path_match": _SQL_ROBOTS_PATH_MATCH,
         "url_param_scrub": _sql_url_param_scrub(),
         "url_fold_variants": _sql_url_fold_variants(),
         "canonical_clusters": _SQL_CANONICAL_CLUSTERS,

@@ -20,9 +20,19 @@ honors):
   neither, everything is allowed;
 * ``Disallow`` values are path prefixes (percent-encoding left as-is —
   the frontier's canonical URLs keep theirs too); an empty value
-  disallows nothing; ``Allow`` lines are parsed but not carried — the
-  politeness gate is prefix-disallow-only, so we stay conservative by
-  ignoring re-allows (never fetches more than an RFC-complete client);
+  disallows nothing;
+* **full RFC 9309 path matching** rides a second output column:
+  ``rules`` carries every Allow AND Disallow pattern of the selected
+  groups compiled to a SQL ``LIKE`` pattern (``*`` → ``%``, trailing
+  ``$`` anchors by dropping the implicit suffix wildcard, specials
+  escaped with ``^``) plus the raw-pattern octet length the RFC's
+  longest-match precedence ranks by (ties → Allow). The politeness gate
+  (operators/politeness.py ``_with_rules``) evaluates the whole verdict
+  as one JVM ``aggregate`` over that array — no Python in the per-URL
+  path, and the identical ``LIKE … ESCAPE '^'`` semantics exist in
+  DuckDB, so the matcher is oracle-checkable end-to-end. The legacy
+  ``disallow_prefixes`` column (prefix-only, Allow ignored —
+  conservative) is still emitted for back-compat consumers;
 * ``Crawl-delay`` (non-standard, widely honored): seconds, float; the
   smallest value across selected groups wins (most polite);
 * ``Sitemap`` is *global* per RFC — collected from anywhere in the
@@ -48,34 +58,70 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["parse_robots_txt", "parse_robots_df", "ROBOTS_PARSED_SCHEMA"]
+__all__ = [
+    "parse_robots_txt", "parse_robots_df", "compile_like_pattern",
+    "ROBOTS_PARSED_SCHEMA", "RULE_SCHEMA",
+]
+
+RULE_SCHEMA = StructType([
+    StructField("lk", StringType(), False),      # compiled LIKE pattern
+    StructField("len", IntegerType(), False),    # raw-pattern octets (RFC rank)
+    StructField("allow", BooleanType(), False),
+])
 
 ROBOTS_PARSED_SCHEMA = StructType([
     StructField("disallow_prefixes", ArrayType(StringType(), False), False),
     StructField("crawl_delay", DoubleType(), True),
     StructField("sitemaps", ArrayType(StringType(), False), False),
+    StructField("rules", ArrayType(RULE_SCHEMA, False), False),
 ])
 
+LIKE_ESCAPE = "^"  # shared with the politeness matcher and the DuckDB mirror
 
-def parse_robots_txt(
+
+def compile_like_pattern(pat: str) -> str:
+    """Compile one robots path pattern to a SQL ``LIKE`` pattern with
+    escape char ``^``: ``*`` → ``%``; a trailing ``$`` anchors the match
+    (no trailing ``%``); ``%``/``_``/``^`` occurring literally are
+    escaped. A ``$`` anywhere else is a literal octet per RFC 9309."""
+    anchored = pat.endswith("$")
+    body = pat[:-1] if anchored else pat
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", LIKE_ESCAPE):
+            out.append(LIKE_ESCAPE + ch)
+        else:
+            out.append(ch)
+    if not anchored:
+        out.append("%")
+    return "".join(out)
+
+
+def _parse_groups(
     body: str, agent: str = "spider"
-) -> tuple[list[str], float | None, list[str]]:
-    """Pure-Python kernel: ``(disallow_prefixes, crawl_delay, sitemaps)``
-    for ``agent``. Disallow prefixes come back sorted-unique (the
-    politeness gate is order-independent; a canonical order keeps the
-    output deterministic and oracle-comparable)."""
+) -> tuple[list[tuple[str, bool]], float | None, list[str]]:
+    """Shared kernel: ``(rules, crawl_delay, sitemaps)`` for ``agent``,
+    where ``rules`` is the sorted-unique ``(pattern, is_allow)`` set of
+    the selected groups (group selection per RFC 9309; see module
+    docstring). Sorted-unique because longest-match precedence is
+    order-independent — a canonical order keeps output deterministic and
+    oracle-comparable."""
     agent_lc = agent.lower()
-    # group := (agent_tokens, disallows, crawl_delay)
-    groups: list[tuple[list[str], list[str], float | None]] = []
+    # group := (agent_tokens, rules[(pattern, is_allow)], crawl_delay)
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
     sitemaps: list[str] = []
     cur_agents: list[str] = []
-    cur_rules: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
     cur_delay: float | None = None
     in_agent_run = False  # consecutive User-agent lines extend the group
 
@@ -106,9 +152,11 @@ def parse_robots_txt(
         in_agent_run = False
         if not cur_agents:
             continue  # rules before any group are undefined — ignored
-        if field == "disallow":
+        if field in ("disallow", "allow"):
+            # empty Disallow = allow everything; empty Allow is a no-op —
+            # either way an empty value contributes no rule
             if value:
-                cur_rules.append(value)
+                cur_rules.append((value, field == "allow"))
         elif field == "crawl-delay":
             try:
                 d = float(value)
@@ -120,20 +168,43 @@ def parse_robots_txt(
 
     exact = [g for g in groups if agent_lc in g[0]]
     chosen = exact or [g for g in groups if "*" in g[0]]
-    prefixes = sorted({p for g in chosen for p in g[1]})
+    rules = sorted({r for g in chosen for r in g[1]})
     delays = [g[2] for g in chosen if g[2] is not None]
-    return prefixes, (min(delays) if delays else None), sitemaps
+    return rules, (min(delays) if delays else None), sitemaps
+
+
+def parse_robots_txt(
+    body: str, agent: str = "spider"
+) -> tuple[list[str], float | None, list[str]]:
+    """Back-compat kernel surface: ``(disallow_prefixes, crawl_delay,
+    sitemaps)`` for ``agent`` — the prefix-only view (Allow rules
+    dropped), sorted-unique."""
+    rules, delay, sitemaps = _parse_groups(body, agent)
+    return [p for p, is_allow in rules if not is_allow], delay, sitemaps
 
 
 def make_robots_udf(agent: str = "spider"):
     @pandas_udf(ROBOTS_PARSED_SCHEMA)
     def robots_udf(body: pd.Series) -> pd.DataFrame:
-        rows = [parse_robots_txt(b, agent) for b in body]
+        rows = [_parse_groups(b, agent) for b in body]
         return pd.DataFrame(
             {
-                "disallow_prefixes": [r[0] for r in rows],
+                "disallow_prefixes": [
+                    [p for p, is_allow in r[0] if not is_allow] for r in rows
+                ],
                 "crawl_delay": [r[1] for r in rows],
                 "sitemaps": [r[2] for r in rows],
+                "rules": [
+                    [
+                        {
+                            "lk": compile_like_pattern(p),
+                            "len": len(p.encode("utf-8")),
+                            "allow": is_allow,
+                        }
+                        for p, is_allow in r[0]
+                    ]
+                    for r in rows
+                ],
             }
         )
 
@@ -143,10 +214,11 @@ def make_robots_udf(agent: str = "spider"):
 def parse_robots_df(robots: DataFrame, agent: str = "spider",
                     host_col: str = "host",
                     body_col: str = "robots_txt") -> DataFrame:
-    """``(host, disallow_prefixes, crawl_delay, sitemaps)`` from a table
-    of fetched robots.txt bodies — column-compatible with
-    ``RobotsRules.from_df`` (extra ``sitemaps`` column feeds sitemap
-    ingestion). One Arrow pass, no shuffle."""
+    """``(host, disallow_prefixes, crawl_delay, sitemaps, rules)`` from a
+    table of fetched robots.txt bodies — column-compatible with
+    ``RobotsRules.from_df`` (the ``rules`` column upgrades the politeness
+    gate to full RFC 9309 wildcard/Allow longest-match; the ``sitemaps``
+    column feeds sitemap ingestion). One Arrow pass, no shuffle."""
     parsed = robots.withColumn(
         "_p", make_robots_udf(agent)(F.col(body_col).cast("string"))
     )
@@ -155,4 +227,5 @@ def parse_robots_df(robots: DataFrame, agent: str = "spider",
         F.col("_p.disallow_prefixes").alias("disallow_prefixes"),
         F.col("_p.crawl_delay").alias("crawl_delay"),
         F.col("_p.sitemaps").alias("sitemaps"),
+        F.col("_p.rules").alias("rules"),
     )

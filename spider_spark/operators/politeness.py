@@ -50,6 +50,17 @@ matching a disallowed path prefix are excluded from fetching entirely
 (marked ``blocked``); ``crawl_delay`` caps the per-round host budget at
 ``round_window / crawl_delay`` fetches. Prefix matching and TTL expiry
 are JVM Column expressions — no Python and no driver state in the path.
+
+Full RFC 9309 matching: when the rules table carries the ``rules``
+column (``array<struct<lk, len, allow>>`` from
+``functions/robots.parse_robots_df`` — every Allow AND Disallow pattern
+compiled to a SQL ``LIKE`` pattern plus its raw-octet length), the
+verdict is the RFC's longest-match precedence (most raw octets wins,
+ties → Allow, no match → allowed), folded as ONE JVM ``aggregate`` over
+the array with ``like(path, lk, '^')`` — still zero Python per URL, and
+``LIKE … ESCAPE`` has identical semantics in DuckDB so the matcher is
+oracle-checkable end-to-end. Tables without ``rules`` keep the legacy
+conservative prefix-disallow gate.
 """
 
 from __future__ import annotations
@@ -99,9 +110,10 @@ class RobotsRules:
                 F.col("fetched_ts").isNotNull()
                 & (F.col("fetched_ts") >= F.lit(cutoff))
             )
-        return RobotsRules(df=robots_df.select(
-            "host", "disallow_prefixes", "crawl_delay"
-        ))
+        cols = ["host", "disallow_prefixes", "crawl_delay"]
+        if "rules" in robots_df.columns:
+            cols.append("rules")  # full RFC 9309 matcher (see module doc)
+        return RobotsRules(df=robots_df.select(*cols))
 
     @property
     def trivially_empty(self) -> bool:
@@ -135,24 +147,56 @@ def _path_expr(url):
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+def robots_verdict_blocked(path, rules_col) -> F.Column:
+    """RFC 9309 longest-match verdict as one JVM ``aggregate`` fold over
+    the compiled rule array (``struct<lk, len, allow>`` — see
+    functions/robots.RULE_SCHEMA): among rules whose ``LIKE`` pattern
+    matches ``path``, the one with the most raw-pattern octets wins,
+    ties break toward Allow, no match (or no rules row) → allowed.
+    Escape char ``^`` matches functions/robots.LIKE_ESCAPE and the
+    DuckDB oracle's ``LIKE … ESCAPE '^'``."""
+    best = F.aggregate(
+        rules_col,
+        F.struct(F.lit(-1).alias("len"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            F.like(path, r["lk"], F.lit("^"))
+            & (
+                (r["len"] > acc["len"])
+                | ((r["len"] == acc["len"]) & r["allow"])
+            ),
+            F.struct(r["len"].alias("len"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return F.coalesce(~best["allow"], F.lit(False))
+
+
 def _with_rules(frontier: DataFrame, rules: RobotsRules,
                 round_window_sec: float) -> DataFrame:
     """Join the rules table onto the frontier (host key), yielding JVM
-    columns ``__blocked`` (disallow-prefix match on the URL path) and
-    ``__delay_cap`` (per-round fetch cap from crawl_delay; null = no cap).
-    The rules side is tiny in practice → AQE broadcasts it; a huge robots
-    table degrades to a host-keyed shuffle join, never a driver collect."""
-    rules_df = rules.to_df(frontier.sparkSession).select(
+    columns ``__blocked`` (RFC 9309 longest-match verdict when the table
+    carries compiled ``rules``; conservative disallow-prefix match
+    otherwise) and ``__delay_cap`` (per-round fetch cap from crawl_delay;
+    null = no cap). The rules side is tiny in practice → AQE broadcasts
+    it; a huge robots table degrades to a host-keyed shuffle join, never
+    a driver collect."""
+    rules_df = rules.to_df(frontier.sparkSession)
+    full_match = "rules" in rules_df.columns
+    sel = [
         F.col("host"),
         F.col("disallow_prefixes").alias("__dis"),
         F.col("crawl_delay").alias("__delay"),
-    )
-    joined = frontier.join(rules_df, on="host", how="left")
+    ]
+    if full_match:
+        sel.append(F.col("rules").alias("__rules"))
+    joined = frontier.join(rules_df.select(*sel), on="host", how="left")
     path = _path_expr(F.col("canon_url"))
-    blocked = F.coalesce(
-        F.exists(F.col("__dis"), lambda p: F.startswith(path, p)),
-        F.lit(False),
-    )
+    if full_match:
+        blocked = robots_verdict_blocked(path, F.col("__rules"))
+    else:
+        blocked = F.coalesce(
+            F.exists(F.col("__dis"), lambda p: F.startswith(path, p)),
+            F.lit(False),
+        )
     delay_cap = F.when(
         F.col("__delay") > 0,
         F.greatest(
@@ -162,7 +206,7 @@ def _with_rules(frontier: DataFrame, rules: RobotsRules,
     return (
         joined.withColumn("__blocked", blocked)
         .withColumn("__delay_cap", delay_cap)
-        .drop("__dis", "__delay")
+        .drop("__dis", "__delay", *(["__rules"] if full_match else []))
     )
 
 

@@ -89,6 +89,115 @@ class TestKernel:
         assert parse_robots_txt(None) == ([], None, [])
 
 
+class TestLikeCompile:
+    def test_star_and_anchor(self):
+        from spider_spark.functions.robots import compile_like_pattern as c
+
+        assert c("/p/*") == "/p/%%"          # trailing * then implicit suffix
+        assert c("/*.zip$") == "/%.zip"      # $ drops the implicit suffix
+        assert c("/a") == "/a%"              # plain prefix
+        assert c("/a$") == "/a"              # exact match only
+
+    def test_literal_specials_escaped(self):
+        from spider_spark.functions.robots import compile_like_pattern as c
+
+        assert c("/u_x/") == "/u^_x/%"
+        assert c("/100%/") == "/100^%/%"
+        assert c("/c^d/") == "/c^^d/%"
+
+    def test_dollar_mid_pattern_is_literal(self):
+        from spider_spark.functions.robots import compile_like_pattern as c
+
+        assert c("/a$b/") == "/a$b/%"
+
+    def test_allow_rules_carried_with_rank(self):
+        from spider_spark.functions.robots import _parse_groups
+
+        rules, _, _ = _parse_groups(
+            "User-agent: *\nDisallow: /p/\nAllow: /p/open\nAllow:\n")
+        assert rules == [("/p/", False), ("/p/open", True)]  # empty Allow no-op
+
+    def test_back_compat_prefix_view_drops_allows(self):
+        dis, _, _ = parse_robots_txt(
+            "User-agent: *\nDisallow: /p/\nAllow: /p/open\n")
+        assert dis == ["/p/"]
+
+
+class TestFullMatchGate:
+    """RFC 9309 longest-match verdict through the production politeness
+    gate (operators/politeness.robots_verdict_blocked via apply_robots)."""
+
+    BODY = ("User-agent: *\n"
+            "Disallow: /private/*\n"
+            "Allow: /private/*open*\n"
+            "Disallow: /*.zip$\n"
+            "Disallow: /t/\n"
+            "Allow: /t/\n"            # equal octets → Allow wins
+            "Disallow: /u_x/\n")
+
+    def _gate(self, spark, paths):
+        robots = spark.createDataFrame(
+            [("h.example", self.BODY)], "host string, robots_txt string")
+        rules = RobotsRules.from_df(parse_robots_df(robots))
+        frontier = spark.createDataFrame(
+            [("h.example", f"http://h.example{p}") for p in paths],
+            "host string, canon_url string")
+        allowed, blocked = apply_robots(frontier, rules)
+        pfx = len("http://h.example")
+        return ({r["canon_url"][pfx:] for r in allowed.collect()},
+                {r["canon_url"][pfx:] for r in blocked.collect()})
+
+    def test_wildcard_anchor_override_tie_escape(self, spark):
+        allowed, blocked = self._gate(spark, [
+            "/private/doc",      # Disallow /private/*
+            "/private/open1",    # Allow /private/*open* (longer) overrides
+            "/a.zip",            # $-anchored Disallow hits
+            "/a.zipx",           # $ anchor → no match
+            "/t/x",              # tie at equal length → Allow
+            "/u_x/y",            # literal underscore matches
+            "/uax/y",            # `_` escaped: must NOT wildcard-match
+            "/ok",               # no rule → allowed
+        ])
+        assert blocked == {"/private/doc", "/a.zip", "/u_x/y"}
+        assert allowed == {"/private/open1", "/a.zipx", "/t/x", "/uax/y",
+                           "/ok"}
+
+    def test_legacy_table_without_rules_stays_prefix_gate(self, spark):
+        # A stored rules table lacking the compiled `rules` column keeps
+        # the conservative prefix-disallow semantics (Allow ignored).
+        legacy = spark.createDataFrame(
+            [("h.example", ["/private/"], None)],
+            "host string, disallow_prefixes array<string>, "
+            "crawl_delay double")
+        rules = RobotsRules.from_df(legacy)
+        frontier = spark.createDataFrame(
+            [("h.example", "http://h.example/private/open1"),
+             ("h.example", "http://h.example/ok")],
+            "host string, canon_url string")
+        _, blocked = apply_robots(frontier, rules)
+        assert [r["canon_url"] for r in blocked.collect()] == [
+            "http://h.example/private/open1"]
+
+    def test_no_python_in_per_url_verdict(self, spark):
+        # The verdict fold is a JVM aggregate: the gate's plan over an
+        # already-parsed rules table must contain no Python eval node.
+        parsed = spark.createDataFrame(
+            [("h.example", ["/p/"], None,
+              [("/p/%%", 4, False), ("/p/%open%%", 9, True)])],
+            "host string, disallow_prefixes array<string>, "
+            "crawl_delay double, "
+            "rules array<struct<lk string, len int, allow boolean>>")
+        rules = RobotsRules.from_df(parsed)
+        frontier = spark.createDataFrame(
+            [("h.example", "http://h.example/p/doc")],
+            "host string, canon_url string")
+        allowed, blocked = apply_robots(frontier, rules)
+        for df in (allowed, blocked):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Python" not in plan, plan
+        assert blocked.count() == 1
+
+
 class TestSparkWiring:
     def test_parse_df_shape(self, spark):
         df = spark.createDataFrame(
