@@ -1595,6 +1595,84 @@ def _sql_host_trustrank() -> str:
             "SELECT node AS host, trust_fp FROM tr")
 
 
+def _q_importance_tiered_schedule(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """The round's named "tier crawl" semantic end-to-end: host tiers
+    DERIVED from a computed importance signal instead of handed in.
+    TrustRank over the host graph (operators/graph.py, integer
+    fixed-point, vetted seeds = hosts of docs ≡ 3 mod 7) → a dense
+    global trust rank via the two-stage ranking operator
+    (operators/ranking.py with_global_rank — range-partitioned, no
+    single-task global sort even at 10^8 hosts) → tier 0..3 as the
+    rank's quartile in pure integer arithmetic (tier 0 = most trusted)
+    → the tiered global round cap (operators/politeness.py
+    global_round_cap, salted two-stage top-N). Every stage reuses an
+    already-oracled operator; the mirror recomputes the full chain
+    (unrolled TrustRank CTE, a plain row_number quartile, a global
+    row_number cap), so the hash match proves importance → tiers →
+    capacity composes bit-for-bit."""
+    from spider_spark.operators.graph import trustrank
+    from spider_spark.operators.politeness import global_round_cap
+    from spider_spark.operators.ranking import with_global_rank
+
+    docs = _docs(spark, sf_dir)
+    seeds = docs.filter(F.col("doc_id") % 7 == 3).select(
+        host_expr(F.col("doc_id")).alias("node")).distinct()
+    tr = trustrank(_host_edges_df(spark, sf_dir), seeds,
+                   n_iter=TRUST_ITERS)
+    ranked, n_hosts = with_global_rank(
+        tr, ["trust_fp", "node"], rank_col="__r", with_count=True
+    )
+    tiers = ranked.select(
+        F.col("node").alias("host"),
+        (F.lit(3) - F.expr(f"(__r * 4) DIV {n_hosts}"))
+        .cast("long").alias("tier"),
+    )
+    i = F.col("doc_id")
+    frontier = docs.select(
+        url_expr(i).alias("canon_url"),
+        host_expr(i).alias("host"),
+        (F.lit(1) + i % 3).cast("long").alias("depth"),
+        i.cast("long").alias("admission_rank"),
+    ).join(tiers, on="host")
+    kept, _ = global_round_cap(
+        frontier, TIER_CAP, tier_col="tier", strict_bfs=False
+    )
+    return kept.select("canon_url", "host", "tier", "depth",
+                       "admission_rank")
+
+
+def _sql_importance_tiered_schedule() -> str:
+    from spider_spark.operators.graph import trustrank_sql
+
+    seeds = (f"SELECT DISTINCT {_host_sql('doc_id')} AS node "
+             "FROM documents WHERE doc_id % 7 = 3")
+    return f"""
+WITH tr AS ({trustrank_sql(_HOST_EDGES_SQL, seeds, n_iter=TRUST_ITERS)}),
+tiers AS (
+  SELECT node AS host,
+         3 - ((row_number() OVER (ORDER BY trust_fp, node) - 1) * 4)
+             // (SELECT count(*) FROM tr) AS tier
+  FROM tr
+),
+f AS (
+  SELECT {_url_sql('doc_id')} AS canon_url,
+         {_host_sql('doc_id')} AS host,
+         1 + doc_id % 3 AS depth,
+         doc_id AS admission_rank
+  FROM documents
+)
+SELECT canon_url, host, tier::BIGINT AS tier, depth::BIGINT AS depth,
+       admission_rank::BIGINT AS admission_rank
+FROM (
+  SELECT f.*, tiers.tier, row_number() OVER (
+    ORDER BY tiers.tier, f.depth, f.admission_rank, f.canon_url
+  ) AS rn
+  FROM f JOIN tiers USING (host)
+) WHERE rn <= {TIER_CAP}
+"""
+
+
 OPIC_ITERS = 6
 
 
@@ -3508,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_numbered": _q_crawl_numbered,      # L2 row_number
         "budget_seen_invariance": _q_budget_seen_invariance,  # I2
         "tiered_round_cap": _q_tiered_round_cap,  # tier-ordered capacity
+        "importance_tiered_schedule": _q_importance_tiered_schedule,  # trust→tiers→cap
         "host_budget_schedule": _q_host_budget_schedule,  # budget-table top-k
         "tiered_crawl_seen": _q_tiered_crawl_seen,  # cap+tiers seen invariant
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
@@ -3629,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_numbered": _SQL_CRAWL_NUMBERED,
         "budget_seen_invariance": _SQL_BUDGET_SEEN,
         "tiered_round_cap": _sql_tiered_round_cap(),
+        "importance_tiered_schedule": _sql_importance_tiered_schedule(),
         "host_budget_schedule": _sql_host_budget_schedule(),
         "tiered_crawl_seen": _SQL_TIERED_CRAWL_SEEN,
         "host_page_counts": _SQL_HOST_COUNTS,

