@@ -1156,6 +1156,52 @@ def _q_segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEGMENT_DEDUP = segment_filter_chunks_sql(SEG_CHUNK, SEG_MAX_DF)
 
+BOILER_MIN_DF, BOILER_FRAC = 3, (1, 2)
+
+
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template removal (operators/spans.py
+    host_boilerplate_filter): per-SITE boilerplate — a segment is
+    stripped only where its within-host df is ≥ BOILER_MIN_DF and ≥ half
+    the host's pages. The fixture injects a per-host NAV line on every
+    page (stripped everywhere the host is big enough) and one SHARED
+    banner line on ALL of h1's pages but a single h4 page — stripped
+    from h1, kept on h4, which the corpus-wide segment filter cannot
+    express. The doc's own text rides as one unique segment (kept)."""
+    from spider_spark.operators.spans import host_boilerplate_filter
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host = host_expr(i)
+    host_num = F.when(i % 2 == 0, F.lit(0)).otherwise(F.lit(1) + i % 19)
+    nav = F.concat(F.lit("NAV "), host, F.lit(" home products contact"))
+    banner = F.lit("SHARED-BANNER cookie notice")
+    segs = F.concat(
+        F.array(nav),
+        F.when((host_num == 1) | (i == 3), F.array(banner))
+        .otherwise(F.expr("CAST(array() AS array<string>)")),
+        F.array(F.col("text")),
+    )
+    base = docs.select("doc_id", host.alias("host"), segs.alias("segs"))
+    return host_boilerplate_filter(base, "host", "segs",
+                                   min_df=BOILER_MIN_DF, frac=BOILER_FRAC)
+
+
+def _sql_host_boilerplate() -> str:
+    from spider_spark.operators.spans import host_boilerplate_sql
+
+    host = _host_sql("doc_id")
+    host_num = "CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 + doc_id % 19 END"
+    segments = (
+        f"['NAV ' || {host} || ' home products contact'] || "
+        f"CASE WHEN ({host_num}) = 1 OR doc_id = 3 "
+        "THEN ['SHARED-BANNER cookie notice'] ELSE []::VARCHAR[] END || "
+        "[text]"
+    )
+    return host_boilerplate_sql(segments, host,
+                                min_df=BOILER_MIN_DF, frac=BOILER_FRAC)
+
+
 STRAT_N = 10
 
 
@@ -3651,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sub-document dedup + corpus sampling
         "dup_span_stats": _q_dup_span_stats,      # exact-substring dup signal
         "segment_dedup_clean": _q_segment_dedup_clean,  # CCNet line-level dedup
+        "host_boilerplate_clean": _q_host_boilerplate,  # per-site template strip
         "stratified_sample": _q_stratified_sample,      # n-per-group quotas
         "token_budget_sample": _q_token_budget_sample,  # budget-per-group fill
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
@@ -3774,6 +3821,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _SQL_EVENTS_ASOF,
         "dup_span_stats": _SQL_DUP_SPANS,
         "segment_dedup_clean": _SQL_SEGMENT_DEDUP,
+        "host_boilerplate_clean": _sql_host_boilerplate(),
         "stratified_sample": _SQL_STRATIFIED,
         "token_budget_sample": _SQL_TOKEN_BUDGET,
         "temperature_mix_sample": _SQL_TEMP_MIX,

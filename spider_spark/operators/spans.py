@@ -256,3 +256,125 @@ def segment_filter_chunks_sql(chunk_words: int, max_df: int,
            coalesce(n_kept, 0)::BIGINT AS n_kept
     FROM w d LEFT JOIN rebuilt USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# host-scoped boilerplate filter (per-site template lines)
+# ---------------------------------------------------------------------------
+
+
+def host_boilerplate_filter(docs: DataFrame, host_col: str,
+                            segments_col: str,
+                            min_df: int = 3,
+                            frac: tuple[int, int] = (1, 2),
+                            id_col: str = "doc_id") -> DataFrame:
+    """Strip per-HOST template segments: a segment is boilerplate *on a
+    host* when its within-host document frequency (distinct docs of that
+    host containing it; duplicates within one doc count once) is both
+    ``≥ min_df`` and ``≥ frac`` of the host's page count — the
+    site-template shape (nav chrome, footers, cookie banners repeated
+    across one site's pages) that the corpus-wide
+    :func:`segment_frequency_filter` cannot express: a line ubiquitous
+    on site A but quoted once on site B is stripped from A's docs and
+    kept in B's. The fraction test is integer cross-multiplication
+    (``df · den ≥ num · host_pages``) so the DuckDB mirror agrees
+    bit-for-bit. Output: ``(id, host, clean_text, n_segments, n_kept)``
+    for every input document.
+
+    Scale shape: one (host, segment-hash)-keyed distinct + count, one
+    host-keyed page count, and a (host, hash)-keyed anti-join back —
+    never broadcast (the union of all hosts' template sets grows with
+    host count; per-host hotness does not make it small), never
+    all-pairs. Reassembly sorts within one document only."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be ≥1: {min_df}")
+    num, den = frac
+    if not (0 < num <= den):
+        raise ValueError(f"frac: need 0 < num ≤ den, got {num}/{den}")
+    segs = docs.select(
+        F.col(id_col), F.col(host_col).alias("__host"),
+        F.posexplode(F.col(segments_col)).alias("pos", "seg"),
+    ).withColumn("h", md5_60(F.col("seg")))
+    host_pages = docs.groupBy(F.col(host_col).alias("__host")).agg(
+        F.count("*").alias("__pages"))
+    hot = (
+        segs.select(id_col, "__host", "h").distinct()
+        .groupBy("__host", "h").agg(F.count("*").alias("df"))
+        .join(host_pages, on="__host")
+        .filter((F.col("df") >= min_df)
+                & (F.col("df") * den >= num * F.col("__pages")))
+        .select("__host", "h")
+    )
+    kept = segs.join(hot, on=["__host", "h"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select(F.col(id_col), F.col(host_col).alias("host"),
+                    F.size(F.col(segments_col)).alias("n_segments"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col, "host",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def host_boilerplate_sql(segments_sql: str, host_sql: str,
+                         min_df: int = 3, frac: tuple[int, int] = (1, 2),
+                         id_col: str = "doc_id",
+                         table: str = "documents") -> str:
+    """DuckDB mirror of :func:`host_boilerplate_filter` over documents
+    whose segment array is ``segments_sql`` (a list-valued expression
+    over ``table``) and host is ``host_sql`` — identical df rule,
+    integer fraction test, and space-joined in-order reassembly."""
+    num, den = frac
+    h = md5_60_sql("seg")
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {host_sql} AS host, {segments_sql} AS segs FROM {table}
+),
+segs AS (
+  SELECT {id_col}, host, pos, seg, {h} AS h FROM (
+    SELECT {id_col}, host,
+           unnest(range(len(segs))) AS pos,
+           unnest(segs) AS seg
+    FROM base)
+),
+host_pages AS (
+  SELECT host, count(*)::BIGINT AS pages FROM base GROUP BY host
+),
+hot AS (
+  SELECT d.host, d.h
+  FROM (SELECT DISTINCT {id_col}, host, h FROM segs) d
+  JOIN host_pages hp USING (host)
+  GROUP BY d.host, d.h, hp.pages
+  HAVING count(*) >= {min_df}
+     AND count(*) * {den} >= {num} * hp.pages
+),
+kept AS (
+  SELECT segs.* FROM segs
+  WHERE NOT EXISTS (SELECT 1 FROM hot
+                    WHERE hot.host = segs.host AND hot.h = segs.h)
+),
+rebuilt AS (
+  SELECT {id_col},
+         string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY {id_col}
+)
+SELECT b.{id_col}, b.host,
+       coalesce(r.clean_text, '') AS clean_text,
+       len(b.segs)::BIGINT AS n_segments,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM base b LEFT JOIN rebuilt r USING ({id_col})
+"""

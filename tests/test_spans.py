@@ -146,3 +146,71 @@ class TestSegmentFilter:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestHostBoilerplate:
+    @pytest.fixture(scope="class")
+    def cleaned(self, spark):
+        from spider_spark.operators.spans import host_boilerplate_filter
+
+        # hostA: 4 pages, NAV on all, BANNER on all; hostB: 3 pages,
+        # BANNER quoted on ONE page only; hostC: 2 pages (below min_df=3
+        # even for its universal NAV line).
+        rows = []
+        for d in range(4):
+            rows.append((d, "a.example", ["NAV-A", "BANNER", f"body a{d}"]))
+        for d in range(4, 7):
+            segs = ["NAV-B", f"body b{d}"]
+            if d == 4:
+                segs.insert(1, "BANNER")
+            rows.append((d, "b.example", segs))
+        for d in range(7, 9):
+            rows.append((d, "c.example", ["NAV-C", f"body c{d}"]))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, host string, segs array<string>")
+        out = host_boilerplate_filter(docs, "host", "segs",
+                                      min_df=3, frac=(1, 2))
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_host_scoped_strip(self, cleaned):
+        # BANNER vanishes from hostA (df 4/4) but survives on hostB's
+        # one quoting page (df 1 < min_df) — the distinction the
+        # corpus-wide filter cannot express (global df would be 5).
+        assert cleaned[0]["clean_text"] == "body a0"
+        assert cleaned[4]["clean_text"] == "BANNER body b4"
+
+    def test_nav_stripped_only_where_df_clears_min(self, cleaned):
+        assert cleaned[5]["clean_text"] == "body b5"      # NAV-B df 3 ≥ 3
+        assert cleaned[7]["clean_text"] == "NAV-C body c7"  # df 2 < min_df
+
+    def test_counts_and_order(self, cleaned):
+        r = cleaned[4]
+        assert (r["n_segments"], r["n_kept"]) == (3, 2)
+        assert all(cleaned[d]["n_segments"] - cleaned[d]["n_kept"] in (1, 2)
+                   or cleaned[d]["n_kept"] == cleaned[d]["n_segments"]
+                   for d in cleaned)
+
+    def test_relative_fraction_gate(self, spark):
+        from spider_spark.operators.spans import host_boilerplate_filter
+
+        # 8 pages; a segment on 3 of them passes min_df but fails the
+        # ≥1/2-of-pages test → kept.
+        rows = [(d, "h.example",
+                 (["PROMO"] if d < 3 else []) + [f"body {d}"])
+                for d in range(8)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, host string, segs array<string>")
+        out = host_boilerplate_filter(docs, "host", "segs",
+                                      min_df=3, frac=(1, 2))
+        got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+        assert got[0] == "PROMO body 0"
+
+    def test_jvm_only_plan(self, spark):
+        from spider_spark.operators.spans import host_boilerplate_filter
+
+        docs = spark.createDataFrame(
+            [(0, "h", ["x", "y"])],
+            "doc_id long, host string, segs array<string>")
+        out = host_boilerplate_filter(docs, "host", "segs")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan
