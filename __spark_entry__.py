@@ -2029,6 +2029,160 @@ def _sql_sitemap_refresh() -> str:
     )
 
 
+def _synthetic_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic feed corpus: even doc_ids publish RSS 2.0 (items
+    with RFC 822 pubDates, a permalink-guid item without a link, and a
+    non-permalink-guid item that must be skipped), odd doc_ids publish
+    Atom 1.0 (alternate links, ISO published/updated, a rel=self-only
+    entry that must be skipped). All times are 2024-01-01 (a Monday)
+    with (hh, mm, ss) from doc arithmetic, so the oracle can compute
+    every epoch without parsing a date string."""
+    ids = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("i")).filter("i < 60")
+    i = F.col("i")
+    s = i.cast("string")
+    hh, mm = (i % 24), ((i * 3) % 60)
+
+    def ss(j: int, extra: int = 0):
+        return (i * 7 + 11 * j + extra) % 60
+
+    def rfc(j: int):
+        return F.format_string(
+            "Mon, 01 Jan 2024 %02d:%02d:%02d GMT", hh, mm, ss(j))
+
+    def iso(j: int, extra: int = 0):
+        return F.format_string(
+            "2024-01-01T%02d:%02d:%02dZ", hh, mm, ss(j, extra))
+
+    def loc(j: int):
+        return F.format_string(
+            "https://h%s.example/post/%s-%s", s, s, F.lit(str(j)))
+
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>feed</title>'),
+        F.format_string(
+            "<item><link>%s</link><pubDate>%s</pubDate>"
+            "<title>Post %s-0</title></item>", loc(0), rfc(0), s),
+        F.format_string(
+            "<item><link>%s</link><pubDate>%s</pubDate>"
+            "<title>Post %s-1</title></item>", loc(1), rfc(1), s),
+        F.format_string(
+            "<item><guid>https://h%s.example/guid/%s</guid>"
+            "<title>Guid %s</title></item>", s, s, s),
+        F.lit('<item><guid isPermaLink="false">tag:nope</guid>'
+              "<title>skip</title></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.format_string(
+            '<entry><link rel="alternate" href="%s"/><published>%s'
+            "</published><updated>%s</updated><title>Post %s-0</title>"
+            "</entry>", loc(0), iso(0), iso(0, 5), s),
+        F.format_string(
+            '<entry><link href="%s"/><updated>%s</updated>'
+            "<title>Post %s-1</title></entry>", loc(1), iso(1, 5), s),
+        F.lit('<entry><link rel="self" href="https://x.example/feed"/>'
+              "<title>skip</title></entry></feed>"),
+    )
+    return ids.select(
+        F.format_string("https://h%s.example/feed.xml", s).alias("url"),
+        F.when(i % 2 == 0, rss).otherwise(atom).alias("xml"),
+        i,
+    )
+
+
+def _q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion (sources/feed.py): both families through
+    the ElementTree kernel in one Arrow pass — RFC 822 pubDates, ISO
+    published/updated, permalink-guid fallback, rel=alternate link
+    selection, skip rules. The oracle replays the synthetic feed
+    arithmetic without parsing anything, so a hash match proves
+    assemble→parse→explode byte-for-byte."""
+    from spider_spark.sources.feed import feed_entries
+
+    _ensure_shipped(spark)
+    return feed_entries(_synthetic_feeds(spark, sf_dir))
+
+
+_FEED_BASE = (f"{PAGES_EPOCH} + (i % 24) * 3600 + ((i * 3) % 60) * 60")
+_FEED_URL = "'https://h' || i || '.example/feed.xml'"
+_FEED_LOC = "'https://h' || i || '.example/post/' || i || '-'"
+
+_SQL_FEED_ENTRIES = f"""
+WITH ids AS (SELECT doc_id AS i FROM documents WHERE doc_id < 60)
+SELECT {_FEED_URL} AS feed_url, {_FEED_LOC} || j AS loc,
+       ({_FEED_BASE} + (i * 7 + 11 * j) % 60)::BIGINT AS published_epoch,
+       NULL::BIGINT AS updated_epoch,
+       'Post ' || i || '-' || j AS title, 'rss' AS kind
+FROM ids, (SELECT unnest([0, 1]) AS j) WHERE i % 2 = 0
+UNION ALL
+SELECT {_FEED_URL}, 'https://h' || i || '.example/guid/' || i,
+       NULL, NULL, 'Guid ' || i, 'rss'
+FROM ids WHERE i % 2 = 0
+UNION ALL
+SELECT {_FEED_URL}, {_FEED_LOC} || '0',
+       ({_FEED_BASE} + (i * 7) % 60)::BIGINT,
+       ({_FEED_BASE} + (i * 7 + 5) % 60)::BIGINT,
+       'Post ' || i || '-0', 'atom'
+FROM ids WHERE i % 2 = 1
+UNION ALL
+SELECT {_FEED_URL}, {_FEED_LOC} || '1',
+       NULL,
+       ({_FEED_BASE} + (i * 7 + 16) % 60)::BIGINT,
+       'Post ' || i || '-1', 'atom'
+FROM ids WHERE i % 2 = 1
+"""
+
+
+def _q_feed_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven refresh plan: feed entries adapted to the sitemap
+    planner's shape (sources/feed.py feed_refresh_entries —
+    lastmod = coalesce(updated, published)) and planned by the SAME
+    sitemap_refresh_plan — one planner serves both discovery channels.
+    Fetch state covers the '-0' posts only, with a fetch time straddling
+    the feeds' timestamps by parity, so all three verdicts (changed /
+    stale / new) appear."""
+    from spider_spark.sources.feed import feed_entries, feed_refresh_entries
+    from spider_spark.sources.sitemap import sitemap_refresh_plan
+
+    entries = feed_refresh_entries(
+        feed_entries(_synthetic_feeds(spark, sf_dir)))
+    docs = _docs(spark, sf_dir).filter("doc_id < 60")
+    i = F.col("doc_id")
+    fetched = docs.select(
+        F.format_string("https://h%s.example/post/%s-0",
+                        i.cast("string"), i.cast("string")).alias("url"),
+        # i % 4 < 2 → fetched before the feed's lastmod (changed);
+        # else fetched after it but long ago (stale under the TTL)
+        F.when(i % 4 < 2, F.lit(PAGES_EPOCH) - 100)
+        .otherwise(F.lit(PAGES_EPOCH) + 90_000).alias("fetch_epoch"),
+    )
+    return sitemap_refresh_plan(
+        entries, fetched, PAGES_EPOCH + 1_000_000, default_ttl_sec=86_400
+    )
+
+
+def _sql_feed_refresh() -> str:
+    from spider_spark.sources.sitemap import sitemap_refresh_sql
+
+    adapted = f"""
+      SELECT loc, coalesce(updated_epoch, published_epoch) AS lastmod_epoch,
+             NULL::VARCHAR AS changefreq, NULL::INT AS priority_milli,
+             FALSE AS is_index
+      FROM ({_SQL_FEED_ENTRIES})
+    """
+    fetched = f"""
+      SELECT 'https://h' || doc_id || '.example/post/' || doc_id || '-0'
+               AS loc,
+             (CASE WHEN doc_id % 4 < 2 THEN {PAGES_EPOCH} - 100
+                   ELSE {PAGES_EPOCH} + 90000 END)::BIGINT AS fetch_epoch
+      FROM documents WHERE doc_id < 60
+    """
+    return sitemap_refresh_sql(
+        adapted, fetched, PAGES_EPOCH + 1_000_000, default_ttl_sec=86_400
+    )
+
+
 def _q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding repair (functions/encoding.py): every third document is
     corrupted JVM-side with the classic UTF-8-read-as-Latin-1 mis-decode
@@ -3663,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         "link_spam_features": _q_link_spam_features,  # outlink spam features
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
+        "feed_entries": _q_feed_entries,          # RSS/Atom feed ingestion
+        "feed_refresh": _q_feed_refresh,          # feed-driven refetch plan
         "sitemap_refresh": _q_sitemap_refresh,    # lastmod/changefreq refresh plan
         "mojibake_fix": _q_mojibake_fix,          # encoding repair (ftfy-style)
         "unicode_clean": _q_unicode_clean,        # NFC + invisible-char pass
@@ -3786,6 +3942,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "link_spam_features": _sql_link_spam_features(),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
+        "feed_entries": _SQL_FEED_ENTRIES,
+        "feed_refresh": _sql_feed_refresh(),
         "sitemap_refresh": _sql_sitemap_refresh(),
         "mojibake_fix": _SQL_MOJIBAKE_FIX,
         "unicode_clean": _sql_unicode_clean(),
