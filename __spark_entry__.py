@@ -3416,6 +3416,73 @@ FROM documents, nn
 """
 
 
+def _q_lang_declared_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit (functions/parse.py
+    extract_html_lang via the fused head kernel): the ``<html lang>``
+    attribute in seven arithmetic shapes — absent, plain, CAPS+region
+    subtag, agreeing-with-dataset, xml:lang-only, padded, empty — parsed
+    in the SAME single Arrow pass as title/canonical/robots, compared
+    against the corpus ``lang`` column (CommonCrawl's language
+    annotation does exactly this; disagreement is a quality signal).
+    ``declared_primary`` is the BCP-47 primary subtag, split
+    relationally. The oracle replays the injection arithmetic."""
+    from spider_spark.functions.parse import make_head_audit_udf
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    i = F.col("doc_id")
+    m7 = (i % 7).cast("int")
+    lang_attr = (
+        F.when(m7 == 0, F.lit(""))
+        .when(m7 == 1, F.lit(' lang="en"'))
+        .when(m7 == 2, F.lit(' LANG="EN-US"'))
+        .when(m7 == 3, F.concat(F.lit(' lang="'), F.col("lang"), F.lit('"')))
+        .when(m7 == 4, F.lit(' xml:lang="fr"'))
+        .when(m7 == 5, F.lit(' lang=" de "'))
+        .otherwise(F.lit(' lang=""'))
+    )
+    pages = docs.select(
+        "doc_id", "lang", url_expr(i).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html"), lang_attr,
+                     F.lit("><head><title>t</title></head>"
+                           "<body><p>x</p></body></html>")),
+            "UTF-8").alias("html"),
+    )
+    audit = make_head_audit_udf()
+    out = pages.select(
+        "doc_id", "lang",
+        audit(F.col("html"), F.col("url"))["html_lang"].alias("html_lang"),
+    )
+    primary = F.split(F.col("html_lang"), "-")[0]
+    return out.select(
+        "doc_id", F.col("lang").alias("dataset_lang"), "html_lang",
+        primary.alias("declared_primary"),
+        (primary.isNotNull() & (primary != F.col("lang")))
+        .alias("mismatch"),
+    )
+
+
+_SQL_LANG_DECLARED = """
+SELECT doc_id, lang AS dataset_lang,
+       hl AS html_lang,
+       string_split(hl, '-')[1] AS declared_primary,
+       (hl IS NOT NULL AND string_split(hl, '-')[1] <> lang) AS mismatch
+FROM (
+  SELECT doc_id, lang,
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN NULL
+      WHEN 1 THEN 'en'
+      WHEN 2 THEN 'en-us'
+      WHEN 3 THEN lang
+      WHEN 4 THEN 'fr'
+      WHEN 5 THEN 'de'
+      ELSE NULL
+    END AS hl
+  FROM documents
+)
+"""
+
+
 _MIME_BODY_SPARK = """CASE CAST({i} % 9 AS INT)
   WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS STRING), '</body></html>')
   WHEN 1 THEN concat('  \n<html><body>ws-lead ', CAST({i} AS STRING), '</body></html>')
@@ -3885,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_alias_clusters": _q_url_alias_clusters,  # scrub+3xx+canonical ∘ CC
         "meta_robots": _q_meta_robots,            # noindex/nofollow gate
         "page_audit": _q_page_audit,              # fused single-pass head kernel
+        "lang_declared_audit": _q_lang_declared_audit,  # html lang vs detected
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -4011,6 +4079,7 @@ def oracle_sql() -> dict[str, str]:
         "url_alias_clusters": _sql_url_alias_clusters(),
         "meta_robots": _SQL_META_ROBOTS,
         "page_audit": _SQL_PAGE_AUDIT,
+        "lang_declared_audit": _SQL_LANG_DECLARED,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

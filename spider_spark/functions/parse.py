@@ -548,12 +548,18 @@ class _HeadAuditParser(HTMLParser):
         self.canonical: str | None = None
         self.noindex = False
         self.nofollow = False
+        self.html_lang: str | None = None
+        self._saw_html = False
         self._done = False
 
     def handle_starttag(self, tag, attrs):
         if tag == "title" and not self._title_done:
             self._in_title = True
             self.title_parts = []
+            return
+        if tag == "html" and not self._saw_html:
+            self._saw_html = True
+            self.html_lang = _lang_attr(attrs)
             return
         if self._done:
             return
@@ -587,10 +593,50 @@ class _HeadAuditParser(HTMLParser):
             self.title_parts.append(data)
 
 
+def _lang_attr(attrs) -> str | None:
+    """``lang``/``xml:lang`` attribute value, BCP-47-casually normalized
+    (strip + lowercase — subtag case is display-only per RFC 5646);
+    ``lang`` wins over ``xml:lang``; empty → None."""
+    d = dict(attrs)
+    raw = d.get("lang") or d.get("xml:lang") or ""
+    raw = raw.strip().lower()
+    return raw or None
+
+
+class _HtmlLangParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.html_lang: str | None = None
+        self.done = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "html" and not self.done:
+            self.done = True
+            self.html_lang = _lang_attr(attrs)
+
+
+def extract_html_lang(html: bytes | str) -> str | None:
+    """Declared document language: the first ``<html>`` tag's ``lang``
+    (or ``xml:lang``) attribute, normalized like :func:`_lang_attr`.
+    The declared-vs-detected comparison (CommonCrawl's language
+    annotation does exactly this) uses the primary subtag relationally
+    downstream — the kernel keeps the full tag (``en-us``)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _HtmlLangParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p.html_lang
+
+
 def audit_head(html: bytes | str, base_url: str | None = None):
-    """(title, canonical, noindex, nofollow) in one parse. Title gets the
-    crawl's truthy-only newline-strip transform; canonical resolves
-    through CanonURL like :func:`extract_canonical`."""
+    """(title, canonical, noindex, nofollow, html_lang) in one parse.
+    Title gets the crawl's truthy-only newline-strip transform;
+    canonical resolves through CanonURL like :func:`extract_canonical`;
+    html_lang matches :func:`extract_html_lang`."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
     p = _HeadAuditParser()
@@ -608,7 +654,7 @@ def audit_head(html: bytes | str, base_url: str | None = None):
         if not target.is_absolute:
             target = CanonURL.parse(base_url).join(p.canonical) if base_url else None
         canonical = str(target) if target is not None else None
-    return title, canonical, p.noindex, p.nofollow
+    return title, canonical, p.noindex, p.nofollow, p.html_lang
 
 
 HEAD_AUDIT_SCHEMA = StructType(
@@ -617,20 +663,23 @@ HEAD_AUDIT_SCHEMA = StructType(
         StructField("canonical_url", StringType(), True),
         StructField("noindex", BooleanType(), False),
         StructField("nofollow", BooleanType(), False),
+        StructField("html_lang", StringType(), True),
     ]
 )
 
 
 def make_head_audit_udf():
-    """(html, page_url) → struct(title, canonical_url, noindex, nofollow)
-    — every head signal in ONE Arrow batch pass. At corpus scale this is
-    the shape to use when more than one signal is consumed: three
-    separate kernels would decode and walk every page three times."""
+    """(html, page_url) → struct(title, canonical_url, noindex,
+    nofollow, html_lang) — every head signal in ONE Arrow batch pass. At
+    corpus scale this is the shape to use when more than one signal is
+    consumed: separate kernels would decode and walk every page once per
+    signal."""
 
     @pandas_udf(HEAD_AUDIT_SCHEMA)
     def head_audit_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
         vals = [audit_head(h, u) for h, u in zip(html, url)]
         return pd.DataFrame(
-            vals, columns=["title", "canonical_url", "noindex", "nofollow"])
+            vals, columns=["title", "canonical_url", "noindex", "nofollow",
+                           "html_lang"])
 
     return head_audit_udf

@@ -164,7 +164,8 @@ from spider_spark.functions.parse import (
 )
 
 AUDIT_PAGES = [
-    '<html><head><title>T1</title><link rel="canonical" href="/c">'
+    '<html lang="EN-GB"><head><title>T1</title>'
+    '<link rel="canonical" href="/c">'
     '<meta name="robots" content="noindex"></head><body>x</body></html>',
     '<html><head></head><body><link rel="canonical" href="/b">'
     '<meta name="robots" content="none"></body></html>',
@@ -180,14 +181,22 @@ AUDIT_PAGES = [
 
 class TestAuditHead:
     def test_agrees_with_individual_kernels(self):
-        for h in AUDIT_PAGES:
+        from spider_spark.functions.parse import extract_html_lang
+
+        for h in AUDIT_PAGES + [
+            '<html xml:lang=" ES ">x</html>',      # xml:lang fallback
+            '<html lang="">x</html>',               # empty → None
+            '<html>x</html><html lang="fr">',       # first html wins
+        ]:
             fused = audit_head(h, BASE)
             want = (
                 parse_page(h)[0],
                 extract_canonical(h, BASE),
                 *extract_meta_robots(h),
+                extract_html_lang(h),
             )
             assert fused == want, h
+        assert audit_head(AUDIT_PAGES[0], BASE)[4] == "en-gb"
 
     def test_one_arrow_pass(self, spark):
         from spider_spark.functions.parse import make_head_audit_udf
