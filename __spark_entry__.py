@@ -2863,6 +2863,44 @@ def _q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WET export round-trip (sources/warc.py write_wet /
+    read_wet): the text-extract companion of the WARC dump — conversion
+    records, text/plain payloads, same sharded byte-deterministic
+    writer. The pages table's ``text`` column is the engine's REAL HTML
+    extraction output (extract_text_udf over the assembled page), and
+    the oracle replays that extraction arithmetically (title + anchor
+    texts + body joined by newlines), so digest parity proves the whole
+    extract→export→re-ingest chain byte-for-byte."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.sources.warc import read_wet, write_wet
+
+    _ensure_shipped(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="wet_export_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_wet(pages, tmp, n_shards=8).collect()  # manifest forces the write
+    return read_wet(spark, tmp).select(
+        "url", F.md5(F.col("text")).alias("digest")
+    )
+
+
+_SQL_WET_EXPORT = f"""
+SELECT {_url_sql('doc_id')} AS url,
+       md5(
+         (CASE WHEN doc_id % 17 = 0 THEN ''
+               ELSE 'Doc ' || doc_id || chr(10) END)
+         || 'skip' || chr(10) || 'q' || chr(10) || 'c1' || chr(10)
+         || 'dead' || chr(10) || 'c2' || chr(10) || 'c1b' || chr(10)
+         || text
+       ) AS digest
+FROM documents
+"""
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in gap-based ``session_window`` aggregation (the
     operator Structured Streaming uses for session analytics; identical
@@ -3963,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "warc_export": _q_warc_export,            # distributed WARC sink
+        "wet_export": _q_wet_export,              # WET text-extract sink
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
         "main_content": _q_main_content,          # boilerplate removal
     }
@@ -4091,6 +4130,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_export": _SQL_WARC_INGEST,
+        "wet_export": _SQL_WET_EXPORT,
         "repetition_stats": repetition_stats_sql(),
         "main_content": _SQL_MAIN_CONTENT,
     }

@@ -61,8 +61,11 @@ def _skip_forward(buf, n: int) -> None:
         n -= len(chunk)
 
 
-def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, datetime | None, bytes]]:
-    """Yield (target_uri, warc_date, http_body) for each response record.
+def _parse_warc_stream(data: bytes, record_type: str = "response",
+                       ) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """Yield (target_uri, warc_date, http_body) for each ``record_type``
+    record (``response`` for WARC page dumps, ``conversion`` for WET
+    text extracts — same framing, different payload).
 
     Gzip archives (including multi-member Common-Crawl layout) are inflated
     *streamingly* via GzipFile: only the current record's payload (capped at
@@ -102,7 +105,7 @@ def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, datetime | None, byte
             _skip_forward(buf, length)
             continue
         block = buf.read(length)
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
         uri = headers.get("warc-target-uri")
         if not uri:
@@ -116,9 +119,16 @@ def _parse_warc_stream(data: bytes) -> Iterator[tuple[str, datetime | None, byte
             except ValueError:
                 ts = None
         # payload = HTTP response body (after the HTTP header block); a
-        # bare payload (no HTTP envelope) passes through unchanged
+        # bare payload (no HTTP envelope) passes through unchanged.
+        # Only response records carry an envelope — a conversion (WET)
+        # payload that happens to START with "HTTP/" must not be
+        # stripped.
         sep = block.find(b"\r\n\r\n")
-        body = block[sep + 4:] if block[:5] in (b"HTTP/",) and sep >= 0 else block
+        body = (
+            block[sep + 4:]
+            if record_type == "response" and block[:5] == b"HTTP/" and sep >= 0
+            else block
+        )
         yield uri, ts, body
 
 
@@ -162,6 +172,24 @@ def warc_record(url: str, ts: datetime | None, html: bytes) -> bytes:
         + b"Content-Type: application/http; msgtype=response\r\n"
         b"\r\n"
         + http
+        + b"\r\n\r\n"
+    )
+
+
+def wet_record(url: str, ts: datetime | None, text: bytes) -> bytes:
+    """One conforming ``conversion`` record (the WET layout Common Crawl
+    ships next to every WARC dump): text/plain payload, no HTTP
+    envelope. Pure function of its inputs, like :func:`warc_record`."""
+    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"Content-Length: {len(text)}\r\n".encode()
+        + b"Content-Type: text/plain\r\n"
+        b"\r\n"
+        + text
         + b"\r\n\r\n"
     )
 
@@ -215,6 +243,27 @@ def write_warc(df: DataFrame, out_dir: str, n_shards: int = 16,
     exactly what :func:`read_warc`'s streaming multi-member inflate
     consumes — round-trip tested. Writes are tmp-file + atomic
     ``os.replace`` so a killed export never leaves a torn archive."""
+    return _write_archive(df, out_dir, "html", warc_record,
+                          lambda b: bytes(b),
+                          ".warc", n_shards, compress)
+
+
+def write_wet(df: DataFrame, out_dir: str, n_shards: int = 16,
+              compress: bool = True) -> DataFrame:
+    """Distributed WET export: the text-extract companion Common Crawl
+    ships next to every WARC dump — one ``conversion`` record per page,
+    text/plain payload (UTF-8), no HTTP envelope. Same determinism,
+    sharding, atomic-placement, and manifest contract as
+    :func:`write_warc` (shared writer); consumes the pages table's
+    ``text`` column. Round-trips through :func:`read_wet`."""
+    return _write_archive(df, out_dir, "text", wet_record,
+                          lambda t: str(t).encode("utf-8"),
+                          ".warc.wet", n_shards, compress)
+
+
+def _write_archive(df: DataFrame, out_dir: str, payload_col: str,
+                   record_fn, payload_bytes, ext_base: str,
+                   n_shards: int, compress: bool) -> DataFrame:
     import hashlib
     import os
 
@@ -225,19 +274,20 @@ def write_warc(df: DataFrame, out_dir: str, n_shards: int = 16,
     from pyspark.sql import functions as F
 
     shard = F.pmod(md5_60(F.col("url")), F.lit(n_shards)).cast("int")
-    ext = ".warc.gz" if compress else ".warc"
+    ext = ext_base + ".gz" if compress else ext_base
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         s = int(pdf["_shard"].iloc[0])
         pdf = pdf.sort_values("url", kind="mergesort")
         digest = hashlib.sha256()
         out = io.BytesIO()
-        for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+        for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                    pdf[payload_col]):
             if pd.isna(ts):
                 ts = None  # NaT is truthy — normalize so the epoch fallback fires
             elif hasattr(ts, "to_pydatetime"):
                 ts = ts.to_pydatetime()
-            rec = warc_record(str(url), ts, bytes(html))
+            rec = record_fn(str(url), ts, payload_bytes(payload))
             digest.update(rec)
             out.write(_gzip_member(rec) if compress else rec)
         data = out.getvalue()
@@ -252,8 +302,39 @@ def write_warc(df: DataFrame, out_dir: str, n_shards: int = 16,
         }])
 
     return (
-        df.select("url", "warc_ts", "html")
+        df.select("url", "warc_ts", payload_col)
         .withColumn("_shard", shard)
         .groupBy("_shard")
         .applyInPandas(write_shard, WARC_MANIFEST_SCHEMA)
     )
+
+
+WET_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Text rows from WET archives at ``path`` (glob ok): the
+    ``conversion``-record counterpart of :func:`read_warc`, same
+    streaming multi-member inflate and oversized-record whole-skip."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, texts = [], [], []
+            for blob in pdf["content"]:
+                for uri, ts, body in _parse_warc_stream(
+                        bytes(blob), record_type="conversion"):
+                    urls.append(uri)
+                    tss.append(ts)
+                    texts.append(body.decode("utf-8", errors="replace"))
+            if urls:
+                yield pd.DataFrame({"url": urls, "warc_ts": tss,
+                                    "text": texts})
+
+    return files.mapInPandas(parse, WET_PAGES_SCHEMA)

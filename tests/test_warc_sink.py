@@ -100,3 +100,51 @@ class TestWarcSink:
         write_warc(df, out, n_shards=1).collect()
         back = read_warc(spark, os.path.join(out, "*.warc.gz")).collect()
         assert back[0]["warc_ts"] == datetime(1970, 1, 1)
+
+
+class TestWetSink:
+    @pytest.fixture()
+    def texts(self, spark):
+        rows = [
+            (
+                f"http://h{i % 5}.example/d/{i}",
+                datetime(2024, 1, 1 + i % 20, i % 24, 0, 0),
+                f"extracted text of page {i}\nwith a second line",
+            )
+            for i in range(60)
+        ]
+        # one adversarial payload that LOOKS like an HTTP envelope — a
+        # conversion record must not strip it
+        rows.append((
+            "http://h0.example/http-lookalike",
+            datetime(2024, 2, 1),
+            "HTTP/1.1 200 OK\r\n\r\nnot actually an envelope",
+        ))
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string")
+
+    def test_roundtrip(self, spark, texts, tmp_path):
+        from spider_spark.sources.warc import read_wet, write_wet
+
+        out = str(tmp_path / "wet")
+        man = write_wet(texts, out, n_shards=4).collect()
+        assert sum(r["n_records"] for r in man) == 61
+        got = {r["url"]: r["text"] for r in read_wet(spark, out).collect()}
+        want = {r["url"]: r["text"] for r in texts.collect()}
+        assert got == want  # incl. the HTTP/-leading payload, unstripped
+
+    def test_deterministic_bytes_across_runs(self, spark, texts, tmp_path):
+        from spider_spark.sources.warc import write_wet
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_wet(texts, a, n_shards=4).collect()
+        write_wet(texts.repartition(7), b, n_shards=4).collect()
+        assert _digest_dir(a) == _digest_dir(b)
+
+    def test_warc_reader_ignores_conversion_records(self, spark, texts,
+                                                    tmp_path):
+        from spider_spark.sources.warc import write_wet
+
+        out = str(tmp_path / "wet")
+        write_wet(texts, out, n_shards=2).collect()
+        assert read_warc(spark, out).count() == 0
