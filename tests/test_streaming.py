@@ -274,3 +274,64 @@ class TestTWSProductionPath:
         assert fmaybe.mean() < 0.05
         # deterministic positions (state-compatible across restarts)
         assert (_bloom_positions(inserted, n_bits, k) == pos).all()
+
+
+def test_feed_watch_stream(spark, tmp_path):
+    """Streaming feed watcher: incremental discovery across micro-batches
+    with sink-anti-join emission dedup and checkpoint-resumed file
+    source (a republished feed re-emits nothing; a new feed's URLs land
+    exactly once)."""
+    from spider_spark.streaming.feeds import (
+        feed_watch_stream,
+        read_feeds_stream,
+    )
+
+    T0 = 1704104430
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><link>https://a.example/p1</link>"
+        "<pubDate>Mon, 01 Jan 2024 10:20:30 GMT</pubDate></item>"
+        "<item><link>https://a.example/p2</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        '<entry><link href="https://b.example/e1"/>'
+        "<updated>2024-01-02T00:00:00Z</updated></entry></feed>"
+    )
+    feed_dir = str(tmp_path / "feeds")
+    out = str(tmp_path / "due")
+    ckpt = str(tmp_path / "ckpt")
+    fetched = spark.createDataFrame(
+        # p1 fetched before its pubDate -> changed; p2/e1 never -> new
+        [("https://a.example/p1", T0 - 10)],
+        "url string, fetch_epoch long",
+    )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "url string, xml string").coalesce(
+            1).write.mode("append").parquet(feed_dir)
+
+    drop("b1", [("https://a.example/feed", rss)])
+    s1 = feed_watch_stream(
+        read_feeds_stream(spark, feed_dir), fetched, ckpt, out,
+        now_epoch=T0 + 100)
+    assert s1 == {"batches": 1, "in_feeds": 1, "planned": 2, "emitted": 2}
+
+    # second drop: the SAME rss republished + a new atom feed
+    drop("b2", [("https://a.example/feed", rss),
+                ("https://b.example/feed", atom)])
+    s2 = feed_watch_stream(
+        read_feeds_stream(spark, feed_dir), fetched, ckpt, out,
+        now_epoch=T0 + 100)
+    assert s2["emitted"] == 1  # only e1 is new; p1/p2 gated by the sink
+
+    got = {r["loc"]: r["reason"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {
+        "https://a.example/p1": "changed",
+        "https://a.example/p2": "new",
+        "https://b.example/e1": "new",
+    }
+    # no duplicate emissions across the two runs
+    assert spark.read.parquet(out).count() == 3
