@@ -249,6 +249,20 @@ def main() -> None:
 
     timed("ccnet_ppl", lambda: force(perplexity_buckets(docs)))
 
+    # host-scoped boilerplate strip: segment explode + (host, hash)-keyed
+    # df counts + anti-join + per-doc reassembly
+    from spider_spark.operators.spans import host_boilerplate_filter, word_chunks
+
+    hb_docs = docs.select(
+        "doc_id", host_expr(F.col("doc_id")).alias("host"),
+        word_chunks("text", 8).alias("segs"),
+    )
+    timed(
+        "host_boilerplate",
+        lambda: force(host_boilerplate_filter(hb_docs, "host", "segs",
+                                              min_df=3, frac=(1, 2))),
+    )
+
     # CC timed on its own: pair generation is already the minhash_lsh entry
     pairs = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
     timed("dup_clusters", lambda: force(connected_components(pairs)))
