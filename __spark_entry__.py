@@ -3521,6 +3521,132 @@ FROM (
 """
 
 
+def _q_jsonld_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-metadata extraction (functions/structured.py
+    extract_jsonld): four block layouts — single object, @graph
+    container with two entities, top-level array, malformed-block +
+    valid-block isolation — with ISO datePublished → epoch, author as
+    object / string, headline/name fallback. The oracle replays the
+    injection arithmetic; the hash match proves block scan → JSON parse
+    → entity flatten byte-for-byte."""
+    from spider_spark.functions.structured import jsonld_entities
+
+    _ensure_shipped(spark)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    iso = F.format_string(
+        "2024-01-01T%02d:%02d:%02dZ", i % 24, (i * 3) % 60, (i * 7) % 60)
+    m4 = (i % 4).cast("int")
+    single = F.format_string(
+        '<script type="application/ld+json">{"@context":"https://schema.org",'
+        '"@type":"NewsArticle","headline":"Headline %s",'
+        '"datePublished":"%s","author":{"name":"Author %s"}}</script>',
+        s, iso, (i % 7).cast("string"))
+    graph = F.format_string(
+        '<script type="application/ld+json">{"@graph":['
+        '{"@type":"NewsArticle","headline":"Graph %s","author":"Writer %s"},'
+        '{"@type":"Organization","name":"Org %s"}]}</script>',
+        s, (i % 5).cast("string"), (i % 3).cast("string"))
+    arr = F.format_string(
+        '<script type="application/ld+json">['
+        '{"@type":"WebPage","name":"Page %s"},'
+        '{"@type":"BreadcrumbList"}]</script>', s)
+    isolated = F.format_string(
+        '<script type="application/ld+json">{not json %s</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"Article","headline":"Survivor %s"}</script>', s, s)
+    block = (
+        F.when(m4 == 0, single).when(m4 == 1, graph)
+        .when(m4 == 2, arr).otherwise(isolated)
+    )
+    pages = docs.select(
+        url_expr(i).alias("url"),
+        F.concat(F.lit("<html><head>"), block,
+                 F.lit("</head><body><p>x</p></body></html>")).alias("html"),
+    )
+    return jsonld_entities(pages)
+
+
+_SQL_JSONLD = f"""
+WITH base AS (
+  SELECT doc_id AS i, {_url_sql('doc_id')} AS url,
+         ({PAGES_EPOCH} + (doc_id % 24) * 3600 + ((doc_id * 3) % 60) * 60
+          + (doc_id * 7) % 60)::BIGINT AS ep
+  FROM documents
+)
+SELECT url, 'NewsArticle' AS type, 'Headline ' || i AS headline,
+       ep AS published_epoch, 'Author ' || (i % 7) AS author
+FROM base WHERE i % 4 = 0
+UNION ALL
+SELECT url, 'NewsArticle', 'Graph ' || i, NULL, 'Writer ' || (i % 5)
+FROM base WHERE i % 4 = 1
+UNION ALL
+SELECT url, 'Organization', 'Org ' || (i % 3), NULL, NULL
+FROM base WHERE i % 4 = 1
+UNION ALL
+SELECT url, 'WebPage', 'Page ' || i, NULL, NULL FROM base WHERE i % 4 = 2
+UNION ALL
+SELECT url, 'BreadcrumbList', NULL, NULL, NULL FROM base WHERE i % 4 = 2
+UNION ALL
+SELECT url, 'Article', 'Survivor ' || i, NULL, NULL FROM base WHERE i % 4 = 3
+"""
+
+
+def _q_opengraph_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph extraction (functions/structured.py opengraph_df):
+    head-scoped first-wins og:title/type/image/url — full set,
+    title-only, duplicate-tag first-wins, body-scoped decoy (ignored),
+    and no-og shapes by arithmetic; oracle replays the arithmetic."""
+    from spider_spark.functions.structured import opengraph_df
+
+    _ensure_shipped(spark)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    m5 = (i % 5).cast("int")
+    full = F.format_string(
+        '<meta property="og:title" content="OG %s">'
+        '<meta property="og:type" content="article">'
+        '<meta property="og:image" content="https://img.example/%s.png">'
+        '<meta property="og:url" content="%s">', s, s, url_expr(i))
+    title_only = F.format_string(
+        '<meta property="OG:Title" content=" OG %s ">', s)
+    dupes = F.format_string(
+        '<meta property="og:title" content="First %s">'
+        '<meta property="og:title" content="Second %s">', s, s)
+    head = (
+        F.when(m5 == 0, full).when(m5 == 1, title_only)
+        .when(m5 == 2, dupes).otherwise(F.lit(""))
+    )
+    body_decoy = F.when(
+        m5 == 3,
+        F.format_string('<meta property="og:title" content="Decoy %s">', s),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        url_expr(i).alias("url"),
+        F.concat(F.lit("<html><head>"), head,
+                 F.lit("</head><body>"), body_decoy,
+                 F.lit("<p>x</p></body></html>")).alias("html"),
+    )
+    return opengraph_df(pages)
+
+
+_SQL_OPENGRAPH = f"""
+SELECT {_url_sql('doc_id')} AS url,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'OG ' || doc_id
+    WHEN 1 THEN 'OG ' || doc_id
+    WHEN 2 THEN 'First ' || doc_id
+  END AS og_title,
+  CASE WHEN doc_id % 5 = 0 THEN 'article' END AS og_type,
+  CASE WHEN doc_id % 5 = 0
+       THEN 'https://img.example/' || doc_id || '.png' END AS og_image,
+  CASE WHEN doc_id % 5 = 0 THEN {_url_sql('doc_id')} END AS og_url
+FROM documents
+"""
+
+
 _MIME_BODY_SPARK = """CASE CAST({i} % 9 AS INT)
   WHEN 0 THEN concat('<!DOCTYPE html><html><body>', CAST({i} AS STRING), '</body></html>')
   WHEN 1 THEN concat('  \n<html><body>ws-lead ', CAST({i} AS STRING), '</body></html>')
@@ -3991,6 +4117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": _q_meta_robots,            # noindex/nofollow gate
         "page_audit": _q_page_audit,              # fused single-pass head kernel
         "lang_declared_audit": _q_lang_declared_audit,  # html lang vs detected
+        "jsonld_metadata": _q_jsonld_metadata,    # schema.org JSON-LD entities
+        "opengraph_meta": _q_opengraph_meta,      # og:* head properties
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -4119,6 +4247,8 @@ def oracle_sql() -> dict[str, str]:
         "meta_robots": _SQL_META_ROBOTS,
         "page_audit": _SQL_PAGE_AUDIT,
         "lang_declared_audit": _SQL_LANG_DECLARED,
+        "jsonld_metadata": _SQL_JSONLD,
+        "opengraph_meta": _SQL_OPENGRAPH,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
