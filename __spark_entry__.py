@@ -3521,6 +3521,58 @@ FROM (
 """
 
 
+_SOFT404_TITLE_SPARK = """CASE CAST({i} % 6 AS INT)
+  WHEN 0 THEN 'Page Not Found'
+  WHEN 1 THEN concat('Doc ', CAST({i} AS STRING))
+  WHEN 2 THEN concat('Doc ', CAST({i} AS STRING))
+  WHEN 3 THEN concat('Error 404 - h', CAST({i} AS STRING))
+  WHEN 4 THEN concat('Doc ', CAST({i} AS STRING))
+  ELSE NULL END"""
+
+_SOFT404_TEXT_SPARK = """CASE CAST({i} % 6 AS INT)
+  WHEN 0 THEN text
+  WHEN 1 THEN 'sorry, this page does not exist.'
+  WHEN 2 THEN concat(text, ' ... page not found footer quote')
+  WHEN 3 THEN concat('gone ', CAST({i} AS STRING))
+  WHEN 4 THEN text
+  ELSE '' END"""
+
+
+def _q_soft404_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (functions/soft404.py): 200-OK error pages
+    flagged from content — error-phrase title regex, body marker
+    phrases, short-body threshold, verdict = title OR (marker AND
+    short). Six arithmetic page shapes exercise every rule and the
+    long-page-quoting-an-error counter-case; the oracle renders the
+    SAME rule table (soft404_sql) over the identical synthetic columns,
+    so the decision procedure itself is hash-checked."""
+    from spider_spark.functions.soft404 import soft404_flags
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.expr(_SOFT404_TITLE_SPARK.format(i="doc_id")).alias("title"),
+        F.expr(_SOFT404_TEXT_SPARK.format(i="doc_id")).alias("body"),
+    )
+    return pages.select(
+        "doc_id", soft404_flags("title", "body").alias("f")
+    ).select("doc_id", "f.title_hit", "f.marker_hit", "f.short",
+             "f.soft404")
+
+
+def _sql_soft404_flags() -> str:
+    from spider_spark.functions.soft404 import soft404_sql
+
+    title = _SOFT404_TITLE_SPARK.format(i="doc_id").replace(
+        "AS STRING", "AS VARCHAR")
+    text = _SOFT404_TEXT_SPARK.format(i="doc_id").replace(
+        "AS STRING", "AS VARCHAR")
+    ex = soft404_sql(f"({title})", f"({text})")
+    return (f"SELECT doc_id, {ex['title_hit']} AS title_hit, "
+            f"{ex['marker_hit']} AS marker_hit, {ex['short']} AS short, "
+            f"{ex['soft404']} AS soft404 FROM documents")
+
+
 def _q_jsonld_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD structured-metadata extraction (functions/structured.py
     extract_jsonld): four block layouts — single object, @graph
@@ -4118,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_audit": _q_page_audit,              # fused single-pass head kernel
         "lang_declared_audit": _q_lang_declared_audit,  # html lang vs detected
         "jsonld_metadata": _q_jsonld_metadata,    # schema.org JSON-LD entities
+        "soft404_flags": _q_soft404_flags,        # 200-OK error-page verdict
         "opengraph_meta": _q_opengraph_meta,      # og:* head properties
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
@@ -4248,6 +4301,7 @@ def oracle_sql() -> dict[str, str]:
         "page_audit": _SQL_PAGE_AUDIT,
         "lang_declared_audit": _SQL_LANG_DECLARED,
         "jsonld_metadata": _SQL_JSONLD,
+        "soft404_flags": _sql_soft404_flags(),
         "opengraph_meta": _SQL_OPENGRAPH,
         "kmv_distinct_users": _sql_kmv_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
