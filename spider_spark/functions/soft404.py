@@ -34,7 +34,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["TITLE_RE", "MARKER_PHRASES", "DEFAULT_SHORT_CHARS",
-           "soft404_flags", "soft404_sql"]
+           "soft404_flags", "soft404_sql", "make_soft404_gate"]
 
 # standalone-word error phrases over the lowercased title (RE2-safe —
 # the same regex runs in Spark and DuckDB). Bare "error" is deliberately
@@ -98,3 +98,21 @@ def soft404_sql(title_sql: str, text_sql: str,
         "short": short,
         "soft404": f"({title_hit} OR (({marker_hit}) AND {short}))",
     }
+
+
+def make_soft404_gate(short_chars: int = DEFAULT_SHORT_CHARS):
+    """A ready-made ``CrawlEngine(content_gate=…)`` hook: gate fetched
+    pages whose content is a soft 404. The engine records gated pages
+    as ``fetched=true`` with a NULL ``content_ref`` — the
+    failed-download signal — exactly like the near-dup content gate.
+    Consumes the gate input's ``title`` column when present (the engine
+    passes it); a title-less relation still gets the marker+short
+    half of the verdict."""
+
+    def gate(df):
+        title = (F.col("title") if "title" in df.columns
+                 else F.lit(None).cast("string"))
+        return df.filter(
+            soft404_flags(title, F.col("text"), short_chars)["soft404"])
+
+    return gate

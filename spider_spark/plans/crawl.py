@@ -753,7 +753,11 @@ class CrawlEngine:
             gated = self._timed(
                 "content_gate",
                 lambda: self.content_gate(
-                    parsed.select("canon_url", F.col("p.text").alias("text"))
+                    # title rides along for content-rule gates (e.g. the
+                    # soft-404 verdict); text-keyed gates just ignore it
+                    parsed.select("canon_url",
+                                  F.col("p.text").alias("text"),
+                                  F.col("p.title").alias("title"))
                 )
                 .select("canon_url")
                 .withColumn("_dup", F.lit(True))

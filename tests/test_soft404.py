@@ -68,3 +68,31 @@ class TestVerdict:
         out = df.select(soft404_flags("title", "body").alias("f"))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan
+
+
+class TestCrawlGate:
+    def test_soft404_content_gate_in_crawl(self, spark):
+        from spider_spark.functions.soft404 import make_soft404_gate
+        from spider_spark.plans.crawl import CrawlConfig, CrawlEngine
+        from spider_spark.sources.pages import build_pages, seed_url_for
+
+        n = 12
+        texts = {i: " ".join(f"tok{i}w{j}" for j in range(80))
+                 for i in range(n)}
+        # seed 0's children are (2*0+1)%n=1 and (3*0+2)%n=2
+        texts[1] = "sorry, this page does not exist."
+        ids = spark.createDataFrame(
+            [(i, texts[i], "en") for i in range(n)],
+            "id long, text string, lang string")
+        pages = build_pages(ids, n).localCheckpoint(eager=True)
+        eng = CrawlEngine(spark, pages, CrawlConfig(depth=1),
+                          content_gate=make_soft404_gate())
+        res = eng.crawl(seed_url_for(0, n))
+        rows = {r["url"]: r for r in res.results.collect() if r["fetched"]}
+        u1 = seed_url_for(1, n)
+        u2 = seed_url_for(2, n)
+        assert rows[u1]["fetched"] and rows[u1]["content_ref"] is None
+        assert rows[u2]["content_ref"] is not None
+        # gated page's TITLE is still saved (the page was parsed) — only
+        # the content pointer is withheld, matching the near-dup gate
+        assert rows[u1]["title"] == "Doc 1"
