@@ -96,7 +96,14 @@ from spider_spark.operators.similarity import (
 )
 from spider_spark.operators.semdedup import semdedup_flags, semdedup_sql
 from spider_spark.operators.recrawl import recrawl_due, recrawl_due_sql
-from spider_spark.operators.search import bm25_topk, bm25_topk_sql, hybrid_topk, hybrid_topk_sql
+from spider_spark.operators.search import (
+    bm25_topk,
+    bm25_topk_sql,
+    hybrid_topk,
+    hybrid_topk_sql,
+    phrase_topk,
+    phrase_topk_sql,
+)
 from spider_spark.plans.crawl import CrawlConfig, CrawlEngine, CrawlResult
 from spider_spark.sources.pages import (
     PAGES_EPOCH,
@@ -1508,6 +1515,21 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BM25 = bm25_topk_sql(BM25_QUERY, k=BM25_K)
+
+PHRASE_QUERY = ["table", "part"]
+PHRASE_K = 15
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (operators/search.py phrase_topk): top-k
+    documents containing the consecutive word pair, with occurrence count
+    and first word offset. The match is a per-row higher-order array
+    filter over candidate start offsets behind a substring prefilter —
+    zero shuffles before TakeOrderedAndProject, no explode, no Python."""
+    return phrase_topk(_docs(spark, sf_dir), PHRASE_QUERY, k=PHRASE_K)
+
+
+_SQL_PHRASE = phrase_topk_sql(PHRASE_QUERY, k=PHRASE_K)
 
 HYBRID_QVEC = 3
 
@@ -4176,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
+        "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
         "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
         "hybrid_search_indexed": _q_hybrid_search_indexed,  # index-probing RRF
@@ -4307,6 +4330,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
+        "phrase_search": _SQL_PHRASE,
         "bm25_index_search": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,
         "hybrid_search_indexed": _SQL_HYBRID,

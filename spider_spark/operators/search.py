@@ -128,6 +128,99 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def phrase_topk(docs: DataFrame, phrase_terms: list[str], k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-phrase search: top-``k`` documents containing the consecutive
+    word sequence ``phrase_terms`` (over the pipeline's shared
+    tokenization — ``normalized_text`` split on single spaces, the same
+    word stream BM25 and the span/n-gram operators consume).
+
+    Output ``(id, n_hits, first_pos)`` — occurrence count and the
+    0-based word offset of the first occurrence (the snippet anchor) —
+    ordered by ``(n_hits DESC, id ASC)``, a total order over exact
+    integers, so the cut is deterministic at any parallelism.
+
+    Scale shape: ZERO shuffles before the top-k. An m-word phrase occurs
+    at word offset i iff the m-gram starting at i equals the phrase, so
+    the match list is a per-row higher-order-function filter over the
+    candidate start offsets (``F.filter`` — JVM, no explode, no
+    positional self-join); a ``contains`` substring test on the
+    normalized text short-circuits non-matching documents before any
+    array work (necessary condition: the phrase string with single
+    spaces is a substring of the normalized text whenever the m-gram
+    matches). The result is a scan-local projection feeding
+    ``TakeOrderedAndProject`` — per-partition heaps, k rows to the
+    driver, never a global sort.
+
+    Reference parity: no analog (the reference queries by parent URL
+    only, postgres_database.py:144-160); retrieval extension layer.
+    """
+    if len(phrase_terms) < 2:
+        raise ValueError("phrase_terms must have at least 2 words")
+    terms = [t.lower() for t in phrase_terms]
+    if any((not t) or (" " in t) for t in terms):
+        raise ValueError(f"phrase terms must be non-empty single words: {terms}")
+    phrase = " ".join(terms)
+    m = len(terms)
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    starts = F.when(
+        F.size(words) >= m, F.sequence(F.lit(1), F.size(words) - (m - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.when(
+        normalized_text(F.col(text_col)).contains(phrase), starts
+    ).otherwise(F.array().cast("array<int>"))
+    hits = F.filter(
+        starts,
+        lambda i: F.array_join(F.slice(words, i, m), " ") == F.lit(phrase),
+    )
+    out = (
+        docs.select(F.col(id_col), hits.alias("hits"))
+        .filter(F.size("hits") > 0)
+        .select(
+            id_col,
+            F.size("hits").cast("long").alias("n_hits"),
+            (F.element_at("hits", 1) - 1).cast("long").alias("first_pos"),
+        )
+    )
+    return out.orderBy(F.col("n_hits").desc(), F.col(id_col).asc()).limit(k)
+
+
+def phrase_topk_sql(phrase_terms: list[str], k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    table: str = "documents") -> str:
+    """DuckDB mirror of :func:`phrase_topk` — the identical
+    start-offset/list-filter formulation (``list_slice`` is
+    inclusive-bounds where Spark's ``slice`` is (start, length)), same
+    0-based first_pos and (n_hits DESC, id ASC) order."""
+    terms = [t.lower() for t in phrase_terms]
+    phrase = " ".join(terms).replace("'", "''")
+    m = len(terms)
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({norm}, ' ') AS words FROM {table}
+    ),
+    hits AS (
+      SELECT {id_col},
+             list_filter(
+               range(1, greatest(len(words) - {m - 1}, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + {m - 1}), ' ')
+                    = '{phrase}'
+             ) AS hits
+      FROM toks
+    )
+    SELECT {id_col}, len(hits)::BIGINT AS n_hits,
+           (hits[1] - 1)::BIGINT AS first_pos
+    FROM hits WHERE len(hits) > 0
+    ORDER BY n_hits DESC, {id_col} ASC LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval: reciprocal-rank fusion of lexical + semantic top-k
 # ---------------------------------------------------------------------------
 

@@ -106,3 +106,67 @@ class TestHybridRRF:
             # bottom-of-one-list doc (the point of fusion)
             best_both = max(r["rrf"] for r in both)
             assert best_both > min(r["rrf"] for r in only)
+
+
+class TestPhraseSearch:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "table part a row table part value"),   # 2 hits, first at 0
+            (1, "x Table  PART y"),                     # normalization → 1 hit at 1
+            (2, "table value part table"),              # words present, never adjacent
+            (3, "atable partb table-part"),             # substrings only, no token match
+            (4, "a a a"),                               # overlap fixture (phrase 'a a')
+            (5, "table part"),                          # exact doc == phrase
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_counts_and_positions(self, spark, docs):
+        from spider_spark.operators.search import phrase_topk
+
+        got = {r["doc_id"]: (r["n_hits"], r["first_pos"])
+               for r in phrase_topk(docs, ["table", "part"], k=10).collect()}
+        assert got == {0: (2, 0), 1: (1, 1), 5: (1, 0)}
+
+    def test_overlapping_occurrences_count(self, spark, docs):
+        from spider_spark.operators.search import phrase_topk
+
+        got = phrase_topk(docs, ["a", "a"], k=10).collect()
+        by_id = {r["doc_id"]: (r["n_hits"], r["first_pos"]) for r in got}
+        assert by_id[4] == (2, 0), "'a a a' holds two overlapping 'a a' starts"
+
+    def test_tokens_not_substrings(self, spark, docs):
+        from spider_spark.operators.search import phrase_topk
+
+        ids = {r["doc_id"] for r in phrase_topk(docs, ["table", "part"], k=10).collect()}
+        assert 3 not in ids, "hyphen/concat substrings are not token matches"
+        assert 2 not in ids, "non-adjacent words are not a phrase"
+
+    def test_matches_duckdb_mirror(self, spark, docs):
+        from spider_spark.operators.search import phrase_topk, phrase_topk_sql
+
+        got = [tuple(r) for r in phrase_topk(docs, ["table", "part"], k=10).collect()]
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = [tuple(r) for r in
+                con.execute(phrase_topk_sql(["table", "part"], k=10)).fetchall()]
+        assert got == want
+
+    def test_plan_has_no_explode_no_python(self, docs):
+        from spider_spark.operators.search import phrase_topk
+
+        plan = (
+            phrase_topk(docs, ["table", "part"], k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Generate" not in plan, "phrase match is a per-row array filter"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_rejects_degenerate_phrases(self, docs):
+        from spider_spark.operators.search import phrase_topk
+
+        with pytest.raises(ValueError):
+            phrase_topk(docs, ["solo"])
+        with pytest.raises(ValueError):
+            phrase_topk(docs, ["two words", "x"])
