@@ -1574,6 +1574,22 @@ def _q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(BM25_QUERY, k=BM25_K)
 
 
+def _q_bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-grown postings index (operators/lexindex.py add):
+    build on the even doc_ids, add the odds as an O(batch) Hive-
+    partitioned delta (exact integer n_docs/sum_dl accumulation; stale
+    termstats replaced by a df agg over the pruned postings scan), then
+    search — bit-identical to a one-shot build, so the SAME inline BM25
+    mirror oracles the grown index."""
+    from spider_spark.operators.lexindex import LexicalIndex
+
+    docs = _docs(spark, sf_dir)
+    idx = LexicalIndex(_tmp_store(spark), n_buckets=16)
+    idx.build(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1))
+    return idx.search(BM25_QUERY, k=BM25_K)
+
+
 def _q_hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid RRF retrieval where BOTH halves probe persisted indexes
     (VERDICT r3 #4): the lexical half through the term-bucket-pruned
@@ -4200,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
+        "bm25_index_incremental": _q_bm25_index_incremental,  # O(batch) delta adds
         "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
         "hybrid_search_indexed": _q_hybrid_search_indexed,  # index-probing RRF
         "doc_get_quirk": _q_doc_get_quirk,        # S6/P3 doc-store analog
@@ -4332,6 +4349,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "phrase_search": _SQL_PHRASE,
         "bm25_index_search": _SQL_BM25,
+        "bm25_index_incremental": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,
         "hybrid_search_indexed": _SQL_HYBRID,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,

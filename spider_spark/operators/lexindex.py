@@ -29,6 +29,14 @@ broadcast idf, one doc-keyed partial-score sum, TakeOrderedAndProject
 top-k. Identical output to ``bm25_topk`` — same constants, expression
 order, 6-decimal rounding and (score desc, id asc) tie-break — so the
 same DuckDB mirror (``bm25_topk_sql``) oracles both paths.
+
+Incremental growth: :meth:`LexicalIndex.add` appends an O(batch) delta
+into the same bucket layout (new docs only — the ExactIndex/MinHashIndex
+delta contract) and updates the corpus scalars with exact integer
+accumulation; term document-frequencies come from the pruned postings
+scan while the termstats table is stale, and :meth:`LexicalIndex.compact`
+restores the optimized layout. Grown and one-shot indexes score
+bit-identically (pinned in tests/test_lexindex.py::TestIncrementalAdd).
 """
 
 from __future__ import annotations
@@ -80,11 +88,11 @@ class LexicalIndex:
 
     # -- build ----------------------------------------------------------------
 
-    def build(self, corpus: DataFrame) -> dict:
-        """One explode pass over the corpus → postings + per-term df +
-        corpus scalars, committed through the manifest. The doc length is
-        a window sum over the tf rows (doc-keyed — same shuffle key as the
-        tf groupBy, no second corpus pass). Returns the stats meta."""
+    def _batch_postings(self, corpus: DataFrame) -> DataFrame:
+        """The shared explode → tf → denormalized-dl → bucket projection
+        used by both :meth:`build` and :meth:`add` (identical expressions,
+        so an incrementally-grown index is bit-identical to a one-shot
+        build over the unioned corpus)."""
         terms = corpus.select(
             F.col(self.id_col).alias("doc_id"),
             F.explode(
@@ -92,11 +100,18 @@ class LexicalIndex:
             ).alias("term"),
         )
         tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-        postings = tf.withColumn(
+        return tf.withColumn(
             "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
         ).withColumn(
             "term_bucket", F.pmod(md5_60(F.col("term")), F.lit(self.n_buckets))
         )
+
+    def build(self, corpus: DataFrame) -> dict:
+        """One explode pass over the corpus → postings + per-term df +
+        corpus scalars, committed through the manifest. The doc length is
+        a window sum over the tf rows (doc-keyed — same shuffle key as the
+        tf groupBy, no second corpus pass). Returns the stats meta."""
+        postings = self._batch_postings(corpus)
         meta = {"n_buckets": int(self.n_buckets)}
         self.io.commit_overwrite(self._postings, postings,
                                  partition_by="term_bucket", meta=meta)
@@ -111,16 +126,90 @@ class LexicalIndex:
         self.io.commit_overwrite(self._termstats, termstats,
                                  partition_by="term_bucket", meta=meta)
         scalars = committed.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
         ).collect()[0]
-        stats_meta = {"n_docs": int(scalars["n_docs"]),
-                      "avgdl": float(scalars["avgdl"]), **meta}
-        stats_df = corpus.sparkSession.createDataFrame(
-            [(stats_meta["n_docs"], stats_meta["avgdl"])],
-            "n_docs long, avgdl double",
+        return self._commit_stats(corpus.sparkSession,
+                                  int(scalars["n_docs"]),
+                                  int(scalars["sum_dl"]),
+                                  dirty_termstats=False)
+
+    def _commit_stats(self, spark, n_docs: int, sum_dl: int, *,
+                      dirty_termstats: bool) -> dict:
+        """``avgdl = double(sum_dl) / double(n_docs)`` — the identical IEEE
+        division both engines' integer-summed ``avg`` performs, so an
+        index grown by :meth:`add` scores bit-identically to a one-shot
+        build (and to the inline ``bm25_topk``)."""
+        avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
+        stats_meta = {"n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
+                      "dirty_termstats": bool(dirty_termstats),
+                      "n_buckets": int(self.n_buckets)}
+        stats_df = spark.createDataFrame(
+            [(n_docs, sum_dl, avgdl)], "n_docs long, sum_dl long, avgdl double"
         )
         self.io.commit_overwrite(self._stats, stats_df, meta=stats_meta)
         return stats_meta
+
+    # -- incremental growth -----------------------------------------------------
+
+    def add(self, batch: DataFrame) -> dict:
+        """O(batch) delta: append the batch's postings into the same
+        Hive-partitioned bucket layout and update the corpus scalars
+        exactly (integer ``n_docs``/``sum_dl`` accumulation — ``avgdl``
+        re-derives from the exact totals, never from a float running
+        mean). The per-term ``termstats`` table is NOT rewritten — the
+        stats meta marks it dirty and :meth:`search` derives the query
+        terms' document frequencies from the pruned postings scan instead
+        (exact: ``df(term)`` = posting-row count; one extra agg over rows
+        the query already reads). :meth:`compact` restores the optimized
+        termstats layout.
+
+        Caller contract (the ExactIndex/MinHashIndex delta rule): batch
+        ids must be NEW — re-adding an indexed doc double-counts it.
+        Empty batches commit nothing."""
+        prev = self.io.latest_meta(self._stats)
+        if "sum_dl" in prev:
+            sum_dl = int(prev["sum_dl"])
+        else:  # index built before sum_dl was recorded: one recovery scan
+            sum_dl = int(
+                self.io.read(self._postings)
+                .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+                .agg(F.sum("dl")).collect()[0][0] or 0
+            )
+        delta = self._batch_postings(batch)
+        agg = delta.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        if not agg["n_docs"]:
+            return prev
+        self.io.append(self._postings, delta, partition_by="term_bucket")
+        return self._commit_stats(
+            batch.sparkSession,
+            int(prev["n_docs"]) + int(agg["n_docs"]),
+            sum_dl + int(agg["sum_dl"]),
+            dirty_termstats=True,
+        )
+
+    def compact(self) -> dict:
+        """Rebuild the per-term ``termstats`` table and re-commit the
+        postings as one partitioned version (delta directories fold into
+        a single pruned layout), clearing the dirty flag. Search output
+        is identical before and after — compaction is purely physical."""
+        prev = self.io.latest_meta(self._stats)
+        postings = self.io.read(self._postings)
+        meta = {"n_buckets": int(self.n_buckets)}
+        self.io.commit_overwrite(self._postings, postings,
+                                 partition_by="term_bucket", meta=meta)
+        committed = self.io.read(self._postings)
+        termstats = committed.groupBy("term").agg(
+            F.count("*").alias("df")
+        ).withColumn(
+            "term_bucket", F.pmod(md5_60(F.col("term")), F.lit(self.n_buckets))
+        )
+        self.io.commit_overwrite(self._termstats, termstats,
+                                 partition_by="term_bucket", meta=meta)
+        spark = postings.sparkSession
+        return self._commit_stats(spark, int(prev["n_docs"]),
+                                  int(prev["sum_dl"]), dirty_termstats=False)
 
     # -- search ---------------------------------------------------------------
 
@@ -138,9 +227,16 @@ class LexicalIndex:
         qtf = self.io.read(self._postings).filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(qt)
         )
-        idf = self.io.read(self._termstats).filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(qt)
-        ).select(
+        if stats.get("dirty_termstats"):
+            # deltas landed since the last compaction: termstats is stale,
+            # but df(term) is exactly the posting-row count over rows this
+            # query already scans (pruned) — bit-identical, one extra agg
+            dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
+        else:
+            dfreq = self.io.read(self._termstats).filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(qt)
+            )
+        idf = dfreq.select(
             "term",
             F.log(
                 F.lit(1.0)

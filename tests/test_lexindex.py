@@ -133,3 +133,54 @@ class TestRebuild:
         assert idx.search(["spark"], k=3).count() <= 3
         idx.drop()
         assert not idx.exists()
+
+
+class TestIncrementalAdd:
+    def test_grown_index_matches_one_shot_build(self, spark, docs, tmp_path):
+        io = ParquetManifestIO(spark, str(tmp_path / "inc"))
+        idx = LexicalIndex(io, "inc", n_buckets=8)
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        idx.build(even)
+        stats = idx.add(odd)
+        assert stats["n_docs"] == docs.count()
+        assert stats["dirty_termstats"] is True
+        want = [tuple(r) for r in bm25_topk(docs, QUERY, k=15).collect()]
+        got = [tuple(r) for r in idx.search(QUERY, k=15).collect()]
+        assert got == want, "incrementally-grown index must score bit-identically"
+
+    def test_compact_is_purely_physical(self, spark, docs, tmp_path):
+        io = ParquetManifestIO(spark, str(tmp_path / "cmp"))
+        idx = LexicalIndex(io, "cmp", n_buckets=8)
+        idx.build(docs.filter(F.col("doc_id") % 3 == 0))
+        idx.add(docs.filter(F.col("doc_id") % 3 != 0))
+        before = [tuple(r) for r in idx.search(QUERY, k=15).collect()]
+        stats = idx.compact()
+        assert stats["dirty_termstats"] is False
+        assert stats["n_docs"] == docs.count()
+        after = [tuple(r) for r in idx.search(QUERY, k=15).collect()]
+        assert after == before
+        # compacted search is also parity with the inline operator
+        want = [tuple(r) for r in bm25_topk(docs, QUERY, k=15).collect()]
+        assert after == want
+
+    def test_add_prunes_appended_partitions(self, spark, docs, tmp_path):
+        io = ParquetManifestIO(spark, str(tmp_path / "prn"))
+        idx = LexicalIndex(io, "prn", n_buckets=8)
+        idx.build(docs.filter(F.col("doc_id") < 100))
+        idx.add(docs.filter(F.col("doc_id") >= 100))
+        buckets = sorted({_bucket_of(t, idx.n_buckets) for t in QUERY})
+        probed = io.read(idx._postings).filter(F.col("term_bucket").isin(buckets))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters: [term_bucket" in scan, scan
+        assert probed.count() < io.read(idx._postings).count()
+
+    def test_empty_add_commits_nothing(self, spark, docs, tmp_path):
+        io = ParquetManifestIO(spark, str(tmp_path / "emp"))
+        idx = LexicalIndex(io, "emp", n_buckets=8)
+        idx.build(docs.limit(20))
+        v = io.current_version(idx._postings)
+        stats = idx.add(docs.limit(0))
+        assert io.current_version(idx._postings) == v
+        assert stats["n_docs"] == 20 and not stats.get("dirty_termstats")
