@@ -1134,6 +1134,46 @@ SELECT {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split, lang,
 FROM documents GROUP BY 1, 2
 """
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit (composition): MinHash-LSH near-dup
+    candidate pairs whose two members land in DIFFERENT hash-split
+    partitions — the contamination a within-split dedup pass cannot see
+    (near-identical documents straddling the train/eval boundary leak
+    eval content into training). Pairs come from the already-oracled LSH
+    operator; split labels are the zero-shuffle hash projection; the
+    audit is two id-keyed joins of the pair list against a 2-column
+    projection. Empty output = clean split."""
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs)
+    s = hash_split(
+        docs.withColumn("k", F.col("doc_id").cast("string")),
+        key_col="k", splits=SPLITS,
+    ).select("doc_id", "split")
+    return (
+        pairs.join(s.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("split", "split_a"), on="id_a")
+        .join(s.withColumnRenamed("doc_id", "id_b")
+               .withColumnRenamed("split", "split_b"), on="id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
+
+
+def _sql_split_leakage() -> str:
+    return f"""
+    WITH pairs AS ({lsh_candidate_pairs_sql()}),
+    s AS (
+      SELECT doc_id, {hash_split_sql("doc_id::VARCHAR", SPLITS)} AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN s sa ON p.id_a = sa.doc_id
+    JOIN s sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """
+
+
 SPAN_W, SPAN_S = 8, 2           # detects any duplicated span ≥ 9 words
 SEG_CHUNK, SEG_MAX_DF = 2, 20   # 2-word segments; df > 20 ⇒ boilerplate
 
@@ -4171,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,    # gap-based session windows
         "events_asof": _q_events_asof,            # as-of (trailing-context) join
         "corpus_split_counts": _q_corpus_split_counts,  # deterministic splits
+        "split_leakage": _q_split_leakage,        # near-dups straddling splits
         # sub-document dedup + corpus sampling
         "dup_span_stats": _q_dup_span_stats,      # exact-substring dup signal
         "segment_dedup_clean": _q_segment_dedup_clean,  # CCNet line-level dedup
@@ -4353,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _SQL_HYBRID,
         "hybrid_search_indexed": _SQL_HYBRID,
         "corpus_split_counts": _SQL_CORPUS_SPLITS,
+        "split_leakage": _sql_split_leakage(),
         "doc_get_quirk": _SQL_DOC_GET_QUIRK,
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_export": _SQL_WARC_INGEST,
