@@ -4099,6 +4099,53 @@ def _sql_dsir_selection() -> str:
     return dsir_select_sql(k=DSIR_K, target_lang="en")
 
 
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (operators/urlmining.py): collapse a messy URL
+    population into structural families per host — calendar paths, hex
+    session tokens, and templated query ids all fold to ``{n}``/``{hex}``
+    shapes with exact member counts; ONE (host, template)-keyed agg over
+    a codegen-only projection (shuffle rows = distinct templates). The
+    trap-review complement of the dynamic in-crawl guard."""
+    from spider_spark.operators.urlmining import url_templates
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    base = F.concat(F.lit("https://"), host_expr(i))
+    cal = F.concat(base, F.lit("/2024/"), (i % 12 + 1).cast("string"),
+                   F.lit("/"), (i % 28 + 1).cast("string"),
+                   F.lit("/post-"), i.cast("string"))
+    sess = F.concat(base, F.lit("/session/"),
+                    F.substring(F.md5(i.cast("string")), 1, 16))
+    qry = F.concat(base, F.lit("/item?id="), i.cast("string"),
+                   F.lit("&page="), (i % 7).cast("string"))
+    url = (
+        F.when(i % 4 == 0, cal)
+        .when(i % 4 == 1, sess)
+        .when(i % 4 == 2, qry)
+        .otherwise(url_expr(i))
+    )
+    return url_templates(docs.select(url.alias("url")))
+
+
+def _sql_url_templates() -> str:
+    from spider_spark.operators.urlmining import url_templates_sql
+
+    host = _host_sql("doc_id")
+    pages = f"""(
+      SELECT CASE
+        WHEN doc_id % 4 = 0 THEN 'https://' || {host} || '/2024/'
+             || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+             || '/post-' || doc_id
+        WHEN doc_id % 4 = 1 THEN 'https://' || {host} || '/session/'
+             || substring(md5(doc_id::VARCHAR), 1, 16)
+        WHEN doc_id % 4 = 2 THEN 'https://' || {host} || '/item?id='
+             || doc_id || '&page=' || (doc_id % 7)
+        ELSE {_url_sql('doc_id')} END AS url
+      FROM documents
+    )"""
+    return url_templates_sql(pages=pages)
+
+
 def _q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURT-keyed CDX capture rows for one domain (operators/cdx.py): the
     Common-Crawl-index lookup shape. A quarter of the capture log carries
@@ -4235,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_blocked_hosts": _q_crawl_blocked,  # host admission gate
         "trap_hosts": _q_trap_hosts,              # spider-trap host audit
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
+        "url_templates": _q_url_templates,        # structural URL family mining
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
@@ -4368,6 +4416,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_blocked_hosts": _SQL_CRAWL_BLOCKED,
         "trap_hosts": _sql_trap_hosts(),
         "cdx_lookup": _sql_cdx_lookup(),
+        "url_templates": _sql_url_templates(),
         "top_ngrams": _sql_top_ngrams(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,
