@@ -4099,6 +4099,66 @@ def _sql_dsir_selection() -> str:
     return dsir_select_sql(k=DSIR_K, target_lang="en")
 
 
+def _q_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (functions/tables.py): every fifth doc's
+    page carries a Name/Value grid (header row + 1-3 data rows from the
+    doc id's arithmetic), every tenth additionally a second one-cell
+    table — the kernel parses the assembled HTML in ONE Arrow pass and
+    the oracle replays the generation arithmetic, so the hash match
+    proves grid numbering, row order, header detection, and cell text
+    byte-for-byte."""
+    from spider_spark.functions.tables import table_rows
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    i = F.col("doc_id")
+    data_rows = [
+        F.when(
+            i % 3 >= r,
+            F.concat(F.lit(f"<tr><td>k{r}</td><td>"),
+                     ((i * (r + 1)) % 97).cast("string"),
+                     F.lit("</td></tr>")),
+        ).otherwise(F.lit(""))
+        for r in range(3)
+    ]
+    tbl = F.concat(
+        F.lit("<table><tr><th>Name</th><th>Value</th></tr>"),
+        *data_rows, F.lit("</table>"),
+    )
+    lang_tbl = F.concat(F.lit("<table><tr><td>"), F.col("lang"),
+                        F.lit("</td></tr></table>"))
+    html = F.concat(
+        F.lit("<html><body><p>filler</p>"),
+        F.when(i % 5 == 0, tbl).otherwise(F.lit("")),
+        F.when(i % 10 == 0, lang_tbl).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url_expr(i).alias("url"), html.alias("html"))
+    return table_rows(pages)
+
+
+def _sql_table_rows() -> str:
+    url = _url_sql("doc_id")
+    return f"""
+    WITH base AS (SELECT doc_id, lang, {url} AS url FROM documents),
+    hdr AS (
+      SELECT url, 0::BIGINT AS table_idx, 0::BIGINT AS row_idx,
+             true AS is_header, ['Name', 'Value'] AS cells
+      FROM base WHERE doc_id % 5 = 0
+    ),
+    data AS (
+      SELECT url, 0::BIGINT, (r + 1)::BIGINT, false,
+             ['k' || r, ((doc_id * (r + 1)) % 97)::VARCHAR]
+      FROM base, (SELECT unnest([0, 1, 2]) AS r)
+      WHERE doc_id % 5 = 0 AND doc_id % 3 >= r
+    ),
+    langt AS (
+      SELECT url, 1::BIGINT, 0::BIGINT, false, [lang]
+      FROM base WHERE doc_id % 10 = 0
+    )
+    SELECT * FROM hdr UNION ALL SELECT * FROM data UNION ALL SELECT * FROM langt
+    """
+
+
 def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL template mining (operators/urlmining.py): collapse a messy URL
     population into structural families per host — calendar paths, hex
@@ -4283,6 +4343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_hosts": _q_trap_hosts,              # spider-trap host audit
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
         "url_templates": _q_url_templates,        # structural URL family mining
+        "table_rows": _q_table_rows,              # HTML table grid extraction
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
@@ -4417,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_hosts": _sql_trap_hosts(),
         "cdx_lookup": _sql_cdx_lookup(),
         "url_templates": _sql_url_templates(),
+        "table_rows": _sql_table_rows(),
         "top_ngrams": _sql_top_ngrams(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,
