@@ -2555,6 +2555,24 @@ def _q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=ANN_K, nprobe=4)
 
 
+def _q_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-grown IVF index (operators/ivf_index.py add): build
+    on the even vec_ids, add the odds as an O(batch) delta assigned
+    against the TRAINED centroids (no re-training), search at FULL probe
+    — every list probed makes the ANN answer exactly the brute-force
+    cosine top-k over the unioned corpus, so the inline cosine mirror
+    oracles the grown index even though k-means itself is float-iterative
+    (the partial-probe path stays the declared rows-only check)."""
+    from spider_spark.operators.ivf_index import IVFIndex
+
+    emb = _embeddings(spark, sf_dir)
+    idx = IVFIndex(_tmp_store(spark))
+    idx.build(emb.filter(F.col("vec_id") % 2 == 0), n_centroids=16, n_iters=3)
+    idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    return idx.search(emb.filter(F.col("vec_id") < ANN_N_QUERIES),
+                      k=ANN_K, nprobe=16)
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     media = synth_media(spark, N_MEDIA)
@@ -4305,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_flags": _q_semdedup,            # embedding-cluster dedup
         "hashed_vec_topk": _q_hashed_vec_topk,    # text→vector→ANN composition
         "ivf_index_search": _q_ivf_index_search,  # persisted IVF (rows-only)
+        "ivf_index_incremental": _q_ivf_index_incremental,  # delta adds, full-probe exact
         # multimodal plumbing
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -4432,6 +4451,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_counts": lang_id_sql(),
         "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
+        "ivf_index_incremental": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES,
+                                                 dim=EMBED_DIM),
         "ann_ivf_topk": ivf_topk_sql(
             k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM
         ),

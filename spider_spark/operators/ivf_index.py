@@ -107,6 +107,39 @@ class IVFIndex:
         self.io.commit_overwrite(self._cents, cents_df, meta=meta)
         return C
 
+    # -- incremental growth ----------------------------------------------------
+
+    def add(self, batch: DataFrame) -> None:
+        """O(batch) delta: assign the batch against the TRAINED centroids
+        (no re-training — one tiny centroids read + one Arrow-BLAS pass
+        over the batch) and append it into the same ``list_id`` Hive
+        partition layout; searches prune identically over grown and
+        one-shot indexes, and at full probe the grown index is exactly
+        the brute-force answer over the unioned corpus (pinned in
+        tests/test_ivf_index.py).
+
+        Caller contract (the persisted-index delta rule shared with
+        ExactIndex/MinHashIndex/LexicalIndex): batch ids must be NEW.
+        Empty batches commit nothing. Centroids drift as the corpus
+        grows — ``build`` again to re-train (the MinHashIndex recall
+        note applies: deltas are recall-safe only while the trained
+        centroids still describe the data)."""
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        make_assign = centroid_assign_udf(spark, self.centroids())
+        assigned = with_norm(
+            batch.select(
+                F.col(self.id_col).alias("nid"),
+                F.col(self.vec_col).alias("nv"),
+            ),
+            "nv", "nn",
+        ).withColumn("list_id", make_assign(1)(F.col("nv"))[0])
+        try:
+            self.io.append(self._lists, assigned, partition_by="list_id")
+        finally:
+            make_assign.broadcast.destroy()
+
     # -- search --------------------------------------------------------------
 
     def centroids(self) -> np.ndarray:

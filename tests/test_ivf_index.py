@@ -87,3 +87,39 @@ class TestRebuild:
         assert idx.search(q, k=3, nprobe=1).count() == 2 * 3
         idx.drop()
         assert not idx.exists()
+
+
+class TestIncrementalAdd:
+    def test_full_probe_on_grown_index_is_exact(self, spark, emb, tmp_path):
+        from spider_spark.operators.similarity import cosine_topk
+
+        io = ParquetManifestIO(spark, str(tmp_path / "inc"))
+        idx = IVFIndex(io, "inc")
+        idx.build(emb.filter(F.col("vec_id") % 2 == 0), n_centroids=8, n_iters=2)
+        idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+        q = emb.filter(F.col("vec_id") < 5)
+        got = [tuple(r) for r in idx.search(q, k=5, nprobe=8).collect()]
+        want = [tuple(r) for r in cosine_topk(emb, q, k=5).collect()]
+        assert got == want, "full probe over grown index = brute force on the union"
+
+    def test_added_rows_share_partition_layout(self, spark, emb, tmp_path):
+        io = ParquetManifestIO(spark, str(tmp_path / "lay"))
+        idx = IVFIndex(io, "lay")
+        idx.build(emb.filter(F.col("vec_id") % 2 == 0), n_centroids=8, n_iters=2)
+        idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+        lists = io.read(idx._lists)
+        assert lists.count() == emb.count()
+        # pruning still plans on the partition column over both versions
+        pr = lists.filter(F.col("list_id").isin([0, 1]))
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters: [list_id" in scan, scan
+        assert pr.count() < emb.count()
+
+    def test_empty_add_commits_nothing(self, spark, emb, tmp_path):
+        io = ParquetManifestIO(spark, str(tmp_path / "emp"))
+        idx = IVFIndex(io, "emp")
+        idx.build(emb.limit(40), n_centroids=4, n_iters=2)
+        v = io.current_version(idx._lists)
+        idx.add(emb.limit(0))
+        assert io.current_version(idx._lists) == v
