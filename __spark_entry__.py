@@ -1454,6 +1454,50 @@ def _sql_release_diff() -> str:
     return release_diff_sql(old, "documents")
 
 
+TOKEN_DRIFT_K = 50
+
+
+def _q_release_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-release token drift (operators/release.py token_drift): top
+    terms by exact cross-multiplied rate shift between the derived old
+    release (release_diff's fixture arithmetic — revised %11, dropped
+    %13, retired %17) and the current corpus. decimal(38,0)/HUGEINT
+    keeps the statistic exact at 100 TB token counts; shuffle rows are
+    O(distinct terms)."""
+    from spider_spark.operators.release import token_drift
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    old = docs.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 11 == 0,
+               F.concat(F.col("text"), F.lit(_OLD_REV_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(i % 17 == 0).select(
+            (i + _RETIRED_ID_SHIFT).alias("doc_id"),
+            F.concat(F.lit("retired doc "), i.cast("string")).alias("text"),
+        )
+    )
+    return token_drift(old, docs, k=TOKEN_DRIFT_K)
+
+
+def _sql_release_token_drift() -> str:
+    from spider_spark.operators.release import token_drift_sql
+
+    old = f"""(
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || '{_OLD_REV_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + {_RETIRED_ID_SHIFT} AS doc_id,
+             'retired doc ' || doc_id::VARCHAR AS text
+      FROM documents WHERE doc_id % 17 = 0
+    )"""
+    return token_drift_sql(old, "documents", k=TOKEN_DRIFT_K)
+
+
 PACK_SEQ_LEN = 4096
 
 
@@ -4350,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "release_diff": _q_release_diff,                # cross-release audit
+        "release_token_drift": _q_release_token_drift,  # term-rate shift audit
         "blocklist_urls": _q_blocklist_urls,            # domain-suffix scrub
         "training_mix": _q_training_mix,  # flagship: dedup→decontam→budget→split
         "training_mix_semantic": _q_training_mix_semantic,  # + embedding SemDeDup
@@ -4487,6 +4532,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequences": _SQL_PACKED,
         "corpus_datacard": _SQL_DATACARD,
         "release_diff": _sql_release_diff(),
+        "release_token_drift": _sql_release_token_drift(),
         "blocklist_urls": _SQL_BLOCKLIST,
         "training_mix": _sql_training_mix(),
         "training_mix_semantic": _sql_training_mix(semantic=True),

@@ -112,3 +112,52 @@ class TestDriverQuery:
         docs = entry._docs(spark, sf_dir).count()
         # every current doc plus every retired-only doc gets a verdict
         assert sum(by_status.values()) == docs + by_status["removed"]
+
+
+class TestTokenDrift:
+    @pytest.fixture(scope="class")
+    def pair(self, spark):
+        old = spark.createDataFrame(
+            [(0, "alpha beta beta"), (1, "alpha gamma")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha delta delta delta")],
+            "doc_id long, text string",
+        )
+        return old, new
+
+    def test_exact_cross_multiplied_drift(self, spark, pair):
+        from spider_spark.operators.release import token_drift
+
+        old, new = pair
+        # T_old = 5, T_new = 6
+        got = {r["term"]: (r["n_old"], r["n_new"], int(r["drift"]))
+               for r in token_drift(old, new, k=10).collect()}
+        assert got["delta"] == (0, 3, 3 * 5 - 0)          # new term rises
+        assert got["gamma"] == (1, 0, 0 - 1 * 6)          # dropped term falls
+        assert got["beta"] == (2, 1, 1 * 5 - 2 * 6)       # share shrank
+        assert got["alpha"] == (2, 2, 2 * 5 - 2 * 6)      # flat count, rate shift
+
+    def test_ordering_is_total_and_by_magnitude(self, spark, pair):
+        from spider_spark.operators.release import token_drift
+
+        old, new = pair
+        rows = token_drift(old, new, k=10).collect()
+        mags = [abs(int(r["drift"])) for r in rows]
+        assert mags == sorted(mags, reverse=True)
+
+    def test_matches_duckdb_mirror(self, spark, pair):
+        import duckdb
+
+        from spider_spark.operators.release import token_drift, token_drift_sql
+
+        old, new = pair
+        got = [(r["term"], r["n_old"], r["n_new"], int(r["drift"]))
+               for r in token_drift(old, new, k=10).collect()]
+        con = duckdb.connect()
+        con.register("old_rel", old.toPandas())
+        con.register("new_rel", new.toPandas())
+        want = [(t, a, b, int(d)) for t, a, b, d in
+                con.execute(token_drift_sql("old_rel", "new_rel", k=10)).fetchall()]
+        assert got == want
