@@ -1615,6 +1615,24 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PHRASE = phrase_topk_sql(PHRASE_QUERY, k=PHRASE_K)
 
+
+def _q_phrase_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets for the phrase top-k (operators/
+    search.py phrase_snippets): the retrieval display path — window
+    words of context sliced around the first occurrence, fetched with
+    ONE broadcast join of the k-row result against a 2-column corpus
+    projection."""
+    from spider_spark.operators.search import phrase_snippets
+
+    return phrase_snippets(_docs(spark, sf_dir), PHRASE_QUERY,
+                           k=PHRASE_K, window=3)
+
+
+def _sql_phrase_snippets() -> str:
+    from spider_spark.operators.search import phrase_snippets_sql
+
+    return phrase_snippets_sql(PHRASE_QUERY, k=PHRASE_K, window=3)
+
 HYBRID_QVEC = 3
 
 
@@ -4429,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
+        "phrase_snippets": _q_phrase_snippets,    # KWIC context windows
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
         "bm25_index_incremental": _q_bm25_index_incremental,  # O(batch) delta adds
         "hybrid_search": _q_hybrid_search,        # RRF lexical+semantic fusion
@@ -4567,6 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
         "phrase_search": _SQL_PHRASE,
+        "phrase_snippets": _sql_phrase_snippets(),
         "bm25_index_search": _SQL_BM25,
         "bm25_index_incremental": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,

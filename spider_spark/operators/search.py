@@ -220,6 +220,58 @@ def phrase_topk_sql(phrase_terms: list[str], k: int = 10,
     """
 
 
+def phrase_snippets(docs: DataFrame, phrase_terms: list[str], k: int = 10,
+                    window: int = 4, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """:func:`phrase_topk` plus a keyword-in-context snippet: ``window``
+    words of context on each side of the first occurrence, re-joined
+    from the corpus. Output ``(id, n_hits, first_pos, snippet)``.
+
+    Cost on top of the phrase scan: ONE broadcast join of the k-row
+    top-k against the corpus (id-keyed; the corpus side is a 2-column
+    projection and the snippet slice happens inside that scan), so the
+    corpus is read twice but shuffled never."""
+    top = phrase_topk(docs, phrase_terms, k=k, id_col=id_col,
+                      text_col=text_col)
+    m = len(phrase_terms)
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    start = F.greatest(F.col("first_pos") + 1 - window, F.lit(1))
+    length = F.col("first_pos") + m + window - start + 1
+    joined = docs.select(id_col, text_col).join(
+        F.broadcast(top), on=id_col
+    )
+    return joined.select(
+        id_col, "n_hits", "first_pos",
+        F.array_join(
+            F.slice(words, start.cast("int"), length.cast("int")), " "
+        ).alias("snippet"),
+    ).orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
+
+
+def phrase_snippets_sql(phrase_terms: list[str], k: int = 10,
+                        window: int = 4, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        table: str = "documents") -> str:
+    """DuckDB mirror of :func:`phrase_snippets` (``list_slice`` clamps at
+    the list end like Spark's ``slice``)."""
+    m = len(phrase_terms)
+    inner = phrase_topk_sql(phrase_terms, k=k, id_col=id_col,
+                            text_col=text_col, table=table)
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH top AS ({inner})
+    SELECT t.{id_col}, t.n_hits, t.first_pos,
+           array_to_string(
+             list_slice(
+               string_split({norm}, ' '),
+               greatest(t.first_pos + 1 - {window}, 1),
+               t.first_pos + {m + window}
+             ), ' ') AS snippet
+    FROM top t JOIN {table} d ON t.{id_col} = d.{id_col}
+    ORDER BY t.n_hits DESC, t.{id_col} ASC
+    """
+
+
 # ---------------------------------------------------------------------------
 # hybrid retrieval: reciprocal-rank fusion of lexical + semantic top-k
 # ---------------------------------------------------------------------------

@@ -170,3 +170,39 @@ class TestPhraseSearch:
             phrase_topk(docs, ["solo"])
         with pytest.raises(ValueError):
             phrase_topk(docs, ["two words", "x"])
+
+
+class TestPhraseSnippets:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "w1 w2 w3 table part w6 w7 w8 w9"),   # interior hit
+            (1, "table part tail1 tail2"),            # hit at doc start
+            (2, "lead1 lead2 table part"),            # hit at doc end
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_window_clamps_at_both_ends(self, spark, docs):
+        from spider_spark.operators.search import phrase_snippets
+
+        got = {r["doc_id"]: r["snippet"]
+               for r in phrase_snippets(docs, ["table", "part"], k=10,
+                                        window=2).collect()}
+        assert got[0] == "w2 w3 table part w6 w7"
+        assert got[1] == "table part tail1 tail2"
+        assert got[2] == "lead1 lead2 table part"
+
+    def test_matches_duckdb_mirror(self, spark, docs):
+        from spider_spark.operators.search import (
+            phrase_snippets,
+            phrase_snippets_sql,
+        )
+
+        got = [tuple(r) for r in
+               phrase_snippets(docs, ["table", "part"], k=10, window=2).collect()]
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = [tuple(r) for r in con.execute(
+            phrase_snippets_sql(["table", "part"], k=10, window=2)
+        ).fetchall()]
+        assert got == want
