@@ -666,6 +666,57 @@ def _sql_quality_classifier() -> str:
     return quality_classifier_sql(tau_milli=100)
 
 
+HOST_TAU_MILLI = 100
+
+
+def _q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality gate (composition): the frozen linear
+    classifier's doc scores aggregated to hosts with a token-weighted
+    mean in exact integer cross-multiplication — ``blocked`` iff
+    ``Σscore·1000 < tau·Σwords``. The host verdict relation feeds the
+    engine's existing admission gates (CrawlEngine(host_tiers=) /
+    blocklist anti-join) — per-host reputation from page content, the
+    FineWeb-style domain filter at crawl time. One doc-keyed classifier
+    agg + one host-keyed rollup."""
+    from spider_spark.functions.classifier import quality_classifier_scores
+
+    docs = _docs(spark, sf_dir)
+    scores = quality_classifier_scores(docs, tau_milli=HOST_TAU_MILLI)
+    hosts = docs.select("doc_id", host_expr(F.col("doc_id")).alias("host"))
+    return (
+        scores.join(hosts, on="doc_id")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score_milli").alias("score_milli_total"),
+            F.sum("n_words").alias("n_words_total"),
+        )
+        .select(
+            "host", "n_docs", "score_milli_total", "n_words_total",
+            (
+                F.col("score_milli_total") * 1000
+                < F.lit(HOST_TAU_MILLI) * F.col("n_words_total")
+            ).alias("blocked"),
+        )
+    )
+
+
+def _sql_host_quality() -> str:
+    from spider_spark.functions.classifier import quality_classifier_sql
+
+    inner = quality_classifier_sql(tau_milli=HOST_TAU_MILLI)
+    return f"""
+    WITH scores AS ({inner})
+    SELECT {_host_sql('doc_id')} AS host,
+           count(*)::BIGINT AS n_docs,
+           sum(score_milli)::BIGINT AS score_milli_total,
+           sum(n_words)::BIGINT AS n_words_total,
+           sum(score_milli) * 1000 < {HOST_TAU_MILLI} * sum(n_words)
+             AS blocked
+    FROM scores GROUP BY 1
+    """
+
+
 def _q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix C / The Pile): flag every
     training doc sharing a word 8-gram with the benchmark set (here the
@@ -4344,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_stats": _q_decontamination,  # benchmark n-gram leak scan
         "gopher_quality": _q_gopher_quality,      # published rule-bundle filter
         "quality_classifier": _q_quality_classifier,  # frozen linear model filter
+        "host_quality": _q_host_quality,          # token-weighted host gate
         "c4_clean": _q_c4_clean,                  # published line-level cleaner
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "jaccard_pairs": _q_jaccard,
@@ -4481,6 +4533,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_stats": _sql_decontamination(),
         "gopher_quality": gopher_rules_sql(),
         "quality_classifier": _sql_quality_classifier(),
+        "host_quality": _sql_host_quality(),
         "c4_clean": _c4_clean_sql(),
         "pii_redact": _pii_redact_sql(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
