@@ -1552,6 +1552,26 @@ def _sql_release_token_drift() -> str:
 PACK_SEQ_LEN = 4096
 
 
+CHUNK_WORDS, CHUNK_OVERLAP = 24, 4
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (operators/packing.py
+    chunk_documents): the RAG retrieval-unit prep — 24-word windows with
+    4 words of overlap, exact window-emission rule (a window is emitted
+    iff it adds content), scan-local (zero shuffle, no Python)."""
+    from spider_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
+
+
+def _sql_doc_chunks() -> str:
+    from spider_spark.operators.packing import chunk_documents_sql
+
+    return chunk_documents_sql(chunk_words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
+
+
 def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic concat-and-chop sequence packing (training-batch
     assembly): per-source documents concatenated in the pipeline's shared
@@ -4462,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,          # DLT weighted sample
         "length_quantiles": _q_length_quantiles,        # exact datacard stats
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
+        "doc_chunks": _q_doc_chunks,                    # overlapping RAG windows
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "release_diff": _q_release_diff,                # cross-release audit
         "release_token_drift": _q_release_token_drift,  # term-rate shift audit
@@ -4602,6 +4623,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": _SQL_PRIORITY_SAMPLE,
         "length_quantiles": _sql_length_quantiles(),
         "packed_sequences": _SQL_PACKED,
+        "doc_chunks": _sql_doc_chunks(),
         "corpus_datacard": _SQL_DATACARD,
         "release_diff": _sql_release_diff(),
         "release_token_drift": _sql_release_token_drift(),

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from spider_spark.operators.dedupe import md5_60, md5_60_sql
 
-__all__ = ["pack_sequences", "pack_sequences_sql"]
+__all__ = ["pack_sequences", "pack_sequences_sql",
+           "chunk_documents", "chunk_documents_sql"]
 
 
 def pack_sequences(df: DataFrame, group_col: str, key_col: str,
@@ -93,4 +94,89 @@ def pack_sequences_sql(group_col: str, key_col: str, weight_col: str,
         ROWS UNBOUNDED PRECEDING
       ) - {weight_col})::BIGINT AS _start FROM {table}
     )
+    """
+
+
+# ---------------------------------------------------------------------------
+# overlapping word-window chunking (RAG / retrieval-unit preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(docs: DataFrame, chunk_words: int = 128,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping word windows — the retrieval
+    (RAG) unit preparation step: ``(id, chunk_idx, n_words, chunk_text)``
+    with windows of ``chunk_words`` words every ``stride = chunk_words −
+    overlap`` words, over the pipeline's shared tokenization.
+
+    Window-emission rule (exact, both engines): a window starting at
+    1-based word offset ``s`` adds content beyond its predecessor iff
+    ``s ≤ len − overlap`` (its predecessor ends at ``s + overlap − 1``),
+    so starts are ``sequence(1, greatest(len − overlap, 1), stride)`` —
+    the final partial window is emitted, a fully-contained trailing
+    window never is, and a short document yields exactly one chunk.
+    Empty documents yield none.
+
+    Scale shape: per-row array arithmetic (sequence + transform) and ONE
+    explode — no shuffle at all; chunk ids derive from the start offset
+    (``(s−1) div stride``), not from a window function."""
+    if chunk_words < 1 or not (0 <= overlap < chunk_words):
+        raise ValueError(f"need 0 <= overlap < chunk_words: {chunk_words}, {overlap}")
+    stride = chunk_words - overlap
+    from spider_spark.functions.text import normalized_text
+
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n = F.size(words)
+    starts = F.when(
+        (n > 0) & ~(
+            (n == 1) & (F.element_at(words, 1) == "")
+        ),
+        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / stride).cast("long").alias("chunk_idx"),
+            F.least(F.lit(chunk_words), n - s + 1).cast("long").alias("n_words"),
+            F.array_join(F.slice(words, s, chunk_words), " ").alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.n_words").alias("n_words"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(chunk_words: int = 128, overlap: int = 16,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        table: str = "documents") -> str:
+    """DuckDB mirror of :func:`chunk_documents` — same emission rule,
+    window arithmetic, and tokenization."""
+    from spider_spark.operators.dedupe import NORM_SQL
+
+    stride = chunk_words - overlap
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({norm}, ' ') AS words FROM {table}
+    ),
+    expanded AS (
+      SELECT {id_col}, words,
+             unnest(range(1, greatest(len(words) - {overlap}, 1) + 1, {stride}))
+               AS s
+      FROM toks
+      WHERE len(words) > 0 AND NOT (len(words) = 1 AND words[1] = '')
+    )
+    SELECT {id_col},
+           ((s - 1) // {stride})::BIGINT AS chunk_idx,
+           least({chunk_words}, len(words) - s + 1)::BIGINT AS n_words,
+           array_to_string(list_slice(words, s, s + {chunk_words - 1}), ' ')
+             AS chunk_text
+    FROM expanded
     """

@@ -84,3 +84,77 @@ class TestPackSequences:
             pack_sequences(corpus, "grp", "key", "w", 0)
         with pytest.raises(ValueError):
             pack_sequences(corpus, "grp", "key", "w", SEQ, n_buckets=12)
+
+
+class TestChunkDocuments:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        def words(n):
+            return " ".join(f"w{i}" for i in range(1, n + 1))
+        rows = [
+            (0, words(10)),  # chunk=6, overlap=2 → starts 1,5 (cap at 8)
+            (1, words(11)),  # starts 1,5,9 — trailing window adds w11
+            (2, words(4)),   # short doc → one chunk
+            (3, ""),         # empty → none
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_emission_rule_and_windows(self, spark, docs):
+        from spider_spark.operators.packing import chunk_documents
+
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["n_words"], r["chunk_text"])
+            for r in chunk_documents(docs, chunk_words=6, overlap=2).collect()
+        }
+        assert got[(0, 0)] == (6, "w1 w2 w3 w4 w5 w6")
+        assert got[(0, 1)] == (6, "w5 w6 w7 w8 w9 w10")
+        assert (0, 2) not in got, "window at s=9 adds nothing over s=5 for len=10"
+        assert got[(1, 2)] == (3, "w9 w10 w11"), "len=11 trailing window adds w11"
+        assert got[(2, 0)] == (4, "w1 w2 w3 w4")
+        assert all(k[0] != 3 for k in got), "empty doc yields no chunks"
+
+    def test_overlap_invariant(self, spark, docs):
+        from spider_spark.operators.packing import chunk_documents
+
+        rows = chunk_documents(docs, chunk_words=6, overlap=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_text"].split())
+            )
+        for _, chunks in by_doc.items():
+            chunks.sort()
+            for (_, a), (_, b) in zip(chunks, chunks[1:]):
+                assert a[-2:] == b[:2], "consecutive chunks share the overlap"
+
+    def test_matches_duckdb_mirror(self, spark, docs):
+        import duckdb
+
+        from spider_spark.operators.packing import (
+            chunk_documents,
+            chunk_documents_sql,
+        )
+
+        got = sorted(tuple(r) for r in
+                     chunk_documents(docs, chunk_words=6, overlap=2).collect())
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = sorted(tuple(r) for r in con.execute(
+            chunk_documents_sql(chunk_words=6, overlap=2)).fetchall())
+        assert got == want
+
+    def test_no_shuffle_no_python(self, docs):
+        from spider_spark.operators.packing import chunk_documents
+
+        plan = (
+            chunk_documents(docs, chunk_words=6, overlap=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, "chunking is scan-local"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_rejects_bad_params(self, docs):
+        from spider_spark.operators.packing import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_words=4, overlap=4)
