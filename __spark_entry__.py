@@ -1616,6 +1616,60 @@ _SQL_RECRAWL_DUE = recrawl_due_sql(
 _TTL_MULT_CHANGED, _TTL_MULT_UNCHANGED = 0.5, 2.0
 
 
+def _q_capture_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-revisit statistics from capture history (operators/
+    recrawl.py capture_change_rates): a 3-wave capture log is derived
+    from the corpus (wave 2 changes every third page, wave 3 every
+    second), and the operator recovers per-URL change counts and the
+    exact mean change interval — the measured input to change-rate-aware
+    refresh. One url-keyed window + agg, one exchange."""
+    from spider_spark.operators.recrawl import capture_change_rates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    u = url_expr(i)
+
+    def wave(offset: int, variant):
+        return docs.select(
+            u.alias("url"),
+            (F.lit(PAGES_EPOCH) + i + offset).alias("ts"),
+            F.md5(variant).alias("digest"),
+        )
+
+    caps = (
+        wave(0, F.col("text"))
+        .unionByName(wave(1000, F.when(i % 3 == 0,
+                                       F.concat(F.col("text"), F.lit(" v2")))
+                          .otherwise(F.col("text"))))
+        .unionByName(wave(3000, F.when(i % 3 == 0,
+                                       F.concat(F.col("text"), F.lit(" v2")))
+                          .otherwise(F.col("text"))))
+        .unionByName(wave(6000, F.when(i % 2 == 0,
+                                       F.concat(F.col("text"), F.lit(" v3")))
+                          .otherwise(F.col("text"))))
+    )
+    return capture_change_rates(caps)
+
+
+def _sql_capture_change_rates() -> str:
+    from spider_spark.operators.recrawl import capture_change_rates_sql
+
+    u = _url_sql("doc_id")
+    v2 = "CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END"
+    v3 = "CASE WHEN doc_id % 2 = 0 THEN text || ' v3' ELSE text END"
+    caps = f"""(
+      SELECT {u} AS url, {PAGES_EPOCH} + doc_id + 0 AS ts, md5(text) AS digest
+      FROM documents
+      UNION ALL
+      SELECT {u}, {PAGES_EPOCH} + doc_id + 1000, md5({v2}) FROM documents
+      UNION ALL
+      SELECT {u}, {PAGES_EPOCH} + doc_id + 3000, md5({v2}) FROM documents
+      UNION ALL
+      SELECT {u}, {PAGES_EPOCH} + doc_id + 6000, md5({v3}) FROM documents
+    )"""
+    return capture_change_rates_sql(caps)
+
+
 def _q_recrawl_change_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-aware freshness scheduling: the recrawl_due policy with
     per-URL TTL multipliers derived from the cross-release diff — changed
@@ -4494,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_semdedup": _q_text_semdedup,  # text→hashed-vec→SemDeDup
         "recrawl_due": _q_recrawl_due,            # freshness scheduling
         "recrawl_change_aware": _q_recrawl_change_aware,  # diff-driven TTLs
+        "capture_change_rates": _q_capture_change_rates,  # measured revisit rates
         "crawl_blocked_hosts": _q_crawl_blocked,  # host admission gate
         "trap_hosts": _q_trap_hosts,              # spider-trap host audit
         "cdx_lookup": _q_cdx_lookup,              # SURT capture-index lookup
@@ -4635,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
         "text_semdedup": _SQL_TEXT_SEMDEDUP,
         "recrawl_due": _SQL_RECRAWL_DUE,
         "recrawl_change_aware": _sql_recrawl_change_aware(),
+        "capture_change_rates": _sql_capture_change_rates(),
         "crawl_blocked_hosts": _SQL_CRAWL_BLOCKED,
         "trap_hosts": _sql_trap_hosts(),
         "cdx_lookup": _sql_cdx_lookup(),

@@ -91,3 +91,85 @@ def recrawl_due_sql(now_epoch: int, ttl_sec: int, jitter_frac: float = 0.1,
       FROM {table}
     ) WHERE urgency >= 1.0
     """
+
+
+# ---------------------------------------------------------------------------
+# change-rate estimation from capture history
+# ---------------------------------------------------------------------------
+
+
+def capture_change_rates(captures: DataFrame, min_caps: int = 2,
+                         url_col: str = "url", ts_col: str = "ts",
+                         digest_col: str = "digest") -> DataFrame:
+    """Per-URL change statistics from a capture log (the CDX relation of
+    :mod:`spider_spark.operators.cdx`): ``(url, n_caps, n_changes,
+    span_sec, change_interval_sec)`` for every URL captured at least
+    ``min_caps`` times.
+
+    ``n_changes`` counts consecutive captures whose content digests
+    differ (the observable the adaptive-revisit literature estimates a
+    Poisson change rate from — Cho & Garcia-Molina TODS 2003); the
+    recommended refetch interval ``change_interval_sec = span_sec div
+    (n_changes + 1)`` is the mean observed change spacing, exact integer
+    (+1 keeps a never-changed URL at its full observed span instead of
+    ∞). A caller turns it into :func:`recrawl_due`'s ``ttl_mult_col`` by
+    dividing against the fleet's base TTL — the measured-history upgrade
+    over the release-diff heuristic in ``recrawl_change_aware``.
+
+    Scale shape: ONE url-keyed window (lag over capture order) feeding a
+    url-keyed agg — same shuffle key, one exchange total; no driver
+    state. Capture order is ``(ts, digest)`` — total per URL even if a
+    replayed dump duplicates a timestamp."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(digest_col).asc())
+    with_prev = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.lag(F.col(digest_col)).over(w).alias("prev_digest"),
+    )
+    agg = with_prev.groupBy("url").agg(
+        F.count("*").alias("n_caps"),
+        F.sum(
+            F.when(
+                F.col("prev_digest").isNotNull()
+                & (F.col("digest") != F.col("prev_digest")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_changes"),
+        (F.max("ts") - F.min("ts")).cast("long").alias("span_sec"),
+    )
+    return agg.filter(F.col("n_caps") >= min_caps).select(
+        "url", "n_caps", "n_changes", "span_sec",
+        F.expr("span_sec div (n_changes + 1)").alias("change_interval_sec"),
+    )
+
+
+def capture_change_rates_sql(captures_rel: str, min_caps: int = 2,
+                             url_col: str = "url", ts_col: str = "ts",
+                             digest_col: str = "digest") -> str:
+    """DuckDB mirror of :func:`capture_change_rates` — same capture
+    order, change predicate, and integer interval arithmetic."""
+    return f"""
+    WITH __caps AS (
+      SELECT {url_col} AS url, {ts_col}::BIGINT AS ts,
+             {digest_col} AS digest,
+             lag({digest_col}) OVER (
+               PARTITION BY {url_col} ORDER BY {ts_col} ASC, {digest_col} ASC
+             ) AS prev_digest
+      FROM {captures_rel}
+    ),
+    agg AS (
+      SELECT url, count(*) AS n_caps,
+             sum(CASE WHEN prev_digest IS NOT NULL
+                       AND digest <> prev_digest THEN 1 ELSE 0 END) AS n_changes,
+             max(ts) - min(ts) AS span_sec
+      FROM __caps GROUP BY 1
+    )
+    SELECT url, n_caps::BIGINT AS n_caps, n_changes::BIGINT AS n_changes,
+           span_sec::BIGINT AS span_sec,
+           (span_sec // (n_changes + 1))::BIGINT AS change_interval_sec
+    FROM agg WHERE n_caps >= {min_caps}
+    """

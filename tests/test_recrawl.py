@@ -148,3 +148,55 @@ class TestContinuousCrawlLoop:
         got = {r["url"] for r in readmitted.select("url").collect()}
         assert got == {r["url"] for r in due.collect()}
         ck.destroy_broadcasts()
+
+
+class TestCaptureChangeRates:
+    @pytest.fixture(scope="class")
+    def captures(self, spark):
+        rows = [
+            # u0: 3 captures, content changes both times → interval = span/3
+            ("u0", 100, "a"), ("u0", 200, "b"), ("u0", 400, "c"),
+            # u1: 3 captures, never changes → interval = span/1 = span
+            ("u1", 100, "x"), ("u1", 300, "x"), ("u1", 700, "x"),
+            # u2: 2 captures, one change
+            ("u2", 0, "p"), ("u2", 500, "q"),
+            # u3: a single capture → filtered by min_caps
+            ("u3", 42, "z"),
+        ]
+        return spark.createDataFrame(rows, "url string, ts long, digest string").cache()
+
+    def test_change_counting_and_intervals(self, spark, captures):
+        from spider_spark.operators.recrawl import capture_change_rates
+
+        got = {r["url"]: (r["n_caps"], r["n_changes"], r["span_sec"],
+                          r["change_interval_sec"])
+               for r in capture_change_rates(captures).collect()}
+        assert got["u0"] == (3, 2, 300, 100)
+        assert got["u1"] == (3, 0, 600, 600)
+        assert got["u2"] == (2, 1, 500, 250)
+        assert "u3" not in got
+
+    def test_matches_duckdb_mirror(self, spark, captures):
+        import duckdb
+
+        from spider_spark.operators.recrawl import (
+            capture_change_rates,
+            capture_change_rates_sql,
+        )
+
+        got = sorted(tuple(r) for r in capture_change_rates(captures).collect())
+        con = duckdb.connect()
+        con.register("caps", captures.toPandas())
+        want = sorted(tuple(r) for r in
+                      con.execute(capture_change_rates_sql("caps")).fetchall())
+        assert got == want
+
+    def test_single_exchange_plan(self, captures):
+        from spider_spark.operators.recrawl import capture_change_rates
+
+        plan = (
+            capture_change_rates(captures)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, (
+            "window and agg share the url key — one shuffle total\n" + plan)
