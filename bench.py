@@ -424,6 +424,48 @@ def main() -> None:
         ),
     )
 
+    # ---- retrieval + release + structure ops (this session's additions) --
+    # phrase search: zero-shuffle scan-local array filter + top-k heap
+    from spider_spark.operators.search import phrase_topk
+
+    timed("phrase_search", lambda: force(phrase_topk(docs, ["table", "part"], k=15)))
+
+    # overlapping RAG chunking: sequence/transform + one explode, no shuffle
+    from spider_spark.operators.packing import chunk_documents
+
+    timed("doc_chunks", lambda: force(chunk_documents(docs, 24, 4)))
+
+    # URL template mining at the 1M-URL scale: three codegen regex rewrites
+    # + one (host, template)-keyed agg — shuffle rows = distinct templates
+    from spider_spark.operators.urlmining import url_templates
+
+    timed("url_templates_1m", lambda: force(url_templates(pages.select("url"))))
+
+    # HTML table extraction over the same 1M-page table as anchor_index —
+    # the same one-Arrow-pass cost class (the synthetic pages hold no
+    # <table>, so this measures pure kernel scan throughput)
+    from spider_spark.functions.tables import table_rows
+
+    timed("table_extract_1m", lambda: force(table_rows(pages)))
+
+    # cross-release token drift: two term-keyed counts + full-outer join
+    from spider_spark.operators.release import token_drift
+
+    drift_old = docs.filter(F.col("doc_id") % 13 != 0)
+    timed("token_drift", lambda: force(token_drift(drift_old, docs, k=50)))
+
+    # capture change rates over a 2M-row two-wave capture log: ONE url-keyed
+    # exchange shared by the lag window and the rollup agg
+    from spider_spark.operators.recrawl import capture_change_rates
+
+    caps = urls.select(
+        "url", F.lit(0).alias("ts"), F.md5("url").alias("digest")
+    ).unionByName(
+        urls.select("url", F.lit(1000).alias("ts"),
+                    F.md5(F.concat(F.col("url"), F.lit("x"))).alias("digest"))
+    )
+    timed("capture_rates_2m", lambda: force(capture_change_rates(caps)))
+
     # ---- composed pipelines end-to-end ----------------------------------
     # the two flagship compositions a user actually runs: the full curation
     # chain (blocklist→gopher→ccnet→exact-dup→text-SemDeDup→mix) and the
