@@ -3184,6 +3184,64 @@ FROM documents
 """
 
 
+def _q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WAT export round-trip (sources/warc.py write_wat /
+    read_wat): the metadata companion completing the Common Crawl format
+    trio (WARC response / WET conversion / WAT metadata). The payload is
+    ``to_json(struct(n_links, title, url))`` over the REAL parse
+    kernel's outputs (admitted-link count under the crawl's filters,
+    extracted title — null title omitted by to_json), exported through
+    the shared deterministic sharded writer and re-ingested; the oracle
+    replays the JSON assembly from the synthetic page arithmetic, so a
+    hash match pins parse → metadata assembly → export → re-ingest
+    byte-for-byte."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.functions.parse import make_parse_udf
+    from spider_spark.sources.warc import read_wat, write_wat
+
+    _ensure_shipped(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    parse = make_parse_udf(resolve_base="seed")
+    metas = pages.select(
+        "url", "warc_ts", parse(F.col("html"), F.col("url")).alias("p")
+    ).select(
+        "url", "warc_ts",
+        F.to_json(F.struct(
+            F.size("p.links").cast("long").alias("n_links"),
+            F.col("p.title").alias("title"),
+            F.col("url").alias("url"),
+        )).alias("wat_json"),
+    )
+    tmp = tempfile.mkdtemp(prefix="wat_export_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_wat(metas, tmp, n_shards=8).collect()  # manifest forces the write
+    return read_wat(spark, tmp).select("url", "wat_json")
+
+
+_SQL_WAT_EXPORT = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+m AS (
+  SELECT {_url_sql('doc_id')} AS url,
+         doc_id,
+         2 * (CASE WHEN {_url_sql('(2*doc_id+1) % nn.n')} <> {_url_sql('doc_id')}
+                   THEN 1 ELSE 0 END)
+         + (CASE WHEN {_url_sql('(3*doc_id+2) % nn.n')} <> {_url_sql('doc_id')}
+                 THEN 1 ELSE 0 END)
+         + 1 AS n_links
+  FROM documents, nn
+)
+SELECT url,
+       '{{"n_links":' || n_links
+       || (CASE WHEN doc_id % 17 = 0 THEN ''
+                ELSE ',"title":"Doc ' || doc_id || '"' END)
+       || ',"url":"' || url || '"}}' AS wat_json
+FROM m
+"""
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in gap-based ``session_window`` aggregation (the
     operator Structured Streaming uses for session analytics; identical
@@ -4584,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "warc_export": _q_warc_export,            # distributed WARC sink
         "wet_export": _q_wet_export,              # WET text-extract sink
+        "wat_export": _q_wat_export,              # WAT metadata sink
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
         "main_content": _q_main_content,          # boilerplate removal
     }
@@ -4728,6 +4787,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_export": _SQL_WARC_INGEST,
         "wet_export": _SQL_WET_EXPORT,
+        "wat_export": _SQL_WAT_EXPORT,
         "repetition_stats": repetition_stats_sql(),
         "main_content": _SQL_MAIN_CONTENT,
     }

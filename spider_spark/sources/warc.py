@@ -338,3 +338,74 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                                     "text": texts})
 
     return files.mapInPandas(parse, WET_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAT: the metadata companion (Common Crawl's third archive format)
+# ---------------------------------------------------------------------------
+
+
+def wat_record(url: str, ts: datetime | None, payload: bytes) -> bytes:
+    """One conforming ``metadata`` record (the WAT layout Common Crawl
+    ships next to every WARC/WET pair): application/json payload. Pure
+    function of its inputs, like :func:`warc_record`."""
+    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"Content-Type: application/json\r\n"
+        b"\r\n"
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def write_wat(df: DataFrame, out_dir: str, n_shards: int = 16,
+              compress: bool = True) -> DataFrame:
+    """Distributed WAT export: ``metadata`` records whose payload is the
+    ``wat_json`` column (the caller assembles it — the engine's
+    convention is ``to_json(struct(...))`` over parse-kernel outputs, a
+    fixed field order so re-exports are byte-identical). Same
+    determinism, sharding, atomic-placement, and manifest contract as
+    :func:`write_warc` (shared writer). Round-trips through
+    :func:`read_wat`."""
+    return _write_archive(df, out_dir, "wat_json", wat_record,
+                          lambda t: str(t).encode("utf-8"),
+                          ".warc.wat", n_shards, compress)
+
+
+WAT_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("wat_json", T.StringType(), False),
+    ]
+)
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata rows from WAT archives at ``path`` (glob ok): the
+    ``metadata``-record counterpart of :func:`read_warc` — same
+    streaming multi-member inflate, oversized-record whole-skip, and
+    (because the record type is not ``response``) no HTTP-envelope
+    strip: a JSON payload that happens to start with "HTTP/" survives
+    untouched."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, bodies = [], [], []
+            for blob in pdf["content"]:
+                for uri, ts, body in _parse_warc_stream(
+                        bytes(blob), record_type="metadata"):
+                    urls.append(uri)
+                    tss.append(ts)
+                    bodies.append(body.decode("utf-8", errors="replace"))
+            if urls:
+                yield pd.DataFrame({"url": urls, "warc_ts": tss,
+                                    "wat_json": bodies})
+
+    return files.mapInPandas(parse, WAT_PAGES_SCHEMA)

@@ -148,3 +148,52 @@ class TestWetSink:
         out = str(tmp_path / "wet")
         write_wet(texts, out, n_shards=2).collect()
         assert read_warc(spark, out).count() == 0
+
+
+class TestWatSink:
+    @pytest.fixture()
+    def metas(self, spark):
+        rows = [
+            (
+                f"http://h{i % 5}.example/d/{i}",
+                datetime(2024, 1, 1 + i % 20, i % 24, 0, 0),
+                f'{{"n_links":{i % 7},"title":"t{i}","url":"http://h{i % 5}.example/d/{i}"}}',
+            )
+            for i in range(60)
+        ]
+        # a JSON payload that LOOKS like an HTTP envelope — a metadata
+        # record must not strip it
+        rows.append((
+            "http://h0.example/http-lookalike",
+            datetime(2024, 2, 1),
+            "HTTP/1.1 200 OK\r\n\r\nnot actually an envelope",
+        ))
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, wat_json string")
+
+    def test_roundtrip(self, spark, metas, tmp_path):
+        from spider_spark.sources.warc import read_wat, write_wat
+
+        out = str(tmp_path / "wat")
+        man = write_wat(metas, out, n_shards=4).collect()
+        assert sum(r["n_records"] for r in man) == 61
+        got = {r["url"]: r["wat_json"] for r in read_wat(spark, out).collect()}
+        want = {r["url"]: r["wat_json"] for r in metas.collect()}
+        assert got == want
+
+    def test_deterministic_bytes_across_runs(self, spark, metas, tmp_path):
+        from spider_spark.sources.warc import write_wat
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_wat(metas, a, n_shards=4).collect()
+        write_wat(metas.repartition(7), b, n_shards=4).collect()
+        assert _digest_dir(a) == _digest_dir(b)
+
+    def test_other_readers_ignore_metadata_records(self, spark, metas,
+                                                   tmp_path):
+        from spider_spark.sources.warc import read_wet, write_wat
+
+        out = str(tmp_path / "wat")
+        write_wat(metas, out, n_shards=2).collect()
+        assert read_warc(spark, out).count() == 0
+        assert read_wet(spark, out).count() == 0
