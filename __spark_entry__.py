@@ -3344,6 +3344,26 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=3, k=100)
 
 
+PMI_K, PMI_MIN_COUNT = 50, 5
+
+
+def _q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining (operators/ngrams.py bigram_pmi): top-k
+    word pairs by PMI over the shared tokenization — word-keyed joins of
+    the bigram counts against the unigram table (never broadcast: a
+    web-scale vocabulary is not a small side), 6-decimal-rounded score
+    with gram tie-break (the BM25 determinism recipe)."""
+    from spider_spark.operators.ngrams import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), k=PMI_K, min_count=PMI_MIN_COUNT)
+
+
+def _sql_bigram_pmi() -> str:
+    from spider_spark.operators.ngrams import bigram_pmi_sql
+
+    return bigram_pmi_sql(k=PMI_K, min_count=PMI_MIN_COUNT)
+
+
 def _sql_top_ngrams() -> str:
     from spider_spark.operators.ngrams import top_ngrams_sql
 
@@ -4613,6 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": _q_url_templates,        # structural URL family mining
         "table_rows": _q_table_rows,              # HTML table grid extraction
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
+        "bigram_pmi": _q_bigram_pmi,              # collocation mining
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
@@ -4756,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": _sql_url_templates(),
         "table_rows": _sql_table_rows(),
         "top_ngrams": _sql_top_ngrams(),
+        "bigram_pmi": _sql_bigram_pmi(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,
         "url_param_scrub": _sql_url_param_scrub(),

@@ -80,3 +80,87 @@ def top_ngrams_sql(n: int = 3, k: int = 100, rel: str = "documents",
     ORDER BY n_occurrences DESC, gram ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: bigram PMI
+# ---------------------------------------------------------------------------
+
+
+def bigram_pmi(docs: DataFrame, k: int = 50, min_count: int = 5,
+               text_col: str = "text") -> DataFrame:
+    """Top-``k`` word-bigram collocations by pointwise mutual information:
+    ``(gram, n_xy, n_x, n_y, pmi)`` with ``pmi = ln(n_xy·T / (n_x·n_y))``
+    (``T`` = total token count), rounded to 6 decimals with the gram as
+    tie-break — the BM25 determinism recipe, so the DuckDB mirror agrees
+    row-for-row. ``min_count`` floors the bigram frequency (PMI is
+    notoriously noisy on hapax pairs).
+
+    The collocation table is the phrase-discovery statistic behind
+    tokenizer vocabulary curation and boilerplate phrase review. Scale
+    shape: the bigram and unigram counts are the :func:`ngram_counts`
+    aggregations (shuffle rows = distinct grams, map-side combinable);
+    the two unigram attachments are word-keyed joins (never broadcast —
+    a web-scale vocabulary is not a small side); the count products run
+    in doubles only inside the final ``ln`` (exact inputs, ordering
+    fixed by the 6-decimal round). Top-k is the usual heap."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be ≥1: {min_count}")
+    uni = ngram_counts(docs, 1, text_col)
+    total = int(uni.agg(F.sum("n_occurrences")).collect()[0][0] or 0)
+    bi = ngram_counts(docs, 2, text_col).filter(
+        F.col("n_occurrences") >= min_count
+    ).select(
+        "gram", F.col("n_occurrences").alias("n_xy"),
+        F.split("gram", " ").getItem(0).alias("_w1"),
+        F.split("gram", " ").getItem(1).alias("_w2"),
+    )
+    u1 = uni.select(F.col("gram").alias("_w1"), F.col("n_occurrences").alias("n_x"))
+    u2 = uni.select(F.col("gram").alias("_w2"), F.col("n_occurrences").alias("n_y"))
+    scored = (
+        bi.join(u1, on="_w1").join(u2, on="_w2")
+        .select(
+            "gram", "n_xy", "n_x", "n_y",
+            F.round(
+                F.log(
+                    F.col("n_xy").cast("double") * F.lit(float(total))
+                    / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(k)
+
+
+def bigram_pmi_sql(k: int = 50, min_count: int = 5, rel: str = "documents",
+                   text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`bigram_pmi` — same counts, multiplication
+    order, 6-decimal rounding, and tie-break."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH toks AS (SELECT string_split({norm}, ' ') AS w FROM {rel}),
+    uni AS (
+      SELECT word, count(*) AS n FROM (SELECT unnest(w) AS word FROM toks)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::DOUBLE AS t FROM uni),
+    bi AS (
+      SELECT gram, count(*) AS n_xy FROM (
+        SELECT unnest(list_transform(
+                 range(1, len(w)),
+                 i -> array_to_string(w[i:i + 1], ' '))) AS gram
+        FROM toks
+      ) GROUP BY 1
+      HAVING count(*) >= {min_count}
+    )
+    SELECT gram, n_xy::BIGINT AS n_xy, u1.n::BIGINT AS n_x,
+           u2.n::BIGINT AS n_y,
+           round(ln(n_xy::DOUBLE * t / (u1.n::DOUBLE * u2.n::DOUBLE)), 6)
+             AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.word = string_split(gram, ' ')[1]
+    JOIN uni u2 ON u2.word = string_split(gram, ' ')[2]
+    CROSS JOIN tot
+    ORDER BY pmi DESC, gram ASC LIMIT {k}
+    """
