@@ -3344,6 +3344,29 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(_docs(spark, sf_dir), n=3, k=100)
 
 
+HOST_KW_K = 5
+
+
+def _q_host_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host TF-IDF keyword profiles (operators/search.py
+    group_keywords): the 'what is this site about' summary — df counts
+    HOSTS containing the term, per-host top-5 via the two-stage group
+    limit (no single-task window on the hot host)."""
+    from spider_spark.operators.search import group_keywords
+
+    docs = _docs(spark, sf_dir).select(
+        host_expr(F.col("doc_id")).alias("host"), "text"
+    )
+    return group_keywords(docs, "host", k=HOST_KW_K)
+
+
+def _sql_host_keywords() -> str:
+    from spider_spark.operators.search import group_keywords_sql
+
+    rel = f"(SELECT {_host_sql('doc_id')} AS host, text FROM documents)"
+    return group_keywords_sql(rel, "host", k=HOST_KW_K)
+
+
 PMI_K, PMI_MIN_COUNT = 50, 5
 
 
@@ -4634,6 +4657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_rows": _q_table_rows,              # HTML table grid extraction
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "bigram_pmi": _q_bigram_pmi,              # collocation mining
+        "host_keywords": _q_host_keywords,        # per-site TF-IDF profiles
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
         "url_param_scrub": _q_url_param_scrub,    # tracking-param cleaner
@@ -4778,6 +4802,7 @@ def oracle_sql() -> dict[str, str]:
         "table_rows": _sql_table_rows(),
         "top_ngrams": _sql_top_ngrams(),
         "bigram_pmi": _sql_bigram_pmi(),
+        "host_keywords": _sql_host_keywords(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,
         "url_param_scrub": _sql_url_param_scrub(),

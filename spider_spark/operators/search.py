@@ -128,6 +128,84 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# grouped TF-IDF keyword profiles
+# ---------------------------------------------------------------------------
+
+
+def group_keywords(docs: DataFrame, group_col: str, k: int = 5,
+                   text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per group by TF-IDF over the
+    group's own term frequencies: ``(group, term, tf, df, score, rank)``
+    where ``df`` counts GROUPS containing the term and
+    ``score = round(tf · ln(n_groups / df), 6)`` (ties → term ASC). The
+    "what is this site about" profile when grouped by host — the site
+    summary a crawl-review UI or a source datacard shows.
+
+    Scale shape: one explode → (group, term)-keyed tf agg (map-side
+    combinable); ``df`` is a count over the already-distinct tf rows
+    (term-keyed, shuffle rows = distinct terms) joined back term-keyed
+    (never broadcast — a web-scale vocabulary is not a small side);
+    per-group top-k via the salted two-stage ``topk_per_key`` (no
+    single-task window on a hot group). ``n_groups`` is a 1-value
+    driver scalar."""
+    from spider_spark.operators.similarity import topk_per_key
+
+    terms = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = terms.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    n_groups = tf.select("grp").distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, on="term").select(
+        "grp", "term", "tf", "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_groups)) / F.col("df").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    out = topk_per_key(
+        scored, ["grp"], [F.col("score").desc(), F.col("term").asc()], k
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "term", "tf", "df", "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def group_keywords_sql(docs_rel: str, group_expr: str, k: int = 5,
+                       text_col: str = "text",
+                       out_group_col: str = "host") -> str:
+    """DuckDB mirror of :func:`group_keywords` — same counts,
+    multiplication order, rounding, tie-break, and rank window."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH terms AS (
+      SELECT {group_expr} AS grp,
+             unnest(string_split({norm}, ' ')) AS term
+      FROM {docs_rel}
+    ),
+    tf AS (SELECT grp, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    ng AS (SELECT count(DISTINCT grp)::DOUBLE AS n_groups FROM tf),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT grp, term, tf, df,
+             round(tf::DOUBLE * ln(n_groups / df::DOUBLE), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN ng
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY grp ORDER BY score DESC, term ASC
+      ) AS rank FROM scored
+    )
+    SELECT grp AS {out_group_col}, term, tf::BIGINT AS tf, df::BIGINT AS df,
+           score, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # positional phrase search
 # ---------------------------------------------------------------------------
 

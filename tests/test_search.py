@@ -206,3 +206,52 @@ class TestPhraseSnippets:
             phrase_snippets_sql(["table", "part"], k=10, window=2)
         ).fetchall()]
         assert got == want
+
+
+class TestGroupKeywords:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            ("a.example", "spark spark shuffle join the the"),
+            ("a.example", "spark catalyst the"),
+            ("b.example", "pandas numpy the the"),
+            ("b.example", "pandas arrow the"),
+            ("c.example", "the the the"),
+        ]
+        return spark.createDataFrame(rows, "host string, text string").cache()
+
+    def test_characteristic_terms_win(self, spark, docs):
+        from spider_spark.operators.search import group_keywords
+
+        rows = group_keywords(docs, "host", k=2).collect()
+        top = {r["host"]: r["term"] for r in rows if r["rank"] == 1}
+        assert top["a.example"] == "spark"
+        assert top["b.example"] == "pandas"
+        # 'the' appears in every group → idf = ln(3/3) = 0 everywhere
+        the_scores = [r["score"] for r in rows if r["term"] == "the"]
+        assert all(s == 0.0 for s in the_scores)
+
+    def test_matches_duckdb_mirror(self, spark, docs):
+        from spider_spark.operators.search import (
+            group_keywords,
+            group_keywords_sql,
+        )
+
+        got = sorted(tuple(r) for r in group_keywords(docs, "host", k=3).collect())
+        con = duckdb.connect()
+        con.register("docs", docs.toPandas())
+        want = sorted(tuple(r) for r in con.execute(
+            group_keywords_sql("docs", "host", k=3)).fetchall())
+        assert got == want
+
+    def test_no_single_task_window(self, docs):
+        from spider_spark.operators.search import group_keywords
+
+        plan = (
+            group_keywords(docs, "host", k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # map-side pruning before the per-group exchange: Spark 4 plans the
+        # row_number filter as a Partial WindowGroupLimit pre-shuffle
+        assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
