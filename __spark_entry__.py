@@ -2142,6 +2142,29 @@ def _q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_index(pages_from_documents(spark, sf_dir))
 
 
+FOCUSED_QUERY = ["c1", "c2"]
+FOCUSED_K = 20
+
+
+def _q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier scoring (operators/anchors.py
+    focused_scores; Chakrabarti et al. 1999): targets ranked by
+    host-weighted anchor-text topical relevance over the REAL parsed
+    anchor index — distinct query terms per anchor × distinct endorsing
+    hosts, exact integers. The topical analog of the TrustRank-quartile
+    tier feed."""
+    from spider_spark.operators.anchors import anchor_text_index, focused_scores
+
+    idx = anchor_text_index(pages_from_documents(spark, sf_dir))
+    return focused_scores(idx, FOCUSED_QUERY, k=FOCUSED_K)
+
+
+def _sql_focused_frontier() -> str:
+    from spider_spark.operators.anchors import focused_scores_sql
+
+    return focused_scores_sql(_ANCHOR_EDGES_SQL, FOCUSED_QUERY, k=FOCUSED_K)
+
+
 _ANCHOR_EDGES_SQL = f"""
   WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
   raw AS (
@@ -4590,6 +4613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
         "host_opic": _q_host_opic,                # online crawl-time importance
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
+        "focused_frontier": _q_focused_frontier,  # topical crawl priority
         "link_spam_features": _q_link_spam_features,  # outlink spam features
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "feed_entries": _q_feed_entries,          # RSS/Atom feed ingestion
@@ -4734,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:
         "host_trustrank": _sql_host_trustrank(),
         "host_opic": _sql_host_opic(),
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
+        "focused_frontier": _sql_focused_frontier(),
         "link_spam_features": _sql_link_spam_features(),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "feed_entries": _SQL_FEED_ENTRIES,

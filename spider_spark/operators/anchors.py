@@ -195,3 +195,75 @@ def link_spam_features_sql(edges_rel: str, pages_rel: str) -> str:
            coalesce(a.anchor_chars, 0)::BIGINT AS anchor_chars
     FROM ({pages_rel}) p LEFT JOIN agg a USING (url)
     """
+
+
+# ---------------------------------------------------------------------------
+# focused-crawl relevance: anchor-text topic scoring
+# ---------------------------------------------------------------------------
+
+
+def focused_scores(anchor_index: DataFrame, query_terms: list[str],
+                   k: int = 20) -> DataFrame:
+    """Top-``k`` frontier targets by anchor-text topical relevance — the
+    focused-crawl priority signal (Chakrabarti et al., WWW 1999: steer
+    expansion toward pages whose INCOMING link text matches the topic):
+    ``(dst_url, score, n_anchor_texts)`` where each anchor-text row of
+    :func:`anchor_text_index` contributes ``|distinct query terms in the
+    anchor| × n_src_hosts`` — host-weighted, so one spammy site repeating
+    a keyword a thousand times counts once, while independent sites
+    agreeing on it compound. Exact integers; ties → dst_url ASC.
+
+    The output ranks a crawl frontier: feed the ordered targets into the
+    admission ranking or ``global_round_cap`` tiers the way
+    ``importance_tiered_schedule`` feeds TrustRank quartiles — anchor
+    relevance is the topical analog of link-graph importance.
+
+    Scale shape: per-row array arithmetic over the (already aggregated)
+    anchor index — O(distinct (target, text)) rows, one dst-keyed agg,
+    top-k heap. No joins, no Python."""
+    from spider_spark.functions.text import normalized_text
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = sorted({t.lower() for t in query_terms})
+    toks = F.split(normalized_text(F.col("anchor_text")), " ")
+    matched = F.size(
+        F.filter(F.array(*[F.lit(t) for t in qt]),
+                 lambda t: F.array_contains(toks, t))
+    )
+    scored = anchor_index.select(
+        "dst_url",
+        (matched.cast("long") * F.col("n_src_hosts")).alias("part"),
+    ).filter(F.col("part") > 0)
+    out = scored.groupBy("dst_url").agg(
+        F.sum("part").alias("score"),
+        F.count(F.lit(1)).alias("n_anchor_texts"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("dst_url").asc()).limit(k)
+
+
+def focused_scores_sql(edges_rel: str, query_terms: list[str],
+                       k: int = 20) -> str:
+    """DuckDB mirror of :func:`focused_scores` composed over
+    :func:`anchor_text_index_sql` — same match rule (distinct query terms
+    present in the normalized anchor tokens), weighting, and tie-break."""
+    from spider_spark.operators.dedupe import NORM_SQL
+
+    qt = sorted({t.lower() for t in query_terms})
+    qlist = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in qt) + "]"
+    norm = NORM_SQL.format(x="anchor_text")
+    return f"""
+    WITH idx AS ({anchor_text_index_sql(edges_rel)}),
+    m AS (
+      SELECT dst_url,
+             len(list_filter({qlist},
+                 t -> list_contains(string_split({norm}, ' '), t)))::BIGINT
+               * n_src_hosts AS part
+      FROM idx
+    )
+    SELECT dst_url, sum(part)::BIGINT AS score,
+           count(*)::BIGINT AS n_anchor_texts
+    FROM m WHERE part > 0
+    GROUP BY dst_url
+    ORDER BY score DESC, dst_url ASC LIMIT {k}
+    """

@@ -4,6 +4,7 @@ operators/anchors.py)."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from spider_spark.functions.parse import parse_anchors
@@ -255,3 +256,69 @@ class TestLinkSpamFeatures:
             ).fetchall()
         }
         assert got == want
+
+
+class TestFocusedScores:
+    @pytest.fixture(scope="class")
+    def index(self, spark):
+        # (dst_url, anchor_text, n_links, n_src_hosts)
+        rows = [
+            ("https://t1.example/", "deep learning tutorial", 100, 2),
+            ("https://t1.example/", "click here", 500, 9),
+            ("https://t2.example/", "learning resources", 3, 7),
+            ("https://t3.example/", "deep deep deep", 50, 1),   # repeats count once
+            ("https://t4.example/", "unrelated stuff", 8, 8),
+        ]
+        return spark.createDataFrame(
+            rows, "dst_url string, anchor_text string, n_links long, n_src_hosts long"
+        ).cache()
+
+    def test_host_weighted_distinct_term_match(self, spark, index):
+        from spider_spark.operators.anchors import focused_scores
+
+        got = {r["dst_url"]: (r["score"], r["n_anchor_texts"])
+               for r in focused_scores(index, ["deep", "learning"], k=10).collect()}
+        # t1: both terms in one anchor → 2 × 2 hosts = 4 ("click here" adds 0)
+        assert got["https://t1.example/"] == (4, 1)
+        # t2: one term × 7 hosts = 7 — independent endorsement beats n_links
+        assert got["https://t2.example/"] == (7, 1)
+        # t3: 'deep' repeated → counts once × 1 host = 1
+        assert got["https://t3.example/"] == (1, 1)
+        assert "https://t4.example/" not in got
+
+    def test_matches_duckdb_mirror(self, spark):
+        import duckdb
+
+        from spider_spark.operators.anchors import (
+            anchor_text_index,
+            focused_scores,
+            focused_scores_sql,
+        )
+
+        rows = [
+            ("s1", "h1", "https://t.example/a", "deep learning"),
+            ("s2", "h2", "https://t.example/a", "deep learning"),
+            ("s3", "h2", "https://t.example/a", "deep learning"),
+            ("s4", "h3", "https://t.example/b", "learning"),
+            ("s5", "h4", "https://t.example/c", "nothing"),
+        ]
+        edges = spark.createDataFrame(
+            rows, "src_url string, src_host string, dst_url string, anchor_text string"
+        )
+        idx = edges.groupBy("dst_url", "anchor_text", "src_host").count() \
+            .groupBy("dst_url", "anchor_text") \
+            .agg(F.sum("count").alias("n_links"), F.count(F.lit(1)).alias("n_src_hosts"))
+        got = [tuple(r) for r in
+               focused_scores(idx, ["deep", "learning"], k=5).collect()]
+        con = duckdb.connect()
+        con.register("edges", edges.toPandas())
+        want = [tuple(r) for r in con.execute(
+            focused_scores_sql("SELECT * FROM edges", ["deep", "learning"], k=5)
+        ).fetchall()]
+        assert got == want
+
+    def test_rejects_empty_query(self, index):
+        from spider_spark.operators.anchors import focused_scores
+
+        with pytest.raises(ValueError):
+            focused_scores(index, [])
