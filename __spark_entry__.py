@@ -110,8 +110,10 @@ from spider_spark.sources.pages import (
     _host_sql,
     _url_sql,
     host_expr,
+    build_pages,
     oracle_pages_sql,
     oracle_results_sql,
+    oracle_seen_nofollow_sql,
     pages_from_documents,
     seed_url_for,
     url_expr,
@@ -465,6 +467,37 @@ _SQL_TIERED_CRAWL_SEEN = (
     "SELECT url, depth::BIGINT AS depth FROM ("
     + oracle_results_sql(CRAWL_SEED_ID, 3)
     + ")"
+)
+
+
+NOFOLLOW_MOD = 7
+
+
+def _q_nofollow_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor rel=nofollow admission: the crawl runs over a fixture
+    whose c2 anchors carry nofollow/ugc/sponsored on every 7th page (and
+    an affirmative-rel DECOY on ``i % 7 == 3`` that must block nothing);
+    with ``honor_nofollow=True`` those links are dropped at parse time,
+    before the seen-set dedupe. Oracle: a slot-aware recursive CTE that
+    prunes exactly the opted-out c2 edges (pages.py
+    oracle_seen_nofollow_sql)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("id"), "text", "lang")
+    pages = build_pages(ids, n, nofollow_c2_mod=NOFOLLOW_MOD)
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    engine = CrawlEngine(
+        spark, pages, CrawlConfig(depth=CRAWL_DEPTH, honor_nofollow=True)
+    )
+    res = engine.crawl(seed)
+    return res.seen.select(
+        F.col("canon_url").alias("url"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+_SQL_NOFOLLOW_CRAWL_SEEN = oracle_seen_nofollow_sql(
+    CRAWL_SEED_ID, CRAWL_DEPTH, NOFOLLOW_MOD
 )
 
 
@@ -4586,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_tiered_schedule": _q_importance_tiered_schedule,  # trust→tiers→cap
         "host_budget_schedule": _q_host_budget_schedule,  # budget-table top-k
         "tiered_crawl_seen": _q_tiered_crawl_seen,  # cap+tiers seen invariant
+        "nofollow_crawl_seen": _q_nofollow_crawl_seen,  # rel=nofollow admission
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
         "lang_breakdown": _q_lang_breakdown,
         # dedup suite
@@ -4731,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
         "importance_tiered_schedule": _sql_importance_tiered_schedule(),
         "host_budget_schedule": _sql_host_budget_schedule(),
         "tiered_crawl_seen": _SQL_TIERED_CRAWL_SEEN,
+        "nofollow_crawl_seen": _SQL_NOFOLLOW_CRAWL_SEEN,
         "host_page_counts": _SQL_HOST_COUNTS,
         "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,

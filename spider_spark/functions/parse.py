@@ -65,8 +65,24 @@ _VOID_TAGS = frozenset(
 )
 
 
+# rel tokens that opt a link out of endorsement (nofollow and its 2019
+# refinements — search engines treat all three as "don't credit this")
+_NOFOLLOW_RELS = frozenset({"nofollow", "ugc", "sponsored"})
+
+
+def _rel_nofollow(attrs) -> bool:
+    for name, value in attrs:
+        if name == "rel":
+            toks = (value or "").lower().split()
+            return any(t in _NOFOLLOW_RELS for t in toks)
+    return False
+
+
 class _PageParser(HTMLParser):
-    """One-pass extraction of (first-title, hrefs-in-order, text)."""
+    """One-pass extraction of (first-title, hrefs-in-order, text).
+    ``href_nofollow`` rides 1:1 with ``hrefs`` (rel=nofollow/ugc/sponsored)
+    so crawl admission can honor per-anchor opt-outs without a second
+    parse; callers that ignore it pay one boolean append per anchor."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -74,6 +90,7 @@ class _PageParser(HTMLParser):
         self._in_first_title = False
         self._title_done = False
         self.hrefs: list[str] = []
+        self.href_nofollow: list[bool] = []
         self.text_parts: list[str] = []
         self._skip_depth = 0
 
@@ -82,6 +99,7 @@ class _PageParser(HTMLParser):
             for name, value in attrs:
                 if name == "href":
                     self.hrefs.append(value or "")
+                    self.href_nofollow.append(_rel_nofollow(attrs))
                     break
         elif tag == "title" and not self._title_done:
             self._in_first_title = True
@@ -94,6 +112,7 @@ class _PageParser(HTMLParser):
             for name, value in attrs:
                 if name == "href":
                     self.hrefs.append(value or "")
+                    self.href_nofollow.append(_rel_nofollow(attrs))
                     break
 
     def handle_endtag(self, tag: str):
@@ -112,20 +131,42 @@ class _PageParser(HTMLParser):
                 self.text_parts.append(seg)
 
 
-def parse_page(html: bytes | str) -> tuple[str | None, list[str], str]:
-    """Parse one page → (title, raw hrefs in document order, text)."""
+def _feed_parser(html: bytes | str, parser_cls=_PageParser):
+    """Decode + feed one page through a parser class; malformed tails keep
+    whatever was extracted so far."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    p = _PageParser()
+    p = parser_cls()
     try:
         p.feed(html)
         p.close()
     except Exception:
         pass  # malformed tail: keep what was extracted so far
+    return p
+
+
+def _title_of(p: _PageParser) -> str | None:
     title = "".join(p.title_parts) if p.title_parts is not None else None
     if title:  # truthy-only transform, crawler.py:166-168
         title = title.replace("\n", "").strip()
-    return title, p.hrefs, "\n".join(p.text_parts)
+    return title
+
+
+def parse_page(html: bytes | str) -> tuple[str | None, list[str], str]:
+    """Parse one page → (title, raw hrefs in document order, text)."""
+    p = _feed_parser(html)
+    return _title_of(p), p.hrefs, "\n".join(p.text_parts)
+
+
+def parse_page_rel(
+    html: bytes | str,
+) -> tuple[str | None, list[str], list[bool], str]:
+    """:func:`parse_page` plus the per-anchor nofollow flags (rel carries
+    nofollow/ugc/sponsored), aligned 1:1 with the hrefs list. Title and
+    text are byte-identical to :func:`parse_page`'s — the rel attribute
+    never influences extraction."""
+    p = _feed_parser(html)
+    return _title_of(p), p.hrefs, p.href_nofollow, "\n".join(p.text_parts)
 
 
 def extract_text(html: bytes | str) -> str:
@@ -138,7 +179,7 @@ def extract_text(html: bytes | str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def make_parse_udf(resolve_base: str = "seed"):
+def make_parse_udf(resolve_base: str = "seed", honor_nofollow: bool = False):
     """Pandas UDF ``(html:binary, seed_url:string[, page_url:string]) ->
     struct<title,links,text>`` with the link pipeline (query-string filter,
     relative resolution, self-link drop — crawler.py:140-155) applied in
@@ -150,6 +191,11 @@ def make_parse_udf(resolve_base: str = "seed"):
     the page's own URL as a third column. The seed travels as a column so
     one crawl run can serve a multi-seed frontier; parsed seeds are memoized
     per Arrow batch (a batch typically holds one or a handful of seeds).
+
+    ``honor_nofollow=True`` drops anchors whose ``rel`` carries
+    nofollow/ugc/sponsored BEFORE resolution — the per-anchor admission
+    opt-out a polite crawler honors. Title and extracted text are
+    byte-identical across both modes (the invariant never depends on rel).
     """
 
     def _run(html: pd.Series, seed_url: pd.Series, base_url: pd.Series) -> pd.DataFrame:
@@ -163,7 +209,11 @@ def make_parse_udf(resolve_base: str = "seed"):
 
         titles, links, texts = [], [], []
         for h, su, bu in zip(html, seed_url, base_url):
-            t, hrefs, txt = parse_page(h)
+            if honor_nofollow:
+                t, hrefs, nf, txt = parse_page_rel(h)
+                hrefs = [href for href, drop in zip(hrefs, nf) if not drop]
+            else:
+                t, hrefs, txt = parse_page(h)
             titles.append(t)
             links.append(generate_refs_with_host(hrefs, cu(su), resolve_base=cu(bu)))
             texts.append(txt)
@@ -274,11 +324,6 @@ ANCHORS_SCHEMA = ArrayType(
     )
 )
 
-# rel tokens that opt a link out of endorsement (nofollow and its 2019
-# refinements — search engines treat all three as "don't credit this")
-_NOFOLLOW_RELS = frozenset({"nofollow", "ugc", "sponsored"})
-
-
 class _AnchorParser(_PageParser):
     """The page parser plus anchor-text capture: character data between an
     ``<a href=...>`` and its ``</a>`` is collected per anchor, in document
@@ -294,11 +339,7 @@ class _AnchorParser(_PageParser):
 
     @staticmethod
     def _rel_nofollow(attrs) -> bool:
-        for name, value in attrs:
-            if name == "rel":
-                toks = (value or "").lower().split()
-                return any(t in _NOFOLLOW_RELS for t in toks)
-        return False
+        return _rel_nofollow(attrs)
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":

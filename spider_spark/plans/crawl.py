@@ -107,6 +107,10 @@ class CrawlConfig:
                                     # round they reappear (intra-round dedupe
                                     # kept for determinism — documented dev.)
     resolve_base: str = "seed"      # Q1 parity; "page" = corrected base
+    honor_nofollow: bool = False    # drop rel=nofollow/ugc/sponsored anchors
+                                    # at parse time (before dedupe/admission);
+                                    # False = reference parity (the reference
+                                    # follows every href, crawler.py:140-155)
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     bloom_capacity: int = 1_000_000  # initial sizing HINT only: the engine
@@ -697,7 +701,9 @@ class CrawlEngine:
         else:
             hits = eligible.join(pages_cols, on="canon_url", how="inner")
 
-        parse_udf = make_parse_udf(cfg.resolve_base)
+        parse_udf = make_parse_udf(
+            cfg.resolve_base, honor_nofollow=cfg.honor_nofollow
+        )
         parse_args = (
             (F.col("html"), F.col("seed"))
             if cfg.resolve_base == "seed"

@@ -59,9 +59,17 @@ def seed_url_for(i: int, n: int) -> str:
     return f"https://{host}/d/{i}"
 
 
-def build_pages(ids: DataFrame, n: int) -> DataFrame:
+def build_pages(ids: DataFrame, n: int,
+                nofollow_c2_mod: int | None = None) -> DataFrame:
     """Pages table from a DataFrame with columns (id:long, text:string,
-    lang:string). Pure JVM string assembly + one Arrow pass for ``text``."""
+    lang:string). Pure JVM string assembly + one Arrow pass for ``text``.
+
+    ``nofollow_c2_mod=m`` decorates the c2 anchor of every page with
+    ``i % m == 0`` with one of the three opt-out rel tokens
+    (nofollow/ugc/sponsored, cycling by ``i % 3``) and plants a DECOY
+    ``rel="external noopener"`` on pages with ``i % m == 3`` — an
+    affirmative rel that must NOT block admission. With the default
+    ``None`` the emitted bytes are identical to the classic fixture."""
     i = F.col("id")
     c1 = (F.lit(2) * i + 1) % n
     c2 = (F.lit(3) * i + 2) % n
@@ -71,6 +79,19 @@ def build_pages(ids: DataFrame, n: int) -> DataFrame:
     ).otherwise(
         F.format_string("<head><title>Doc %s</title></head>", i.cast("string"))
     )
+    if nofollow_c2_mod:
+        tok = F.element_at(
+            F.array(F.lit("nofollow"), F.lit("ugc"), F.lit("sponsored")),
+            (i % 3 + 1).cast("int"),
+        )
+        c2_attr = (
+            F.when(i % nofollow_c2_mod == 0,
+                   F.concat(F.lit(' rel="'), tok, F.lit('"')))
+            .when(i % nofollow_c2_mod == 3, F.lit(' rel="external noopener"'))
+            .otherwise(F.lit(""))
+        )
+    else:
+        c2_attr = F.lit("")
     html_str = F.concat(
         F.lit("<html>"),
         head,
@@ -80,7 +101,9 @@ def build_pages(ids: DataFrame, n: int) -> DataFrame:
         url_expr(c1),
         F.lit('">c1</a><a href="https://dead.example/d/'),
         i.cast("string"),
-        F.lit('">dead</a><a href="'),
+        F.lit('">dead</a><a'),
+        c2_attr,
+        F.lit(' href="'),
         url_expr(c2),
         F.lit('">c2</a><a href="'),
         url_expr(c1),
@@ -208,6 +231,41 @@ def _host_block_pred(blocked_host: str | None) -> str:
         return "NOT (u.child < nn.n AND u.child % 2 = 0)"
     return (f"NOT (u.child < nn.n AND u.child % 2 = 1"
             f" AND 1 + u.child % 19 = {k})")
+
+
+def oracle_seen_nofollow_sql(seed_id: int, depth: int, mod: int) -> str:
+    """Expected URL-seen set ``(url, depth)`` when the crawl honors
+    per-anchor rel=nofollow over the ``nofollow_c2_mod=mod`` fixture: the
+    c2 edge of any parent with ``parent % mod == 0`` is never admitted
+    (dropped at parse, before the seen-set dedupe — exactly the engine's
+    drop-before-dedupe order), every other edge is unchanged, and the
+    decoy affirmative rel on ``parent % mod == 3`` blocks nothing. The
+    slot-aware recursive walk shares no code with the engine's kernel."""
+    return f"""
+WITH RECURSIVE
+  nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  reach(id, depth) AS (
+    SELECT {seed_id}::BIGINT AS id, 0 AS depth
+    UNION
+    SELECT u.child, reach.depth + 1
+    FROM reach, nn,
+         UNNEST([
+           {{'child': (2*reach.id+1) % nn.n, 'nf': FALSE}},
+           {{'child': (3*reach.id+2) % nn.n, 'nf': reach.id % {mod} = 0}},
+           {{'child': nn.n + reach.id, 'nf': FALSE}}
+         ]) AS t(u)
+    WHERE reach.depth < {depth} AND reach.id < nn.n
+      AND u.child <> {seed_id} AND NOT u.nf
+  ),
+  seen AS (SELECT id, MIN(depth) AS depth FROM reach GROUP BY id)
+SELECT
+  CASE WHEN s.id < nn.n THEN
+    'https://h' || (CASE WHEN s.id % 2 = 0 THEN 0 ELSE 1 + s.id % 19 END)
+    || '.example/d/' || s.id
+  ELSE 'https://dead.example/d/' || (s.id - nn.n) END AS url,
+  s.depth::BIGINT AS depth
+FROM seen s, nn
+"""
 
 
 def oracle_results_sql(seed_id: int, depth: int,
