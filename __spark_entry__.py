@@ -112,6 +112,7 @@ from spider_spark.sources.pages import (
     host_expr,
     build_pages,
     oracle_pages_sql,
+    oracle_results_mime_gate_sql,
     oracle_results_sql,
     oracle_seen_nofollow_sql,
     pages_from_documents,
@@ -498,6 +499,35 @@ def _q_nofollow_crawl_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NOFOLLOW_CRAWL_SEEN = oracle_seen_nofollow_sql(
     CRAWL_SEED_ID, CRAWL_DEPTH, NOFOLLOW_MOD
+)
+
+
+BINARY_MOD = 3
+
+
+def _q_mime_gated_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME parse gate: pages whose payload sniffs as application/pdf
+    (every 3rd id carries PDF magic bytes AHEAD of real markup-with-links
+    — a naive parser would still follow them) are fetched and persisted
+    with a NULL title but never parsed, so none of their outlinks enter
+    the frontier. Oracle: the classic recursive CTE with the gated
+    parents' edges removed (pages.py oracle_results_mime_gate_sql)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("id"), "text", "lang")
+    pages = build_pages(ids, n, binary_mod=BINARY_MOD)
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    engine = CrawlEngine(
+        spark, pages, CrawlConfig(depth=CRAWL_DEPTH, html_only=True)
+    )
+    res = engine.crawl(seed)
+    return res.results.select(
+        "url", "title", F.col("depth").cast("long").alias("depth"), "fetched"
+    )
+
+
+_SQL_MIME_GATED_CRAWL = oracle_results_mime_gate_sql(
+    CRAWL_SEED_ID, CRAWL_DEPTH, BINARY_MOD
 )
 
 
@@ -4620,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_schedule": _q_host_budget_schedule,  # budget-table top-k
         "tiered_crawl_seen": _q_tiered_crawl_seen,  # cap+tiers seen invariant
         "nofollow_crawl_seen": _q_nofollow_crawl_seen,  # rel=nofollow admission
+        "mime_gated_crawl": _q_mime_gated_crawl,  # html_only parse gate
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
         "lang_breakdown": _q_lang_breakdown,
         # dedup suite
@@ -4766,6 +4797,7 @@ def oracle_sql() -> dict[str, str]:
         "host_budget_schedule": _sql_host_budget_schedule(),
         "tiered_crawl_seen": _SQL_TIERED_CRAWL_SEEN,
         "nofollow_crawl_seen": _SQL_NOFOLLOW_CRAWL_SEEN,
+        "mime_gated_crawl": _SQL_MIME_GATED_CRAWL,
         "host_page_counts": _SQL_HOST_COUNTS,
         "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,

@@ -52,7 +52,9 @@ PARSED_SCHEMA = StructType(
             ),
             False,
         ),
-        StructField("text", StringType(), False),
+        # nullable: the crawl's html_only MIME gate sends NULL html into
+        # the kernel for binary payloads, which parse to text=NULL
+        StructField("text", StringType(), True),
     ]
 )
 
@@ -209,6 +211,14 @@ def make_parse_udf(resolve_base: str = "seed", honor_nofollow: bool = False):
 
         titles, links, texts = [], [], []
         for h, su, bu in zip(html, seed_url, base_url):
+            if h is None:
+                # NULL html = "don't parse me" (the crawl's html_only MIME
+                # gate nulls non-HTML payloads before the Arrow transfer,
+                # so binaries never even cross into Python)
+                titles.append(None)
+                links.append([])
+                texts.append(None)
+                continue
             if honor_nofollow:
                 t, hrefs, nf, txt = parse_page_rel(h)
                 hrefs = [href for href, drop in zip(hrefs, nf) if not drop]

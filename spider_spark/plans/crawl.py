@@ -111,6 +111,14 @@ class CrawlConfig:
                                     # at parse time (before dedupe/admission);
                                     # False = reference parity (the reference
                                     # follows every href, crawler.py:140-155)
+    html_only: bool = False         # MIME parse gate: non-HTML payloads
+                                    # (sniff_mime != text/html) are fetched
+                                    # and persisted like any page but NEVER
+                                    # parsed — NULL html enters the Arrow
+                                    # kernel, so binaries cross neither the
+                                    # Python boundary nor the link pipeline;
+                                    # False = reference parity (BeautifulSoup
+                                    # over every payload, crawler.py:140)
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     bloom_capacity: int = 1_000_000  # initial sizing HINT only: the engine
@@ -704,10 +712,22 @@ class CrawlEngine:
         parse_udf = make_parse_udf(
             cfg.resolve_base, honor_nofollow=cfg.honor_nofollow
         )
+        if cfg.html_only:
+            # JVM-side sniff; binaries send NULL into the kernel (title
+            # NULL, no links, no text) and are exempt from the text
+            # invariant — they were fetched, stored, and never parsed
+            from spider_spark.functions.mime import sniff_mime
+
+            hits = hits.withColumn(
+                "__is_html", sniff_mime(F.col("html")) == F.lit("text/html")
+            )
+            html_in = F.when(F.col("__is_html"), F.col("html"))
+        else:
+            html_in = F.col("html")
         parse_args = (
-            (F.col("html"), F.col("seed"))
+            (html_in, F.col("seed"))
             if cfg.resolve_base == "seed"
-            else (F.col("html"), F.col("seed"), F.col("canon_url"))
+            else (html_in, F.col("seed"), F.col("canon_url"))
         )
         # html is dropped before the checkpoint: the parse struct carries
         # everything downstream needs, and storing 100 TB of raw bytes in
@@ -720,10 +740,11 @@ class CrawlEngine:
         obs = Observation()
         obs_exprs = [F.count(F.lit(1)).alias("n_fetched")]
         if cfg.verify_text:
+            bad_cond = F.col("p.text") != F.col("text")
+            if cfg.html_only:
+                bad_cond = F.col("__is_html") & bad_cond
             obs_exprs.append(
-                F.sum(
-                    F.when(F.col("p.text") != F.col("text"), 1).otherwise(0)
-                ).alias("bad_text")
+                F.sum(F.when(bad_cond, 1).otherwise(0)).alias("bad_text")
             )
         parsed = self._timed(
             "fetch_parse",
@@ -756,14 +777,19 @@ class CrawlEngine:
         content_expr = content_ref_col(F.col("canon_url"), F.col("host"))
         fetched_base = parsed
         if self.content_gate is not None and n_fetched:
+            gate_input = parsed
+            if cfg.html_only:
+                # binaries carry no parsed text — content-rule gates
+                # (near-dup / soft-404) can only judge HTML rows
+                gate_input = parsed.filter(F.col("__is_html"))
             gated = self._timed(
                 "content_gate",
                 lambda: self.content_gate(
                     # title rides along for content-rule gates (e.g. the
                     # soft-404 verdict); text-keyed gates just ignore it
-                    parsed.select("canon_url",
-                                  F.col("p.text").alias("text"),
-                                  F.col("p.title").alias("title"))
+                    gate_input.select("canon_url",
+                                      F.col("p.text").alias("text"),
+                                      F.col("p.title").alias("title"))
                 )
                 .select("canon_url")
                 .withColumn("_dup", F.lit(True))

@@ -60,7 +60,8 @@ def seed_url_for(i: int, n: int) -> str:
 
 
 def build_pages(ids: DataFrame, n: int,
-                nofollow_c2_mod: int | None = None) -> DataFrame:
+                nofollow_c2_mod: int | None = None,
+                binary_mod: int | None = None) -> DataFrame:
     """Pages table from a DataFrame with columns (id:long, text:string,
     lang:string). Pure JVM string assembly + one Arrow pass for ``text``.
 
@@ -68,8 +69,16 @@ def build_pages(ids: DataFrame, n: int,
     ``i % m == 0`` with one of the three opt-out rel tokens
     (nofollow/ugc/sponsored, cycling by ``i % 3``) and plants a DECOY
     ``rel="external noopener"`` on pages with ``i % m == 3`` — an
-    affirmative rel that must NOT block admission. With the default
-    ``None`` the emitted bytes are identical to the classic fixture."""
+    affirmative rel that must NOT block admission.
+
+    ``binary_mod=m`` prefixes the payload of every page with ``i % m == 0``
+    with PDF magic bytes (``%PDF-1.7\\n``) while KEEPING the trailing
+    markup — adversarial on purpose: a naive parser still finds the links,
+    so only a real MIME gate (CrawlConfig.html_only) keeps them out of the
+    frontier.
+
+    With all mods ``None`` the emitted bytes are identical to the classic
+    fixture."""
     i = F.col("id")
     c1 = (F.lit(2) * i + 1) % n
     c2 = (F.lit(3) * i + 2) % n
@@ -92,7 +101,13 @@ def build_pages(ids: DataFrame, n: int,
         )
     else:
         c2_attr = F.lit("")
+    magic = (
+        F.when(i % binary_mod == 0, F.lit("%PDF-1.7\n")).otherwise(F.lit(""))
+        if binary_mod
+        else F.lit("")
+    )
     html_str = F.concat(
+        magic,
         F.lit("<html>"),
         head,
         F.lit('<body><a>skip</a><a href="'),
@@ -264,6 +279,40 @@ SELECT
     || '.example/d/' || s.id
   ELSE 'https://dead.example/d/' || (s.id - nn.n) END AS url,
   s.depth::BIGINT AS depth
+FROM seen s, nn
+"""
+
+
+def oracle_results_mime_gate_sql(seed_id: int, depth: int, mod: int) -> str:
+    """Expected results ``(url, title, depth, fetched)`` when the crawl
+    runs with the ``html_only`` MIME gate over the ``binary_mod=mod``
+    fixture: pages with ``id % mod == 0`` sniff as application/pdf, so
+    they are fetched and recorded (fetched=TRUE) with a NULL title but
+    NEVER parsed — none of their links (c1, c2, or their dead URL) enter
+    the frontier. Everything else follows the classic graph."""
+    return f"""
+WITH RECURSIVE
+  nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+  reach(id, depth) AS (
+    SELECT {seed_id}::BIGINT AS id, 0 AS depth
+    UNION
+    SELECT u.child, reach.depth + 1
+    FROM reach, nn,
+         UNNEST([(2*reach.id+1) % nn.n, (3*reach.id+2) % nn.n,
+                 nn.n + reach.id]) AS u(child)
+    WHERE reach.depth < {depth} AND reach.id < nn.n
+      AND reach.id % {mod} <> 0 AND u.child <> {seed_id}
+  ),
+  seen AS (SELECT id, MIN(depth) AS depth FROM reach GROUP BY id)
+SELECT
+  CASE WHEN s.id < nn.n THEN
+    'https://h' || (CASE WHEN s.id % 2 = 0 THEN 0 ELSE 1 + s.id % 19 END)
+    || '.example/d/' || s.id
+  ELSE 'https://dead.example/d/' || (s.id - nn.n) END AS url,
+  CASE WHEN s.id < nn.n AND s.id % 17 <> 0 AND s.id % {mod} <> 0
+       THEN 'Doc ' || s.id END AS title,
+  s.depth::BIGINT AS depth,
+  (s.id < nn.n) AS fetched
 FROM seen s, nn
 """
 
