@@ -2666,6 +2666,31 @@ FROM words
 """
 
 
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. SIGMOD 2003,
+    operators/winnow.py): guaranteed-coverage span fingerprints — any
+    shared run of ≥ w+k-1 words between two documents shares a selected
+    hash. Rolled up per document (count + exact HUGEINT hash sum, the
+    token_drift decimal pattern) so the contract row set stays compact
+    while remaining sensitive to every selected (pos, hash)."""
+    from spider_spark.operators.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(_docs(spark, sf_dir))
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("fp_sum"),
+    )
+
+
+def _sql_winnow() -> str:
+    from spider_spark.operators.winnow import winnow_sql
+
+    return (
+        f"SELECT doc_id, count(*)::BIGINT AS n_fps, sum(h) AS fp_sum "
+        f"FROM ({winnow_sql()}) GROUP BY doc_id"
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (marker-profile heuristic, Arrow UDF). Oracle-checked:
     per document the argmax over ``hits/sqrt(n_tokens)`` reduces to an
@@ -4691,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "crawl_then_clean": _q_crawl_then_clean,  # composed pipeline
         "rolling_fingerprint": _q_rolling_fp,
+        "winnow_fingerprints": _q_winnow,
         "lang_id_counts": _q_lang_id,
         "ccnet_perplexity_buckets": _q_ccnet_buckets,  # LM quality terciles
         # similarity search
@@ -4837,6 +4863,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _SQL_CORPUS_CLEAN,
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,
+        "winnow_fingerprints": _sql_winnow(),
         "lang_id_counts": lang_id_sql(),
         "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
