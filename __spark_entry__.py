@@ -2666,6 +2666,38 @@ FROM words
 """
 
 
+_PSL_HOST_CASE = (
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'www.site' || doc_id || '.co.uk' "
+    "WHEN 1 THEN 'a.b.site' || doc_id || '.example' "
+    "WHEN 2 THEN 'v.u.w' || doc_id || '.ck' "
+    "WHEN 3 THEN 'sub' || doc_id || '.www.ck' "
+    "ELSE 'org.uk' END"
+)
+
+
+def _q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-Suffix-List registrable-domain (eTLD+1) extraction
+    (functions/domains.py): the grouping key crawlers use for politeness
+    and site budgets. The synthetic hosts cover every rule family —
+    multi-label exact (co.uk), default rule (.example), wildcard (*.ck),
+    exception (!www.ck), and a bare public suffix (org.uk → NULL
+    registrable)."""
+    from spider_spark.functions.domains import registrable_domains
+
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(F.expr(_PSL_HOST_CASE).alias("host"))
+    return registrable_domains(hosts)
+
+
+def _sql_registrable_domains() -> str:
+    from spider_spark.functions.domains import registrable_domains_sql
+
+    return registrable_domains_sql(
+        f"SELECT {_PSL_HOST_CASE} AS host FROM documents"
+    )
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer et al. SIGMOD 2003,
     operators/winnow.py): guaranteed-coverage span fingerprints — any
@@ -4717,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_then_clean": _q_crawl_then_clean,  # composed pipeline
         "rolling_fingerprint": _q_rolling_fp,
         "winnow_fingerprints": _q_winnow,
+        "registrable_domains": _q_registrable_domains,
         "lang_id_counts": _q_lang_id,
         "ccnet_perplexity_buckets": _q_ccnet_buckets,  # LM quality terciles
         # similarity search
@@ -4864,6 +4897,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_then_clean": _SQL_CRAWL_THEN_CLEAN,
         "rolling_fingerprint": _SQL_ROLLING_FP,
         "winnow_fingerprints": _sql_winnow(),
+        "registrable_domains": _sql_registrable_domains(),
         "lang_id_counts": lang_id_sql(),
         "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
