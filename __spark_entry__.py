@@ -343,6 +343,25 @@ _SQL_BUDGET_SEEN = (
 )
 
 
+def _q_site_politeness_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-level politeness (CrawlConfig.politeness_site): the budget
+    counts fetches per registrable domain (PSL eTLD+1) instead of per
+    raw host; grouping reschedules but never drops, so the seen set
+    still matches the unbudgeted recursive-CTE oracle. The fixture's
+    hosts are one-label sites (hK.example → registrable hK.example), so
+    this query proves the engine path end-to-end + invariance; the
+    subdomain-sharing bite is pinned in tests/test_site_politeness.py
+    (a.s.example/b.s.example share ONE allowance)."""
+    pages = pages_from_documents(spark, sf_dir)
+    n = _docs(spark, sf_dir).count()
+    seed = seed_url_for(CRAWL_SEED_ID, n)
+    engine = CrawlEngine(
+        spark, pages, CrawlConfig(depth=3, budget=2, politeness_site=True)
+    )
+    res = engine.crawl(seed)
+    return res.seen.select(F.col("canon_url").alias("url"))
+
+
 TIER_CAP = 100
 
 
@@ -4708,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_crawl_seen": _q_tiered_crawl_seen,  # cap+tiers seen invariant
         "nofollow_crawl_seen": _q_nofollow_crawl_seen,  # rel=nofollow admission
         "mime_gated_crawl": _q_mime_gated_crawl,  # html_only parse gate
+        "site_politeness_seen": _q_site_politeness_seen,  # eTLD+1 budgets
         "host_page_counts": _q_host_counts,       # I2 grouping key / H4 skew
         "lang_breakdown": _q_lang_breakdown,
         # dedup suite
@@ -4857,6 +4877,7 @@ def oracle_sql() -> dict[str, str]:
         "tiered_crawl_seen": _SQL_TIERED_CRAWL_SEEN,
         "nofollow_crawl_seen": _SQL_NOFOLLOW_CRAWL_SEEN,
         "mime_gated_crawl": _SQL_MIME_GATED_CRAWL,
+        "site_politeness_seen": _SQL_BUDGET_SEEN,
         "host_page_counts": _SQL_HOST_COUNTS,
         "lang_breakdown": _SQL_LANG_BREAKDOWN,
         "exact_dupes": _SQL_EXACT_DUPES,

@@ -255,6 +255,7 @@ def schedule(
     strict_bfs: bool = True,
     waves: int = 1,
     host_budgets: DataFrame | None = None,
+    group_col: str = "host",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Return ``(eligible, carryover, blocked)`` for this round.
 
@@ -277,6 +278,18 @@ def schedule(
     ``budget=None`` unlisted hosts stay unlimited (the table is the only
     constraint); the seen-set invariance argument is unchanged — budgets
     reschedule, never drop (module docstring).
+
+    ``group_col`` is the politeness grouping key (default the raw host).
+    Passing a site-level column (e.g. the registrable domain from
+    :func:`~spider_spark.functions.domains.registrable_domains`) makes
+    the budget count fetches PER SITE — ``a.shop.example`` and
+    ``b.shop.example`` share one allowance, the way real crawlers rate
+    sites rather than hostnames. Robots delay caps are still computed
+    per host (robots.txt is a host-scoped protocol); within a group the
+    MINIMUM member cap applies — conservative by construction (the group
+    never out-fetches its strictest member's rate). ``host_budgets``
+    joins on ``group_col`` (key the table accordingly). The invariance
+    argument is grouping-independent: caps reschedule, never drop.
     """
     rules = rules or RobotsRules()
     if rules.trivially_empty:
@@ -309,24 +322,34 @@ def schedule(
         gated = gated.withColumn(
             "__delay_cap", (F.col("__delay_cap") * waves).cast("int")
         )
+    if group_col != "host" and "__delay_cap" in gated.columns:
+        # host-scoped robots caps folded to the group's strictest member
+        # (min ignores NULL = uncapped hosts); the window shuffle aligns
+        # with the groupBy that follows
+        from pyspark.sql import Window as _W
+
+        gated = gated.withColumn(
+            "__delay_cap",
+            F.min("__delay_cap").over(_W.partitionBy(group_col)),
+        )
     if host_budgets is not None:
         hb = host_budgets.select(
-            F.lower(F.col("host")).alias("host"),
+            F.lower(F.col(group_col)).alias(group_col),
             (F.greatest(F.col("budget").cast("int"), F.lit(1))
              * max(1, waves)).alias("__host_budget"),
         )
-        gated = gated.join(F.broadcast(hb), on="host", how="left")
+        gated = gated.join(F.broadcast(hb), on=group_col, how="left")
     schema = gated.schema
 
     stage1 = (
         gated.withColumn("__salt", F.pmod(F.xxhash64(F.col("canon_url")), F.lit(salt)))
-        .groupBy("host", "__salt")
+        .groupBy(group_col, "__salt")
         .applyInPandas(
             lambda pdf: _topk_fn(k)(pdf.drop(columns="__salt")),
             schema=schema,
         )
     )
-    eligible = stage1.groupBy("host").applyInPandas(_topk_fn(k), schema=schema)
+    eligible = stage1.groupBy(group_col).applyInPandas(_topk_fn(k), schema=schema)
     eligible = eligible.drop("__delay_cap", "__host_budget")
     carryover = allowed.drop("__delay_cap").join(
         eligible.select("canon_url"), on="canon_url", how="left_anti"

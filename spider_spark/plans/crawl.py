@@ -138,6 +138,13 @@ class CrawlConfig:
                                     # bloom / ~21 GB cuckoo at 10^10 URLs)
                                     # and fails loudly past 4 GiB (bloom.py)
     salt: int = 8                   # politeness salting factor (H4)
+    politeness_site: bool = False   # budget per registrable domain (PSL
+                                    # eTLD+1, functions/domains.py) instead
+                                    # of per raw host: subdomain farms share
+                                    # ONE allowance. host_budgets must then
+                                    # be keyed by registrable domain. Seen-
+                                    # set invariance is grouping-independent
+                                    # (budgets reschedule, never drop)
     strict_bfs: bool = True         # budgeted rounds fetch min-depth level only:
                                     # preserves min-depth discovery, making the
                                     # seen-set budget-invariance a theorem (see
@@ -661,11 +668,42 @@ class CrawlEngine:
         else:
             from pyspark.sql import Observation
 
-            eligible, carryover, blocked = schedule(
-                state.frontier, cfg.budget, self.rules, salt=cfg.salt,
-                strict_bfs=cfg.strict_bfs, waves=cfg.waves,
-                host_budgets=self._host_budgets,
+            sched_in, group_col, host_budgets = (
+                state.frontier, "host", self._host_budgets
             )
+            if cfg.politeness_site:
+                # site-level grouping: map this round's hosts (a bounded,
+                # host-keyed relation — never the frontier itself) to
+                # their registrable domain and rate-limit per site
+                from spider_spark.functions.domains import (
+                    registrable_domains,
+                )
+
+                site_map = registrable_domains(
+                    state.frontier.select("host")
+                ).select(
+                    "host",
+                    F.coalesce("registrable", "host").alias("__site"),
+                )
+                sched_in = state.frontier.join(
+                    site_map, on="host", how="left"
+                ).withColumn(
+                    "__site", F.coalesce(F.col("__site"), F.col("host"))
+                )
+                group_col = "__site"
+                if host_budgets is not None:
+                    host_budgets = host_budgets.withColumnRenamed(
+                        "host", "__site"
+                    )
+            eligible, carryover, blocked = schedule(
+                sched_in, cfg.budget, self.rules, salt=cfg.salt,
+                strict_bfs=cfg.strict_bfs, waves=cfg.waves,
+                host_budgets=host_budgets, group_col=group_col,
+            )
+            if cfg.politeness_site:
+                eligible = eligible.drop("__site")
+                carryover = carryover.drop("__site")
+                blocked = blocked.drop("__site")
             if cfg.max_fetch_per_round is not None:
                 # tiered global round capacity (after per-host budgets):
                 # top-N by (tier, depth, admission); the rest defer into
