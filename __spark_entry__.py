@@ -1434,6 +1434,44 @@ def _sql_length_quantiles() -> str:
     return exact_group_quantiles_sql("lang", "n_chars")
 
 
+# q-digest over epoch-millisecond event times: the value domain
+# (~2.6×10^9 distinct ms over the month) is far too large for the exact
+# histogram path — the sketch's state is O(k·bits) per group no matter
+# the row count, and its deterministic bottom-up compression lets the
+# DuckDB mirror replay build → extract bit-for-bit (bits unrolled steps).
+QDIG_K = 2048          # rank error ≤ bits·(n div k) ≈ 1.6% of n
+QDIG_BITS = 32         # ms offsets over one month need 2^31.3
+QDIG_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z in epoch µs
+
+
+def _q_event_time_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type q-digest quantiles (Shrivastava et al. 2004) of the
+    event timestamp in ms-since-2024-01-01 (operators/quantiles.py):
+    one (group, value) histogram shuffle, then `bits` keyed mini-jobs
+    over a geometrically shrinking relation — the mergeable-sketch
+    answer for quantiles over domains where exact histograms are
+    corpus-sized. Deterministic (pure function of the multiset), so the
+    oracle replays the identical compression."""
+    from spider_spark.operators.quantiles import (
+        qdigest_build, qdigest_quantiles)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.expr(f"(unix_micros(cast(ts as timestamp)) - {QDIG_BASE_US}) "
+               "div 1000").alias("ms"),
+    )
+    dig = qdigest_build(ev, "event_type", "ms", k=QDIG_K, bits=QDIG_BITS)
+    return qdigest_quantiles(dig, "event_type")
+
+
+def _sql_event_time_qdigest() -> str:
+    from spider_spark.operators.quantiles import qdigest_quantiles_sql
+
+    return qdigest_quantiles_sql(
+        "event_type", f"((epoch_us(ts) - {QDIG_BASE_US}) // 1000)",
+        QDIG_K, QDIG_BITS, table="events")
+
+
 PRIO_K = 5
 
 
@@ -4804,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_sample": _q_temperature_mix,   # √n source flattening
         "priority_sample": _q_priority_sample,          # DLT weighted sample
         "length_quantiles": _q_length_quantiles,        # exact datacard stats
+        "event_time_qdigest": _q_event_time_qdigest,    # mergeable q-digest sketch
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
         "doc_chunks": _q_doc_chunks,                    # overlapping RAG windows
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
@@ -4955,6 +4994,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_sample": _SQL_TEMP_MIX,
         "priority_sample": _SQL_PRIORITY_SAMPLE,
         "length_quantiles": _sql_length_quantiles(),
+        "event_time_qdigest": _sql_event_time_qdigest(),
         "packed_sequences": _SQL_PACKED,
         "doc_chunks": _sql_doc_chunks(),
         "corpus_datacard": _SQL_DATACARD,

@@ -384,6 +384,22 @@ def main() -> None:
         lambda: force(exact_group_quantiles(weighted, "host", "w")),
     )
 
+    # q-digest over a 2^32 value domain at the 1M-row scale: one
+    # histogram shuffle + the two Arrow compression passes (subtree-keyed
+    # below the split level, group-keyed above) — the mergeable-sketch
+    # path for quantiles where exact histograms would be corpus-sized
+    from spider_spark.operators.quantiles import (
+        qdigest_build, qdigest_quantiles)
+
+    huge = hosted.withColumn(
+        "hv", F.expr("cast(conv(substring(md5(url), 1, 8), 16, 10) as bigint)"))
+
+    def qdigest_run():
+        dig = qdigest_build(huge, "host", "hv", k=2048, bits=32)
+        force(qdigest_quantiles(dig, "host"))
+
+    timed("qdigest_1m", qdigest_run)
+
     # continuous-crawl seen-set maintenance at the 1M-URL scale: cuckoo
     # build over every page url, freshness scan, expiry-wave delete
     # (~10% of the table), unseen gate re-admission — the operator loop a
