@@ -3587,6 +3587,29 @@ def _sql_bigram_pmi() -> str:
     return bigram_pmi_sql(k=PMI_K, min_count=PMI_MIN_COUNT)
 
 
+KN_K, KN_MIN_COUNT, KN_D_MILLI = 100, 2, 750
+
+
+def _q_kn_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (operators/ngrams.py
+    kn_bigram_probs): the count-based smoothed-LM estimation a pipeline
+    derives from its own corpus — context totals / fan-out / continuation
+    counts re-aggregated from ONE bigram count table, the probability a
+    single exact rational in decimal(38,0) reported as prob_ppm, so the
+    HUGEINT DuckDB mirror agrees bit-for-bit."""
+    from spider_spark.operators.ngrams import kn_bigram_probs
+
+    return kn_bigram_probs(
+        _docs(spark, sf_dir), k=KN_K, min_count=KN_MIN_COUNT, d_milli=KN_D_MILLI
+    )
+
+
+def _sql_kn_bigram_probs() -> str:
+    from spider_spark.operators.ngrams import kn_bigram_probs_sql
+
+    return kn_bigram_probs_sql(k=KN_K, min_count=KN_MIN_COUNT, d_milli=KN_D_MILLI)
+
+
 def _sql_top_ngrams() -> str:
     from spider_spark.operators.ngrams import top_ngrams_sql
 
@@ -4864,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_rows": _q_table_rows,              # HTML table grid extraction
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "bigram_pmi": _q_bigram_pmi,              # collocation mining
+        "kn_bigram_probs": _q_kn_bigram_probs,    # smoothed-LM count tables
         "host_keywords": _q_host_keywords,        # per-site TF-IDF profiles
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
@@ -5016,6 +5040,7 @@ def oracle_sql() -> dict[str, str]:
         "table_rows": _sql_table_rows(),
         "top_ngrams": _sql_top_ngrams(),
         "bigram_pmi": _sql_bigram_pmi(),
+        "kn_bigram_probs": _sql_kn_bigram_probs(),
         "host_keywords": _sql_host_keywords(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,

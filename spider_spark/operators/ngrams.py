@@ -33,7 +33,15 @@ from pyspark.sql import functions as F
 from spider_spark.functions.text import normalized_text
 from spider_spark.operators.dedupe import NORM_SQL
 
-__all__ = ["ngram_counts", "top_ngrams", "top_ngrams_sql"]
+__all__ = [
+    "ngram_counts",
+    "top_ngrams",
+    "top_ngrams_sql",
+    "bigram_pmi",
+    "bigram_pmi_sql",
+    "kn_bigram_probs",
+    "kn_bigram_probs_sql",
+]
 
 
 def ngram_counts(docs: DataFrame, n: int = 3,
@@ -163,4 +171,129 @@ def bigram_pmi_sql(k: int = 50, min_count: int = 5, rel: str = "documents",
     JOIN uni u2 ON u2.word = string_split(gram, ' ')[2]
     CROSS JOIN tot
     ORDER BY pmi DESC, gram ASC LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# count-based LM estimation: interpolated Kneser-Ney bigram probabilities
+# ---------------------------------------------------------------------------
+
+
+def kn_bigram_probs(docs: DataFrame, k: int = 100, min_count: int = 3,
+                    d_milli: int = 750, text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999) over the corpus word stream, as exact integer
+    relational algebra:
+
+    ``P(y|x) = (c(x,y) - d)/c(x·) + d·N1+(x,·)/c(x·) · N1+(·,y)/T``
+
+    with discount ``d = d_milli/1000``, ``c(x·)`` the context total
+    (bigram tokens starting with ``x``), ``N1+(x,·)`` the fan-out
+    (distinct successors of ``x``), ``N1+(·,y)`` the continuation count
+    (distinct predecessors of ``y`` — the KN signature: how many contexts
+    a word completes, not how often it occurs), and ``T`` the number of
+    distinct bigram types. Every quantity is a count; the probability is
+    the single rational
+
+    ``[(1000·c(x,y) - d_milli)·T + d_milli·N1+(x,·)·N1+(·,y)]
+      / (1000·c(x·)·T)``
+
+    reported as ``prob_ppm`` (floor of the value scaled to 10^6) in
+    ``decimal(38,0)`` / HUGEINT cross-multiplication — exact at 10^14
+    bigram tokens where int64 products overflow — so the DuckDB mirror
+    agrees bit-for-bit and the output is parallelism-independent.
+
+    Output: ``(gram, n_xy, n_ctx, fanout_x, cont_y, prob_ppm)`` for the
+    top-``k`` bigrams by ``(n_xy DESC, gram ASC)`` with ``n_xy ≥
+    min_count`` (the statistics are computed over the FULL distribution
+    first — the floor only trims the report).
+
+    Scale shape: one gram-keyed bigram count (map-side combinable,
+    shuffle rows = distinct bigram types); context totals / fan-out and
+    continuation counts are two word-keyed re-aggregations OF that
+    table (rows = vocabulary size, no second corpus pass); ``T`` is a
+    1-row aggregate cross-joined in; the two attachments are word-keyed
+    joins (never broadcast — a web-scale vocabulary is not a small
+    side); top-k is ``TakeOrderedAndProject``. This is the
+    infini-gram/CCNet-style count-table estimation path: the smoothed
+    LM a pipeline derives from the corpus itself.
+    """
+    if not (0 < d_milli < 1000):
+        raise ValueError(f"d_milli must be in (0, 1000): {d_milli}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be ≥1: {min_count}")
+    dec = "decimal(38,0)"
+    bi = (
+        ngram_counts(docs, 2, text_col)
+        .select(
+            "gram",
+            F.col("n_occurrences").alias("n_xy"),
+            F.split("gram", " ").getItem(0).alias("_w1"),
+            F.split("gram", " ").getItem(1).alias("_w2"),
+        )
+    )
+    ctx = bi.groupBy("_w1").agg(
+        F.sum("n_xy").alias("n_ctx"),
+        F.count(F.lit(1)).alias("fanout_x"),
+    )
+    cont = bi.groupBy("_w2").agg(F.count(F.lit(1)).alias("cont_y"))
+    types = bi.agg(F.count(F.lit(1)).alias("_t"))
+    num = (
+        (F.lit(1000).cast(dec) * F.col("n_xy").cast(dec)
+         - F.lit(d_milli).cast(dec)) * F.col("_t").cast(dec)
+        + F.lit(d_milli).cast(dec) * F.col("fanout_x").cast(dec)
+        * F.col("cont_y").cast(dec)
+    )
+    den = F.lit(1000).cast(dec) * F.col("n_ctx").cast(dec) * F.col("_t").cast(dec)
+    scored = (
+        bi.join(ctx, on="_w1")
+        .join(cont, on="_w2")
+        .crossJoin(F.broadcast(types))
+        .filter(F.col("n_xy") >= min_count)
+        .select(
+            "gram", "n_xy", "n_ctx", "fanout_x", "cont_y",
+            (num * F.lit(1000000).cast(dec)).alias("_num"),
+            den.alias("_den"),
+        )
+        .withColumn("prob_ppm", F.expr("CAST(_num div _den AS BIGINT)"))
+        .drop("_num", "_den")
+    )
+    return scored.orderBy(F.desc("n_xy"), F.asc("gram")).limit(k)
+
+
+def kn_bigram_probs_sql(k: int = 100, min_count: int = 3,
+                        d_milli: int = 750, rel: str = "documents",
+                        text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`kn_bigram_probs` — same counts, HUGEINT
+    cross-multiplication, floor division, ordering, and tie-break."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH toks AS (SELECT string_split({norm}, ' ') AS w FROM {rel}),
+    bi AS (
+      SELECT gram, count(*) AS n_xy,
+             string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2
+      FROM (
+        SELECT unnest(list_transform(
+                 range(1, len(w)),
+                 i -> array_to_string(w[i:i + 1], ' '))) AS gram
+        FROM toks
+      ) GROUP BY 1
+    ),
+    ctx AS (
+      SELECT w1, sum(n_xy) AS n_ctx, count(*) AS fanout_x
+      FROM bi GROUP BY 1
+    ),
+    cont AS (SELECT w2, count(*) AS cont_y FROM bi GROUP BY 1),
+    types AS (SELECT count(*)::HUGEINT AS t FROM bi)
+    SELECT gram, n_xy::BIGINT AS n_xy, n_ctx::BIGINT AS n_ctx,
+           fanout_x::BIGINT AS fanout_x, cont_y::BIGINT AS cont_y,
+           (((1000::HUGEINT * n_xy::HUGEINT - {d_milli}::HUGEINT) * t
+             + {d_milli}::HUGEINT * fanout_x::HUGEINT * cont_y::HUGEINT)
+            * 1000000::HUGEINT
+            // (1000::HUGEINT * n_ctx::HUGEINT * t))::BIGINT AS prob_ppm
+    FROM bi JOIN ctx USING (w1) JOIN cont USING (w2)
+    CROSS JOIN types
+    WHERE n_xy >= {min_count}
+    ORDER BY n_xy DESC, gram ASC LIMIT {k}
     """

@@ -97,3 +97,91 @@ class TestBigramPMI:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestKneserNey:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # "york" occurs often but ONLY after "new" → high raw bigram count,
+        # minimal continuation count (the KN signature case); "the" follows
+        # many distinct words → high continuation count despite modest
+        # per-bigram frequency.
+        rows = [
+            (0, "new york is big and new york is busy"),
+            (1, "in new york the trains run under the river"),
+            (2, "over the hill past the mill and into the town"),
+            (3, "the cat saw the dog near the barn"),
+            (4, "new york again and again the lights"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    @staticmethod
+    def _reference(rows, min_count, d_milli):
+        """Exact-fraction Python replay of the operator's formula."""
+        from fractions import Fraction
+        from collections import Counter, defaultdict
+
+        bi = Counter()
+        for _, text in rows:
+            w = text.lower().split()
+            for a, b in zip(w, w[1:]):
+                bi[(a, b)] += 1
+        ctx_tot, fanout, cont = Counter(), Counter(), Counter()
+        for (a, b), n in bi.items():
+            ctx_tot[a] += n
+            fanout[a] += 1
+            cont[b] += 1
+        t = len(bi)
+        out = {}
+        for (a, b), n in bi.items():
+            if n < min_count:
+                continue
+            p = Fraction(
+                (1000 * n - d_milli) * t + d_milli * fanout[a] * cont[b],
+                1000 * ctx_tot[a] * t,
+            )
+            out[f"{a} {b}"] = (n, ctx_tot[a], fanout[a], cont[b],
+                               (p.numerator * 1000000) // p.denominator)
+        return out
+
+    def test_matches_exact_fraction_reference(self, docs):
+        from spider_spark.operators.ngrams import kn_bigram_probs
+
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        ref = self._reference(rows, min_count=2, d_milli=750)
+        got = kn_bigram_probs(docs, k=100, min_count=2, d_milli=750).collect()
+        assert len(got) == len(ref)
+        for r in got:
+            assert ref[r["gram"]] == (
+                r["n_xy"], r["n_ctx"], r["fanout_x"], r["cont_y"], r["prob_ppm"]
+            ), r["gram"]
+
+    def test_continuation_beats_raw_frequency(self, docs):
+        """'the' completes many contexts, 'york' only one: for equal raw
+        bigram counts a *-the bigram must carry more continuation mass."""
+        from spider_spark.operators.ngrams import kn_bigram_probs
+
+        got = {r["gram"]: r for r in
+               kn_bigram_probs(docs, k=100, min_count=1).collect()}
+        assert got["new york"]["cont_y"] == 1
+        assert got["into the"]["cont_y"] > 3
+
+    def test_sql_mirror_bit_exact(self, docs):
+        from spider_spark.operators.ngrams import kn_bigram_probs, kn_bigram_probs_sql
+
+        spark_rows = [tuple(r) for r in
+                      kn_bigram_probs(docs, k=50, min_count=1).collect()]
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        duck_rows = con.execute(kn_bigram_probs_sql(k=50, min_count=1)).fetchall()
+        assert spark_rows == duck_rows
+
+    def test_rejects_bad_params(self, docs):
+        from spider_spark.operators.ngrams import kn_bigram_probs
+
+        with pytest.raises(ValueError):
+            kn_bigram_probs(docs, d_milli=0)
+        with pytest.raises(ValueError):
+            kn_bigram_probs(docs, d_milli=1000)
+        with pytest.raises(ValueError):
+            kn_bigram_probs(docs, min_count=0)
