@@ -3616,6 +3616,45 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+SENT_MAX_DF = 3
+_SENT_BUILD = (
+    "concat("
+    "CASE WHEN {i} % 3 = 0 THEN 'Subscribe to our newsletter today. ' "
+    "ELSE '' END, "
+    "'Lead sentence ', CAST({i} % 7 AS STRING), '. ', "
+    "'Body says ', substr(text, 1, 60), '. ', "
+    "CASE WHEN {i} % 4 = 1 THEN 'Share this page with friends. ' "
+    "ELSE '' END, "
+    "'Tail note ', CAST({i} AS STRING), '.')"
+)
+
+
+def _q_sentence_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level corpus dedup (functions/sentseg.py): documents are
+    rebuilt as sentence-structured text (boilerplate sentence on every
+    3rd doc, a 7-variant lead, a per-doc body + tail) via a shared SQL
+    construction; the frozen boundary splitter (capture-group rewrite,
+    no lookahead, JVM-only) segments them and the segment-frequency
+    filter drops every sentence seen in more than SENT_MAX_DF docs.
+    The oracle replays construction, splitter, df rule, and reassembly."""
+    from spider_spark.functions.sentseg import sentence_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SENT_BUILD.format(i="doc_id")).alias("text")
+    )
+    return sentence_dedup(docs, max_df=SENT_MAX_DF)
+
+
+def _sql_sentence_dedup_clean() -> str:
+    from spider_spark.functions.sentseg import sentence_dedup_sql
+
+    built = _SENT_BUILD.format(i="doc_id")
+    return sentence_dedup_sql(
+        max_df=SENT_MAX_DF,
+        table=f"(SELECT doc_id, {built} AS text FROM documents)",
+    )
+
+
 _URL_BUILD = (
     "concat('http://h', CAST({i} % 7 AS STRING), '.example/p/', "
     "CAST({i} AS STRING), CASE CAST({i} % 4 AS INT) "
@@ -4888,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "bigram_pmi": _q_bigram_pmi,              # collocation mining
         "kn_bigram_probs": _q_kn_bigram_probs,    # smoothed-LM count tables
+        "sentence_dedup_clean": _q_sentence_dedup_clean,  # sentence-level dedup
         "host_keywords": _q_host_keywords,        # per-site TF-IDF profiles
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
@@ -5041,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(),
         "bigram_pmi": _sql_bigram_pmi(),
         "kn_bigram_probs": _sql_kn_bigram_probs(),
+        "sentence_dedup_clean": _sql_sentence_dedup_clean(),
         "host_keywords": _sql_host_keywords(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,
