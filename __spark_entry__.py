@@ -3616,6 +3616,62 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+DUST_K, DUST_MIN_SUPPORT, DUST_MAX_BUCKET = 100, 2, 8
+_DUST_BASE = ("concat('http://h', CAST({i} % 7 AS STRING), "
+              "'.example/{seg}/p', CAST({i} AS STRING))")
+
+
+def _q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST alias-rule mining (operators/urlmining.py dust_rules,
+    Bar-Yossef WWW 2007): same-content URL pairs on one host differing
+    in exactly one path segment roll up into site canonicalization
+    rules. The synthetic population gives every doc a base /a/ URL,
+    every 2nd an /amp/ alias, every 3rd a /mobile/ alias, and plants a
+    mirror-wide 'hot' fingerprint family that the hot-bucket guard must
+    exclude (it does, at both sfs). Fingerprint-keyed pair join only;
+    the oracle replays population, guard, mismatch test, and rollup."""
+    from spider_spark.operators.urlmining import dust_rules
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fp = F.col("doc_id").cast("string")
+    base = docs.select(
+        F.expr(_DUST_BASE.format(i="doc_id", seg="a")).alias("url"),
+        fp.alias("fp"))
+    amp = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr(_DUST_BASE.format(i="doc_id", seg="amp")).alias("url"),
+        fp.alias("fp"))
+    mob = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.expr(_DUST_BASE.format(i="doc_id", seg="mobile")).alias("url"),
+        fp.alias("fp"))
+    hot = docs.filter(F.col("doc_id") % 40 == 0).select(
+        F.concat(F.lit("http://hx.example/m"), fp, F.lit("/page")).alias("url"),
+        F.lit("hot").alias("fp"))
+    urls = base.unionAll(amp).unionAll(mob).unionAll(hot)
+    return dust_rules(urls, k=DUST_K, min_support=DUST_MIN_SUPPORT,
+                      max_bucket=DUST_MAX_BUCKET)
+
+
+def _sql_dust_rules() -> str:
+    from spider_spark.operators.urlmining import dust_rules_sql
+
+    base = _DUST_BASE.format(i="doc_id", seg="a")
+    amp = _DUST_BASE.format(i="doc_id", seg="amp")
+    mob = _DUST_BASE.format(i="doc_id", seg="mobile")
+    rel = (
+        "(SELECT " + base + " AS url, CAST(doc_id AS STRING) AS fp "
+        "FROM documents "
+        "UNION ALL SELECT " + amp + ", CAST(doc_id AS STRING) "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        "UNION ALL SELECT " + mob + ", CAST(doc_id AS STRING) "
+        "FROM documents WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT concat('http://hx.example/m', "
+        "CAST(doc_id AS STRING), '/page'), 'hot' "
+        "FROM documents WHERE doc_id % 40 = 0)"
+    )
+    return dust_rules_sql(rel, k=DUST_K, min_support=DUST_MIN_SUPPORT,
+                          max_bucket=DUST_MAX_BUCKET)
+
+
 SENT_MAX_DF = 3
 _SENT_BUILD = (
     "concat("
@@ -4928,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": _q_bigram_pmi,              # collocation mining
         "kn_bigram_probs": _q_kn_bigram_probs,    # smoothed-LM count tables
         "sentence_dedup_clean": _q_sentence_dedup_clean,  # sentence-level dedup
+        "dust_rules": _q_dust_rules,              # learned URL alias rules
         "host_keywords": _q_host_keywords,        # per-site TF-IDF profiles
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
@@ -5082,6 +5139,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _sql_bigram_pmi(),
         "kn_bigram_probs": _sql_kn_bigram_probs(),
         "sentence_dedup_clean": _sql_sentence_dedup_clean(),
+        "dust_rules": _sql_dust_rules(),
         "host_keywords": _sql_host_keywords(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,

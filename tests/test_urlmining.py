@@ -65,3 +65,74 @@ class TestTemplates:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDustRules:
+    @pytest.fixture(scope="class")
+    def urls(self, spark):
+        rows = []
+        # h1: an a↔amp alias family over 4 contents + one p↔print pair
+        for i in range(4):
+            rows += [(f"http://h1.example/a/p{i}", f"c{i}"),
+                     (f"http://h1.example/amp/p{i}", f"c{i}")]
+        rows += [("http://h1.example/p/x", "cp"),
+                 ("http://h1.example/print/x", "cp")]
+        # h2: same segment alias on another host — must NOT merge with h1
+        rows += [("http://h2.example/a/q0", "d0"),
+                 ("http://h2.example/amp/q0", "d0"),
+                 ("http://h2.example/a/q1", "d1"),
+                 ("http://h2.example/amp/q1", "d1")]
+        # cross-host same-content pair: ignored (different hosts)
+        rows += [("http://h1.example/a/z", "cx"),
+                 ("http://h2.example/a/z", "cx")]
+        # two-segment mismatch: ignored
+        rows += [("http://h1.example/u/v/w", "cm"),
+                 ("http://h1.example/uu/vv/w", "cm")]
+        # different path lengths: ignored
+        rows += [("http://h1.example/one", "cl"),
+                 ("http://h1.example/one/two", "cl")]
+        # hot fingerprint (mirror-wide duplicate): guard must drop it
+        rows += [(f"http://h3.example/m{j}/page", "hot") for j in range(9)]
+        return spark.createDataFrame(rows, "url string, fp string").cache()
+
+    def test_rules_and_support(self, urls):
+        from spider_spark.operators.urlmining import dust_rules
+
+        got = {(r["host"], r["seg_from"], r["seg_to"]): r["support"]
+               for r in dust_rules(urls, min_support=1, max_bucket=4).collect()}
+        assert got[("h1.example", "a", "amp")] == 4
+        assert got[("h2.example", "a", "amp")] == 2
+        assert got[("h1.example", "p", "print")] == 1
+        # guard: the 9-URL hot fingerprint would contribute 36 h3 pairs
+        assert not any(h == "h3.example" for h, _, _ in got)
+        # structural exclusions never appear
+        assert ("h1.example", "u", "uu") not in got
+        assert ("h1.example", "one", "two") not in got
+
+    def test_min_support_floor(self, urls):
+        from spider_spark.operators.urlmining import dust_rules
+
+        got = dust_rules(urls, min_support=2, max_bucket=4).collect()
+        assert {(r["host"], r["seg_from"], r["seg_to"]) for r in got} == {
+            ("h1.example", "a", "amp"), ("h2.example", "a", "amp"),
+        }
+
+    def test_sql_mirror_bit_exact(self, urls):
+        from spider_spark.operators.urlmining import dust_rules, dust_rules_sql
+
+        spark_rows = [tuple(r) for r in
+                      dust_rules(urls, min_support=1, max_bucket=4).collect()]
+        con = duckdb.connect()
+        con.register("urls", urls.toPandas())
+        duck_rows = con.execute(
+            dust_rules_sql("urls", min_support=1, max_bucket=4)
+        ).fetchall()
+        assert spark_rows == duck_rows
+
+    def test_rejects_bad_params(self, urls):
+        from spider_spark.operators.urlmining import dust_rules
+
+        with pytest.raises(ValueError):
+            dust_rules(urls, min_support=0)
+        with pytest.raises(ValueError):
+            dust_rules(urls, max_bucket=1)
