@@ -3616,6 +3616,41 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+EMB_DECON_THRESHOLD = 0.95
+
+
+def _q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/decontam.py
+    embedding_decontam): every corpus vector scored by max cosine to a
+    benchmark set; the benchmark is a deterministic slice (vec_id%25==0)
+    PLUS verbatim copies of some corpus vectors (vec_id%17==0) — the
+    real leakage shape, guaranteeing both flag values at any sf.
+    Broadcast bench + doc-keyed max; 6-decimal rounding before the
+    threshold compare so the oracle agrees bit-for-bit."""
+    from spider_spark.operators.decontam import embedding_decontam
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    bench = emb.filter(F.col("vec_id") % 25 == 0).select("embedding").unionAll(
+        emb.filter((F.col("vec_id") % 17 == 0) & (F.col("vec_id") % 25 != 0))
+        .select("embedding")
+    )
+    return embedding_decontam(corpus, bench, threshold=EMB_DECON_THRESHOLD)
+
+
+def _sql_embedding_decontam() -> str:
+    from spider_spark.operators.decontam import embedding_decontam_sql
+
+    corpus = "(SELECT * FROM embeddings WHERE vec_id % 25 <> 0)"
+    bench = (
+        "(SELECT embedding FROM embeddings WHERE vec_id % 25 = 0 "
+        "UNION ALL SELECT embedding FROM embeddings "
+        "WHERE vec_id % 17 = 0 AND vec_id % 25 <> 0)"
+    )
+    return embedding_decontam_sql(corpus, bench,
+                                  threshold=EMB_DECON_THRESHOLD, dim=64)
+
+
 DUST_K, DUST_MIN_SUPPORT, DUST_MAX_BUCKET = 100, 2, 8
 _DUST_BASE = ("concat('http://h', CAST({i} % 7 AS STRING), "
               "'.example/{seg}/p', CAST({i} AS STRING))")
@@ -4985,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_probs": _q_kn_bigram_probs,    # smoothed-LM count tables
         "sentence_dedup_clean": _q_sentence_dedup_clean,  # sentence-level dedup
         "dust_rules": _q_dust_rules,              # learned URL alias rules
+        "embedding_decontam": _q_embedding_decontam,  # semantic eval leakage
         "host_keywords": _q_host_keywords,        # per-site TF-IDF profiles
         "robots_rules": _q_robots_rules,          # robots.txt parse kernel
         "robots_path_match": _q_robots_path_match,  # RFC 9309 wildcard gate
@@ -5140,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
         "kn_bigram_probs": _sql_kn_bigram_probs(),
         "sentence_dedup_clean": _sql_sentence_dedup_clean(),
         "dust_rules": _sql_dust_rules(),
+        "embedding_decontam": _sql_embedding_decontam(),
         "host_keywords": _sql_host_keywords(),
         "robots_rules": _SQL_ROBOTS_RULES,
         "robots_path_match": _SQL_ROBOTS_PATH_MATCH,

@@ -98,3 +98,84 @@ def decontaminate_sql(bench_filter: str, n: int = 8, table: str = "documents",
            coalesce(h.n_contaminated, 0) > 0 AS contaminated
     FROM per_doc p LEFT JOIN hits h USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space decontamination (semantic benchmark leakage)
+# ---------------------------------------------------------------------------
+
+
+def embedding_decontam(corpus: DataFrame, benchmark: DataFrame,
+                       threshold: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Semantic benchmark-leakage scan: flag every corpus document whose
+    embedding is within cosine ``threshold`` of ANY benchmark
+    embedding. The n-gram scan (:func:`decontaminate`) misses
+    paraphrased or re-formatted benchmark items; embedding similarity
+    is the standard second net (the near-dup-to-eval check in
+    Llama/phi-style data reports). Output: ``(id, max_bench_sim,
+    contaminated)`` for EVERY corpus row — zero-hit docs report their
+    true maximum, and the downstream filter decides the policy.
+
+    ``max_bench_sim`` is rounded to 6 decimals (the similarity suite's
+    determinism recipe) BEFORE the threshold compare, so the DuckDB
+    mirror agrees bit-for-bit.
+
+    Scale shape: benchmark sets are small by definition (an eval suite,
+    not a corpus) — the join broadcasts the benchmark side and the
+    per-document max is a map-side-combinable ``groupBy(id).max()``:
+    fan-out |bench| per doc collapses to one row per doc per partition
+    before the exchange. For benchmark sets past broadcast size, probe
+    the persisted IVF index (:mod:`spider_spark.operators.ivf_index`)
+    with the benchmark as the query batch instead.
+    """
+    from spider_spark.operators.similarity import COS_DECIMALS, _dot, with_norm
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv")),
+        "cv", "cn",
+    )
+    b = with_norm(
+        benchmark.select(F.col(vec_col).alias("bv")), "bv", "bn",
+    )
+    sims = c.join(F.broadcast(b)).select(
+        "id",
+        F.round(
+            _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")),
+            COS_DECIMALS,
+        ).alias("sim"),
+    )
+    return (
+        sims.groupBy("id")
+        .agg(F.max("sim").alias("max_bench_sim"))
+        .select(
+            F.col("id").alias(id_col), "max_bench_sim",
+            (F.col("max_bench_sim") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def embedding_decontam_sql(corpus_rel: str, bench_rel: str,
+                           threshold: float = 0.95, dim: int = 64,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`embedding_decontam` — same dot product,
+    norm, 6-decimal round, max, and threshold compare."""
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+    return f"""
+    WITH c AS (SELECT {id_col} AS id, {vec_col} AS cv,
+                      sqrt({dot(vec_col, vec_col)}) AS cn
+               FROM {corpus_rel}),
+    b AS (SELECT {vec_col} AS bv, sqrt({dot(vec_col, vec_col)}) AS bn
+          FROM {bench_rel}),
+    sims AS (
+      SELECT id, round({dot('cv', 'bv')} / (cn * bn), 6) AS sim
+      FROM c, b
+    )
+    SELECT id AS {id_col}, max(sim) AS max_bench_sim,
+           max(sim) >= {threshold} AS contaminated
+    FROM sims GROUP BY id
+    """

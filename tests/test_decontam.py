@@ -1,6 +1,7 @@
 """Benchmark decontamination: hand-checkable overlap counts, DuckDB-mirror
 parity, and the broadcast/shuffle-join toggle equivalence."""
 
+import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -67,3 +68,54 @@ class TestDecontaminate:
         assert got == want
         # every benchmark member is self-contaminated; some non-members too
         assert all(got[k][2] for k in got if k % 97 == 0)
+
+
+class TestEmbeddingDecontam:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        # corpus: 0 = exact copy of bench item, 1 = scaled copy (cosine 1),
+        # 2 = orthogonal, 3 = close-but-under-threshold direction
+        corpus = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 2.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [1.0, 1.0, 0.0, 0.0]),
+        ]
+        bench = [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (101, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        return mk(corpus).cache(), mk(bench).cache()
+
+    def test_flags_and_max_sim(self, vecs):
+        from spider_spark.operators.decontam import embedding_decontam
+
+        corpus, bench = vecs
+        got = {r["vec_id"]: r for r in
+               embedding_decontam(corpus, bench, threshold=0.95).collect()}
+        assert got[0]["contaminated"] and got[0]["max_bench_sim"] == 1.0
+        assert got[1]["contaminated"] and got[1]["max_bench_sim"] == 1.0
+        assert not got[2]["contaminated"] and got[2]["max_bench_sim"] == 0.0
+        # cos([1,1], [1,0]) = 1/sqrt(2) ~ 0.707107 < 0.95
+        assert not got[3]["contaminated"]
+        assert abs(got[3]["max_bench_sim"] - 0.707107) < 1e-9
+        assert len(got) == 4  # every corpus row reported
+
+    def test_sql_mirror_bit_exact(self, vecs):
+        from spider_spark.operators.decontam import (
+            embedding_decontam, embedding_decontam_sql)
+
+        corpus, bench = vecs
+        spark_rows = sorted(
+            tuple(r) for r in
+            embedding_decontam(corpus, bench, threshold=0.95).collect()
+        )
+        con = duckdb.connect()
+        con.register("corpus", corpus.toPandas())
+        con.register("bench", bench.toPandas())
+        duck_rows = sorted(con.execute(
+            embedding_decontam_sql("corpus", "bench", threshold=0.95, dim=4)
+        ).fetchall())
+        assert spark_rows == duck_rows
