@@ -3616,6 +3616,46 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+BPE_N_MERGES = 8
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py bpe_train):
+    the Sennrich pair-merge loop as relational algebra — corpus folds
+    to the distinct-word vocab once, then each round is one pair-keyed
+    sum(freq) + a frozen-total-order argmax + a scan-local leftmost-
+    greedy array fold (no window, no Python). The oracle unrolls the
+    rounds as MATERIALIZED CTEs with the identical list_reduce fold."""
+    from spider_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_N_MERGES)
+
+
+def _sql_bpe_merges() -> str:
+    from spider_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql(n_merges=BPE_N_MERGES)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding through the learned merges (operators/bpe.py
+    bpe_apply): merges apply to the distinct-word vocab (one fold per
+    merge), which joins back to the word-position relation — encoding
+    cost is O(vocab) + one word-keyed join, not O(corpus·n_merges).
+    Output is the per-doc token stream + count; the oracle trains the
+    same chain and encodes through its final vocab."""
+    from spider_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_apply(docs, bpe_train(docs, n_merges=BPE_N_MERGES))
+
+
+def _sql_bpe_encode() -> str:
+    from spider_spark.operators.bpe import bpe_apply_sql
+
+    return bpe_apply_sql(n_merges=BPE_N_MERGES)
+
+
 EMB_DECON_THRESHOLD = 0.95
 
 
@@ -5018,6 +5058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,              # corpus n-gram statistics
         "bigram_pmi": _q_bigram_pmi,              # collocation mining
         "kn_bigram_probs": _q_kn_bigram_probs,    # smoothed-LM count tables
+        "bpe_merges": _q_bpe_merges,              # distributed tokenizer training
+        "bpe_encode": _q_bpe_encode,              # vocab-level BPE encoding
         "sentence_dedup_clean": _q_sentence_dedup_clean,  # sentence-level dedup
         "dust_rules": _q_dust_rules,              # learned URL alias rules
         "embedding_decontam": _q_embedding_decontam,  # semantic eval leakage
@@ -5174,6 +5216,8 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _sql_top_ngrams(),
         "bigram_pmi": _sql_bigram_pmi(),
         "kn_bigram_probs": _sql_kn_bigram_probs(),
+        "bpe_merges": _sql_bpe_merges(),
+        "bpe_encode": _sql_bpe_encode(),
         "sentence_dedup_clean": _sql_sentence_dedup_clean(),
         "dust_rules": _sql_dust_rules(),
         "embedding_decontam": _sql_embedding_decontam(),
