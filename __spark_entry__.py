@@ -4676,6 +4676,29 @@ GROUP BY 1, 2
 """
 
 
+HLL_P = 8
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/sketches.py): the
+    fixed-register mergeable estimator beside KMV — distinct users per
+    event type from ≤ 2^p max-rho registers. One scan + one (group,
+    bucket)-keyed max; state bounded by 2^p rows per group. Integer to
+    the last step (exact cross-multiplied branch test), 6-decimal
+    rounding on the final division/log only."""
+    from spider_spark.operators.sketches import hll_distinct
+
+    _ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_distinct(ev, "event_type", "user_id", p=HLL_P)
+
+
+def _sql_hll_distinct() -> str:
+    from spider_spark.operators.sketches import hll_distinct_sql
+
+    return hll_distinct_sql("event_type", "user_id", HLL_P, "events")
+
+
 KMV_K = 32
 CMS_DEPTH, CMS_WIDTH, CMS_TOPK = 4, 2048, 20
 
@@ -5080,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_flags": _q_soft404_flags,        # 200-OK error-page verdict
         "opengraph_meta": _q_opengraph_meta,      # og:* head properties
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
+        "hll_distinct_users": _q_hll_distinct,    # fixed-register HLL sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
@@ -5238,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404_flags": _sql_soft404_flags(),
         "opengraph_meta": _SQL_OPENGRAPH,
         "kmv_distinct_users": _sql_kmv_distinct(),
+        "hll_distinct_users": _sql_hll_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,

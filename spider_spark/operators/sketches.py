@@ -55,6 +55,8 @@ __all__ = [
     "kmv_sketch", "kmv_merge", "kmv_estimate", "kmv_distinct",
     "kmv_distinct_sql",
     "cms_build", "cms_merge", "cms_estimate", "cms_estimate_sql",
+    "hll_sketch", "hll_merge", "hll_estimate", "hll_distinct",
+    "hll_distinct_sql",
 ]
 
 HASH_SPACE = 1 << 60  # md5_60 values are uniform in [0, 2^60)
@@ -265,4 +267,143 @@ def cms_estimate_sql(items_rel: str, item_expr: str, queries_rel: str,
            min(coalesce(sketch.cnt, 0))::BIGINT AS est_count
     FROM probes LEFT JOIN sketch USING (r, c)
     GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count
+# ---------------------------------------------------------------------------
+
+
+def _hll_parts(key: Column, p: int) -> tuple[Column, Column]:
+    """``(bucket, rho)`` of one key under the shared ``md5_60`` hash:
+    bucket = top ``p`` bits; rho = 1 + leading zeros of the remaining
+    ``60-p`` bits (the all-zero suffix scores ``61-p``). The MSB
+    position comes from ``length(bin(x))`` — pure integer, identical in
+    both engines."""
+    kbits = 60 - p
+    h = md5_60(key)
+    bucket = F.shiftrightunsigned(h, kbits)
+    low = h.bitwiseAND(F.lit((1 << kbits) - 1))
+    rho = F.when(low == 0, F.lit(kbits + 1)).otherwise(
+        F.lit(kbits) - F.length(F.bin(low)) + 1
+    )
+    return bucket, rho
+
+
+def hll_sketch(df: DataFrame, group_col: str, key_col: str | Column,
+               p: int = 12) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007):
+    ``(group, bucket, m_j)`` rows for the ≤ ``2^p`` NON-zero registers
+    (sparse — a group with few keys stores few rows). One scan + one
+    (group, bucket)-keyed max with map-side partials; state is bounded
+    by ``2^p`` rows per group no matter the corpus."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket, rho = _hll_parts(key.cast("string"), p)
+    return (
+        df.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_merge(sketches: list[DataFrame], group_col: str) -> DataFrame:
+    """Union registers and re-maximize — ``HLL(A ∪ B)`` exactly."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionAll(s)
+    return u.groupBy(group_col, "bucket").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(sketch: DataFrame, group_col: str, p: int = 12) -> DataFrame:
+    """``(group, v_zero, est)`` from a register relation: the standard
+    estimator — ``E = α_m·m²/Σ2^(-M_j)`` with linear counting
+    ``m·ln(m/V)`` when ``V > 0`` zero registers and ``E ≤ 2.5m``.
+
+    Everything stays integer until the last step: ``Σ2^(-M_j)`` scales
+    to ``S = Σ2^(K-M_j) + V·2^K`` (int64 — ≤ ``m·2^K = 2^(61-... )``),
+    ``α_m = 7213m/(10000m+10790)`` is kept rational, and the branch
+    test ``E_raw ≤ 2.5m`` evaluates as the exact cross-multiplication
+    ``2·num ≤ 5·m·den`` in decimal(38,0). Only the final division /
+    logarithm runs in doubles, rounded to 6 decimals (the PMI/BM25
+    determinism recipe), so the DuckDB mirror agrees."""
+    m = 1 << p
+    kbits = 60 - p
+    kmax = kbits + 1
+    dec = "decimal(38,0)"
+    per_group = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_used"),
+        F.sum(F.expr(f"shiftleft(1L, {kmax} - m_j)")).alias("_s0"),
+    )
+    v = F.lit(m) - F.col("_used")
+    s = (F.col("_s0").cast(dec)
+         + v.cast(dec) * F.lit(1 << kmax).cast(dec))
+    num = (F.lit(7213).cast(dec) * F.lit(m).cast(dec) * F.lit(m).cast(dec)
+           * F.lit(m).cast(dec) * F.lit(1 << kmax).cast(dec))
+    den = F.lit(10000 * m + 10790).cast(dec) * s
+    est_raw = F.round(num.cast("double") / den.cast("double"), 6)
+    est_lc = F.round(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 6
+    )
+    small = (v > 0) & (
+        F.lit(2).cast(dec) * num
+        <= F.lit(5 * m).cast(dec) * den
+    )
+    return per_group.select(
+        F.col(group_col),
+        v.cast("long").alias("v_zero"),
+        F.when(small, est_lc).otherwise(est_raw).alias("est"),
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str | Column,
+                 p: int = 12) -> DataFrame:
+    """Sketch + estimate in one call — the one-shot form."""
+    return hll_estimate(hll_sketch(df, group_col, key_col, p), group_col, p)
+
+
+def hll_distinct_sql(group_expr: str, key_expr: str, p: int,
+                     table: str, out_name: str | None = None) -> str:
+    """DuckDB mirror of :func:`hll_distinct` — same hash split, register
+    max, integer scaling, exact branch test, and 6-decimal rounding.
+    ``out_name`` names the group column in the output (defaults to
+    ``group_expr`` when that is a bare identifier)."""
+    m = 1 << p
+    kbits = 60 - p
+    kmax = kbits + 1
+    h = md5_60_sql(f"CAST({key_expr} AS STRING)")
+    return f"""
+    WITH hashed AS (
+      SELECT {group_expr} AS grp, {h} AS h FROM {table}
+    ),
+    regs AS (
+      SELECT grp, h >> {kbits} AS bucket,
+             max(CASE WHEN (h & {(1 << kbits) - 1}) = 0 THEN {kmax}
+                 ELSE {kbits} - length(bin(h & {(1 << kbits) - 1})) + 1
+                 END) AS m_j
+      FROM hashed GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT grp, count(*) AS used,
+             sum((1::BIGINT << ({kmax} - m_j)))::BIGINT AS s0
+      FROM regs GROUP BY 1
+    ),
+    terms AS (
+      SELECT grp, ({m} - used)::BIGINT AS v_zero,
+             s0::HUGEINT + ({m} - used)::HUGEINT * {1 << kmax}::HUGEINT AS s,
+             7213::HUGEINT * {m}::HUGEINT * {m}::HUGEINT * {m}::HUGEINT
+               * {1 << kmax}::HUGEINT AS num
+      FROM agg
+    )
+    SELECT grp AS {out_name or (group_expr if group_expr.isidentifier() else 'grp')},
+           v_zero,
+           CASE WHEN v_zero > 0
+                 AND 2::HUGEINT * num
+                     <= 5::HUGEINT * {m}::HUGEINT * ({10000 * m + 10790}::HUGEINT * s)
+                THEN round({m}::DOUBLE * ln({m}::DOUBLE / v_zero::DOUBLE), 6)
+                ELSE round(num::DOUBLE / ({10000 * m + 10790}::HUGEINT * s)::DOUBLE, 6)
+           END AS est
+    FROM terms
     """

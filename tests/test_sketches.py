@@ -192,3 +192,73 @@ class TestCMS:
             toks.select("token").distinct(), "token", DEPTH, WIDTH,
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestHLL:
+    @pytest.fixture(scope="class")
+    def keyed(self, spark):
+        # group g0: 5000 distinct, g1: 300, g2: 12 (exactly countable)
+        rows = (
+            [("g0", f"a{i}") for i in range(5000)]
+            + [("g1", f"b{i}") for i in range(300)]
+            + [("g2", f"c{i}") for i in range(12)]
+            + [("g1", f"b{i}") for i in range(100)]  # dups change nothing
+        )
+        return spark.createDataFrame(rows, "grp string, k string").cache()
+
+    def test_accuracy_within_sketch_error(self, keyed):
+        from spider_spark.operators.sketches import hll_distinct
+
+        got = {r["grp"]: r["est"] for r in
+               hll_distinct(keyed, "grp", "k", p=12).collect()}
+        for grp, true in [("g0", 5000), ("g1", 300), ("g2", 12)]:
+            assert abs(got[grp] - true) / true < 0.06, (grp, got[grp])
+
+    def test_raw_branch_fires_at_low_p(self, keyed):
+        from spider_spark.operators.sketches import hll_distinct
+
+        # p=4 -> m=16, threshold 2.5m=40: g0 (5000 distinct) must leave
+        # linear counting; estimate still within HLL's ~26% at m=16
+        got = {r["grp"]: r for r in
+               hll_distinct(keyed, "grp", "k", p=4).collect()}
+        assert abs(got["g0"]["est"] - 5000) / 5000 < 0.5
+        assert got["g2"]["v_zero"] > 0
+
+    def test_merge_equals_whole(self, keyed):
+        from spider_spark.operators.sketches import (
+            hll_estimate, hll_merge, hll_sketch)
+
+        half_a = keyed.filter(F.md5(F.col("k")).substr(1, 1) < "8")
+        half_b = keyed.subtract(half_a)
+        merged = hll_merge(
+            [hll_sketch(half_a, "grp", "k", p=10),
+             hll_sketch(half_b, "grp", "k", p=10)], "grp")
+        whole = hll_sketch(keyed, "grp", "k", p=10)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect()))
+        est_m = sorted(map(tuple, hll_estimate(merged, "grp", p=10).collect()))
+        est_w = sorted(map(tuple, hll_estimate(whole, "grp", p=10).collect()))
+        assert est_m == est_w
+
+    def test_sql_mirror_bit_exact(self, keyed):
+        from spider_spark.operators.sketches import (
+            hll_distinct, hll_distinct_sql)
+
+        for p in (4, 12):
+            spark_rows = sorted(
+                tuple(r) for r in hll_distinct(keyed, "grp", "k", p=p).collect()
+            )
+            con = duckdb.connect()
+            con.register("keyed", keyed.toPandas())
+            duck_rows = sorted(con.execute(
+                hll_distinct_sql("grp", "k", p, "keyed")
+            ).fetchall())
+            assert spark_rows == duck_rows, p
+
+    def test_rejects_bad_p(self, keyed):
+        from spider_spark.operators.sketches import hll_sketch
+
+        with pytest.raises(ValueError):
+            hll_sketch(keyed, "grp", "k", p=3)
+        with pytest.raises(ValueError):
+            hll_sketch(keyed, "grp", "k", p=17)
