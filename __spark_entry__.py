@@ -3616,6 +3616,40 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+_CARD_BUILD = (
+    "concat(text, CASE CAST({i} % 4 AS INT) "
+    "WHEN 0 THEN ' pay 4111111111111111 now' "
+    "WHEN 1 THEN ' ref 4111111111111112 id' "
+    "WHEN 2 THEN ' card 4012 8888 8888 1881 and 5500-0000-0000-0004 end' "
+    "ELSE '' END)"
+)
+
+
+def _q_card_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card redaction (functions/clean.py
+    card_redact): PAN-shaped candidates extracted, checksum-gated as a
+    pure array fold, validated literals replaced everywhere. The
+    injection plants a valid Visa test PAN (redacted), a
+    checksum-failing twin (kept — the gate, not the regex, decides),
+    and a separated two-card line. Codegen-only projection; the oracle
+    replays pattern, fold, and replacement."""
+    from spider_spark.functions.clean import card_redact
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CARD_BUILD.format(i="doc_id")).alias("text")
+    )
+    return card_redact(docs)
+
+
+def _sql_card_redact() -> str:
+    from spider_spark.functions.clean import card_redact_sql
+
+    built = _CARD_BUILD.format(i="doc_id")
+    return card_redact_sql(
+        table=f"(SELECT doc_id, {built} AS text FROM documents)"
+    )
+
+
 BPE_N_MERGES = 8
 
 
@@ -4992,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality": _q_host_quality,          # token-weighted host gate
         "c4_clean": _q_c4_clean,                  # published line-level cleaner
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
+        "card_redact": _q_card_redact,            # Luhn-gated PAN redaction
         "jaccard_pairs": _q_jaccard,
         "containment_pairs": _q_containment,      # directed quote detection
         "minhash_lsh_pairs": _q_lsh_pairs,
@@ -5149,6 +5184,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quality": _sql_host_quality(),
         "c4_clean": _c4_clean_sql(),
         "pii_redact": _pii_redact_sql(),
+        "card_redact": _sql_card_redact(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "containment_pairs": _sql_containment(),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),

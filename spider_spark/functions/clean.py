@@ -176,3 +176,89 @@ def pii_redact_sql(table: str = "documents", text_col: str = "text",
            len(regexp_extract_all(t, '{p}'))::INT AS n_phones
     FROM s2
     """
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card redaction
+# ---------------------------------------------------------------------------
+
+# 13-19 digits, optionally space/hyphen separated — the PAN surface shape.
+# The checksum, not the regex, decides: bare IDs and order numbers match
+# the pattern constantly, and redacting them destroys innocent text.
+CARD_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def _luhn_valid(cand):
+    """Luhn checksum (ISO/IEC 7812) of a candidate match as pure array
+    algebra: strip separators, double every second digit from the right,
+    subtract 9 past 9, sum ≡ 0 (mod 10). No Python, no UDF."""
+    d = F.regexp_replace(cand, "[^0-9]", "")
+    n = F.length(d)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            (n - i) % 2 == 1,
+            F.when(
+                d.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                d.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(d.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(d.substr(i, F.lit(1)).cast("int")),
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def card_redact(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Redact Luhn-valid payment-card numbers: extract every PAN-shaped
+    candidate, keep only those passing the checksum, replace each
+    validated literal everywhere it occurs. Returns ``(doc_id,
+    redacted, n_cards)`` with ``n_cards`` counting validated match
+    instances. The two-stage extract-validate-replace runs as one
+    codegen projection (``regexp_extract_all`` → array ``filter`` with
+    the Luhn fold → ``aggregate`` of literal ``replace``) — a plain
+    ``regexp_replace`` cannot express the checksum gate, and redacting
+    every 16-digit run would mangle order ids and ISBNs."""
+    raw = F.col(text_col)
+    cands = F.regexp_extract_all(raw, F.lit(CARD_PATTERN), 0)
+    valid = F.filter(cands, _luhn_valid)
+    redacted = F.aggregate(
+        valid, raw, lambda acc, c: F.replace(acc, c, F.lit("<CARD>"))
+    )
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        F.size(valid).cast("int").alias("n_cards"),
+    )
+
+
+def card_redact_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`card_redact` — same pattern, checksum
+    fold, and literal replacement order."""
+    strip = "regexp_replace({c}, '[^0-9]', '', 'g')"
+    luhn = (
+        "len(" + strip.format(c="c") + ") BETWEEN 13 AND 19 AND "
+        "list_sum(list_transform(range(1, len(" + strip.format(c="c") + ") + 1), "
+        "i -> CASE WHEN (len(" + strip.format(c="c") + ") - i) % 2 = 1 "
+        "THEN CASE WHEN 2 * (" + strip.format(c="c") + ")[i:i]::INT > 9 "
+        "THEN 2 * (" + strip.format(c="c") + ")[i:i]::INT - 9 "
+        "ELSE 2 * (" + strip.format(c="c") + ")[i:i]::INT END "
+        "ELSE (" + strip.format(c="c") + ")[i:i]::INT END)) % 10 = 0"
+    )
+    return f"""
+    WITH v AS (
+      SELECT {id_col}, {text_col} AS raw,
+             list_filter(
+               regexp_extract_all({text_col}, '{CARD_PATTERN}'),
+               c -> {luhn}
+             ) AS valid
+      FROM {table}
+    )
+    SELECT {id_col},
+           list_reduce(
+             [raw] || valid,
+             (acc, c) -> replace(acc, c, '<CARD>')
+           ) AS redacted,
+           len(valid)::INT AS n_cards
+    FROM v
+    """

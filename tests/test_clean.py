@@ -89,3 +89,49 @@ class TestPIIRedact:
             con.register("documents", df.toPandas())
             want = {tuple(r) for r in con.execute(pii_redact_sql()).fetchall()}
             assert got == want
+
+
+class TestCardRedact:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "pay with 4111111111111111 today"),            # valid Visa test
+            (1, "fake 4111111111111112 stays"),                # checksum fails
+            (2, "grouped 4012 8888 8888 1881 and 5500-0000-0000-0004"),
+            (3, "short 4222222222222 works"),                  # 13-digit valid
+            (4, "order id 123456789012345 is not a card"),     # 15d, fails Luhn
+            (5, "no digits at all"),
+            (6, "twice 4111111111111111 and 4111111111111111"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_validated_redaction(self, docs):
+        from spider_spark.functions.clean import card_redact
+
+        got = {r["doc_id"]: r for r in card_redact(docs).collect()}
+        assert got[0]["redacted"] == "pay with <CARD> today"
+        assert got[0]["n_cards"] == 1
+        assert got[1]["redacted"] == "fake 4111111111111112 stays"
+        assert got[1]["n_cards"] == 0
+        assert got[2]["redacted"] == "grouped <CARD> and <CARD>"
+        assert got[2]["n_cards"] == 2
+        assert got[3]["redacted"] == "short <CARD> works"
+        assert got[4]["n_cards"] == 0
+        assert got[5]["redacted"] == "no digits at all"
+        assert got[6]["redacted"] == "twice <CARD> and <CARD>"
+        assert got[6]["n_cards"] == 2
+
+    def test_sql_mirror_bit_exact(self, docs):
+        from spider_spark.functions.clean import card_redact, card_redact_sql
+
+        spark_rows = sorted(tuple(r) for r in card_redact(docs).collect())
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        duck_rows = sorted(con.execute(card_redact_sql()).fetchall())
+        assert spark_rows == duck_rows
+
+    def test_plan_is_jvm_only(self, docs):
+        from spider_spark.functions.clean import card_redact
+
+        plan = card_redact(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
