@@ -3616,6 +3616,38 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+CDC_K, CDC_P = 3, 8
+
+
+def _q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking storage dedup (operators/cdc.py): the
+    corpus plus a one-word-prepended revision of every 3rd doc — the
+    shift scenario fixed-size blocks fail on — chunked at rolling-hash
+    boundaries (expected CDC_P words) and content-addressed; revisions
+    re-align and share their tail chunks with the originals, so dup
+    counts are nonzero at any sf. Chunk-hash-keyed count + join-back;
+    the oracle replays boundary rule, spans, and frequency."""
+    from spider_spark.operators.cdc import cdc_dedup_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    revised = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("inserted "), F.col("text")).alias("text"),
+    )
+    return cdc_dedup_stats(docs.unionAll(revised), k=CDC_K, p=CDC_P)
+
+
+def _sql_cdc_dedup_stats() -> str:
+    from spider_spark.operators.cdc import cdc_dedup_stats_sql
+
+    rel = (
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, 'inserted ' || text "
+        "FROM documents WHERE doc_id % 3 = 0)"
+    )
+    return cdc_dedup_stats_sql(k=CDC_K, p=CDC_P, table=rel)
+
+
 _CARD_BUILD = (
     "concat(text, CASE CAST({i} % 4 AS INT) "
     "WHEN 0 THEN ' pay 4111111111111111 now' "
@@ -5027,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,                  # published line-level cleaner
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "card_redact": _q_card_redact,            # Luhn-gated PAN redaction
+        "cdc_dedup_stats": _q_cdc_dedup_stats,    # shift-robust chunk store
         "jaccard_pairs": _q_jaccard,
         "containment_pairs": _q_containment,      # directed quote detection
         "minhash_lsh_pairs": _q_lsh_pairs,
@@ -5185,6 +5218,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _c4_clean_sql(),
         "pii_redact": _pii_redact_sql(),
         "card_redact": _sql_card_redact(),
+        "cdc_dedup_stats": _sql_cdc_dedup_stats(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "containment_pairs": _sql_containment(),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),

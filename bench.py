@@ -482,6 +482,71 @@ def main() -> None:
     )
     timed("capture_rates_2m", lambda: force(capture_change_rates(caps)))
 
+    # Kneser-Ney bigram LM table: one bigram count + two word-keyed
+    # re-aggregations + two vocabulary joins, decimal(38,0) arithmetic
+    from spider_spark.operators.ngrams import kn_bigram_probs
+
+    timed("kn_bigram", lambda: force(kn_bigram_probs(docs, k=100, min_count=3)))
+
+    # sentence-level dedup over sentence-structured text: codegen splitter
+    # + (hash)-keyed df counts + broadcast hot set + per-doc reassembly
+    from spider_spark.functions.sentseg import sentence_dedup
+
+    sent_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Lead sentence "), (F.col("doc_id") % 7).cast("string"),
+            F.lit(". Body says "), F.col("text"), F.lit(". Tail note "),
+            F.col("doc_id").cast("string"), F.lit("."),
+        ).alias("text"),
+    )
+    timed("sentence_dedup", lambda: force(sentence_dedup(sent_docs, max_df=3)))
+
+    # distributed BPE training: 8 rounds of pair-keyed sum(freq) + argmax
+    # + scan-local fold over the distinct-word vocab (corpus-size
+    # independent after the first aggregation)
+    from spider_spark.operators.bpe import bpe_train
+
+    timed("bpe_train_8", lambda: force(bpe_train(docs, n_merges=8)))
+
+    # DUST alias mining at the 1M-content scale: ~2.3M URLs over 1M
+    # fingerprints (every content an /a/ URL, every 2nd an /amp/ alias,
+    # every 3rd a /mobile/ alias) — fingerprint-keyed pair join + array
+    # mismatch test + (host, rule)-keyed rollup
+    from spider_spark.operators.urlmining import dust_rules
+
+    d_i = F.col("id")
+    dust_base = spark.range(n_pages).select(
+        F.concat(F.lit("http://h"), (d_i % 101).cast("string"),
+                 F.lit(".example/a/p"), d_i.cast("string")).alias("url"),
+        d_i.cast("string").alias("fp"),
+    )
+    dust_pop = dust_base.unionAll(
+        spark.range(0, n_pages, 2).select(
+            F.concat(F.lit("http://h"), (d_i % 101).cast("string"),
+                     F.lit(".example/amp/p"), d_i.cast("string")).alias("url"),
+            d_i.cast("string").alias("fp"))
+    ).unionAll(
+        spark.range(0, n_pages, 3).select(
+            F.concat(F.lit("http://h"), (d_i % 101).cast("string"),
+                     F.lit(".example/mobile/p"), d_i.cast("string")).alias("url"),
+            d_i.cast("string").alias("fp"))
+    ).localCheckpoint(eager=True)  # generation is un-timed setup
+    timed("dust_rules_1m", lambda: force(dust_rules(dust_pop, min_support=2)))
+
+    # embedding decontamination: broadcast bench slice + doc-keyed max
+    from spider_spark.operators.decontam import embedding_decontam
+
+    dec_bench = emb.filter(F.col("vec_id") % 25 == 0).select("embedding")
+    timed("embedding_decontam",
+          lambda: force(embedding_decontam(emb, dec_bench, threshold=0.95)))
+
+    # HLL distinct-URLs-per-host over the same 1M-page table as
+    # kmv_distinct — the fixed-register alternative, directly comparable
+    from spider_spark.operators.sketches import hll_distinct
+
+    timed("hll_distinct_1m", lambda: force(hll_distinct(hosted, "host", "url", p=12)))
+
     # ---- composed pipelines end-to-end ----------------------------------
     # the two flagship compositions a user actually runs: the full curation
     # chain (blocklist→gopher→ccnet→exact-dup→text-SemDeDup→mix) and the
