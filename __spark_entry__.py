@@ -3616,6 +3616,54 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ensemble (composition): the three oracled quality
+    judges — Gopher structural rules, the frozen linear classifier, and
+    the CCNet perplexity tercile — vote per document; keep = ≥2 of 3
+    (rules pass, informative, head-or-middle bucket). Three id-keyed
+    joins of already-oracled per-doc signals; the real pipelines
+    (FineWeb/Dolma ablations) gate on exactly such ensembles rather
+    than any single judge."""
+    from spider_spark.functions.classifier import quality_classifier_scores
+    from spider_spark.functions.text import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    g = gopher_rules(docs).select(
+        "doc_id", F.col("passes").alias("gopher_pass"))
+    c = quality_classifier_scores(docs, tau_milli=100).select(
+        "doc_id", F.col("is_informative").alias("clf_pass"))
+    p = perplexity_buckets(docs).select(
+        "doc_id", F.col("bucket").alias("ppl_bucket"))
+    votes = (
+        F.col("gopher_pass").cast("int")
+        + F.col("clf_pass").cast("int")
+        + F.col("ppl_bucket").isin("head", "middle").cast("int")
+    )
+    return (
+        g.join(c, on="doc_id").join(p, on="doc_id")
+        .select("doc_id", "gopher_pass", "clf_pass", "ppl_bucket",
+                (votes >= 2).alias("keep"))
+    )
+
+
+def _sql_quality_ensemble() -> str:
+    from spider_spark.functions.classifier import quality_classifier_sql
+
+    g = gopher_rules_sql()
+    c = quality_classifier_sql(tau_milli=100)
+    p = perplexity_buckets_sql()
+    return f"""
+    WITH g AS ({g}), c AS ({c}), p AS ({p})
+    SELECT doc_id, g.passes AS gopher_pass,
+           c.is_informative AS clf_pass, p.bucket AS ppl_bucket,
+           (CASE WHEN g.passes THEN 1 ELSE 0 END
+            + CASE WHEN c.is_informative THEN 1 ELSE 0 END
+            + CASE WHEN p.bucket IN ('head', 'middle') THEN 1 ELSE 0 END
+           ) >= 2 AS keep
+    FROM g JOIN c USING (doc_id) JOIN p USING (doc_id)
+    """
+
+
 CDC_K, CDC_P = 3, 8
 
 
@@ -5055,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_stats": _q_decontamination,  # benchmark n-gram leak scan
         "gopher_quality": _q_gopher_quality,      # published rule-bundle filter
         "quality_classifier": _q_quality_classifier,  # frozen linear model filter
+        "quality_ensemble": _q_quality_ensemble,  # 2-of-3 judge vote
         "host_quality": _q_host_quality,          # token-weighted host gate
         "c4_clean": _q_c4_clean,                  # published line-level cleaner
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
@@ -5214,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination_stats": _sql_decontamination(),
         "gopher_quality": gopher_rules_sql(),
         "quality_classifier": _sql_quality_classifier(),
+        "quality_ensemble": _sql_quality_ensemble(),
         "host_quality": _sql_host_quality(),
         "c4_clean": _c4_clean_sql(),
         "pii_redact": _pii_redact_sql(),
