@@ -3616,6 +3616,40 @@ def _sql_top_ngrams() -> str:
     return top_ngrams_sql(n=3, k=100)
 
 
+_REPEAT_BUILD = (
+    "concat('intro intro intro ', text, "
+    "CASE WHEN {i} % 2 = 0 THEN ' repeat repeat' ELSE '' END)"
+)
+
+
+def _q_repeat_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document consecutive-repeat collapse (operators/spans.py
+    collapse_repeat_segments): word segments of a corpus with injected
+    stutter runs (a tripled intro everywhere, a doubled tail on even
+    docs) collapse to first occurrence — one scan-local indexed array
+    filter, zero shuffle, zero corpus state; the oracle replays the
+    injection and the keep rule."""
+    from spider_spark.functions.text import normalized_text
+    from spider_spark.operators.spans import collapse_repeat_segments
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_REPEAT_BUILD.format(i="doc_id")).alias("text")
+    )
+    with_segs = docs.select(
+        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("segs")
+    )
+    return collapse_repeat_segments(with_segs, "segs")
+
+
+def _sql_repeat_collapse() -> str:
+    from spider_spark.operators.spans import collapse_repeat_words_sql
+
+    built = _REPEAT_BUILD.format(i="doc_id")
+    return collapse_repeat_words_sql(
+        table=f"(SELECT doc_id, {built} AS text FROM documents)"
+    )
+
+
 def _q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter ensemble (composition): the three oracled quality
     judges — Gopher structural rules, the frozen linear classifier, and
@@ -5109,6 +5143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,              # typed PII scrubbing
         "card_redact": _q_card_redact,            # Luhn-gated PAN redaction
         "cdc_dedup_stats": _q_cdc_dedup_stats,    # shift-robust chunk store
+        "repeat_collapse": _q_repeat_collapse,    # in-doc stutter removal
         "jaccard_pairs": _q_jaccard,
         "containment_pairs": _q_containment,      # directed quote detection
         "minhash_lsh_pairs": _q_lsh_pairs,
@@ -5269,6 +5304,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_redact_sql(),
         "card_redact": _sql_card_redact(),
         "cdc_dedup_stats": _sql_cdc_dedup_stats(),
+        "repeat_collapse": _sql_repeat_collapse(),
         "jaccard_pairs": jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
         "containment_pairs": _sql_containment(),
         "minhash_lsh_pairs": lsh_candidate_pairs_sql(),

@@ -378,3 +378,55 @@ SELECT b.{id_col}, b.host,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM base b LEFT JOIN rebuilt r USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# in-document consecutive-repeat collapse
+# ---------------------------------------------------------------------------
+
+
+def collapse_repeat_segments(docs: DataFrame, segments_col: str,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Collapse runs of consecutive identical segments within each
+    document to their first occurrence — the IN-document half of
+    repetition cleaning (the Gopher repetition criteria flag these
+    docs; scraped pagination/chat/boilerplate loops produce them).
+    Distinct from every cross-document family in this module: no
+    corpus state at all — the keep rule ``i == 0 or seg != prev`` is
+    ONE scan-local indexed array filter (WholeStageCodegen, zero
+    shuffle, zero Python). Output ``(id, clean_text, n_segments,
+    n_collapsed)`` for every input document."""
+    segs = F.col(segments_col)
+    kept = F.filter(
+        segs,
+        lambda s, i: (i == F.lit(0)) | (s != F.element_at(segs, i)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(segs).cast("long").alias("n_segments"),
+        (F.size(segs) - F.size(kept)).cast("long").alias("n_collapsed"),
+    )
+
+
+def collapse_repeat_words_sql(id_col: str = "doc_id",
+                              text_col: str = "text",
+                              table: str = "documents") -> str:
+    """DuckDB mirror of ``collapse_repeat_segments`` over word segments
+    (``split(normalized_text)``) — same indexed keep rule (DuckDB list
+    lambdas index from 1; Spark's from 0; both test "differs from
+    predecessor")."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH w AS (SELECT {id_col}, string_split({norm}, ' ') AS segs
+               FROM {table}),
+    k AS (
+      SELECT {id_col}, segs,
+             list_filter(segs, (x, i) -> i = 1 OR segs[i - 1] <> x) AS kept
+      FROM w
+    )
+    SELECT {id_col}, array_to_string(kept, ' ') AS clean_text,
+           len(segs)::BIGINT AS n_segments,
+           (len(segs) - len(kept))::BIGINT AS n_collapsed
+    FROM k
+    """

@@ -214,3 +214,57 @@ class TestHostBoilerplate:
         out = host_boilerplate_filter(docs, "host", "segs")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan
+
+
+class TestCollapseRepeats:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, ["a", "a", "b", "b", "b", "c"]),
+            (1, ["x", "y", "x"]),          # non-consecutive repeat kept
+            (2, ["z"]),
+            (3, []),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, segs array<string>")
+
+    def test_collapse_rule(self, docs):
+        from spider_spark.operators.spans import collapse_repeat_segments
+
+        got = {r["doc_id"]: r for r in
+               collapse_repeat_segments(docs, "segs").collect()}
+        assert got[0]["clean_text"] == "a b c" and got[0]["n_collapsed"] == 3
+        assert got[1]["clean_text"] == "x y x" and got[1]["n_collapsed"] == 0
+        assert got[2]["clean_text"] == "z"
+        assert got[3]["clean_text"] == "" and got[3]["n_segments"] == 0
+
+    def test_word_level_sql_mirror(self, spark):
+        from spider_spark.functions.text import normalized_text
+        from spider_spark.operators.spans import (
+            collapse_repeat_segments, collapse_repeat_words_sql)
+
+        docs = spark.createDataFrame(
+            [(0, "spam spam spam eggs"), (1, "one  ONE one two"),
+             (2, ""), (3, "no repeats at all")],
+            "doc_id long, text string",
+        )
+        with_segs = docs.select(
+            "doc_id",
+            F.split(normalized_text(F.col("text")), " ").alias("segs"),
+        )
+        spark_rows = sorted(
+            tuple(r) for r in collapse_repeat_segments(with_segs, "segs").collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        duck_rows = sorted(con.execute(collapse_repeat_words_sql()).fetchall())
+        assert spark_rows == duck_rows
+
+    def test_plan_is_jvm_only(self, docs):
+        from spider_spark.operators.spans import collapse_repeat_segments
+
+        plan = (
+            collapse_repeat_segments(docs, "segs")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
