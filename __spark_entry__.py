@@ -2000,6 +2000,31 @@ WITH pr AS ({pagerank_sql(_HOST_EDGES_SQL, n_iter=PR_ITERS)})
 SELECT node AS host, rank_fp FROM pr
 """
 
+LPA_ITERS = 4
+
+
+def _q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.py
+    label_propagation) over the same host graph the rank queries use —
+    the densely-linked site clusters crawl partitioning keys on, which
+    connected components cannot see. Deterministic synchronous rounds:
+    majority neighbor label under the frozen (count DESC, label ASC)
+    order; per round one label-keyed join + one (node, label) count +
+    a node-keyed struct-min argmax. The oracle unrolls the rounds."""
+    from spider_spark.operators.graph import label_propagation
+
+    lab = label_propagation(_host_edges_df(spark, sf_dir), n_iter=LPA_ITERS)
+    return lab.select(F.col("node").alias("host"),
+                      F.col("label").alias("community"))
+
+
+def _sql_host_communities() -> str:
+    from spider_spark.operators.graph import label_propagation_sql
+
+    inner = label_propagation_sql(_HOST_EDGES_SQL, n_iter=LPA_ITERS)
+    return (f"SELECT node AS host, label AS community FROM ({inner})")
+
+
 TRUST_ITERS = 8
 
 
@@ -5156,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_survivors": _q_corpus_survivors,  # composed exact+near dedup
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
+        "host_communities": _q_host_communities,  # LPA site clusters
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
@@ -5318,6 +5344,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
+        "host_communities": _sql_host_communities(),
         "host_hits": _sql_host_hits(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "host_trustrank": _sql_host_trustrank(),

@@ -702,3 +702,104 @@ def pagerank_sql(edges_sql: str, n_iter: int = 10,
            FROM nodes CROSS JOIN nn),{chain}
     SELECT node, rank AS rank_fp FROM r{n_iter}
     """
+
+
+# ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 5,
+                      src: str = "src", dst: str = "dst",
+                      checkpoint: bool = True) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the undirected multigraph ``edges`` — the site-cluster
+    structure behind crawl partitioning (co-hosted site families,
+    mirror clusters) that connected components cannot see (CC merges
+    everything reachable; LPA finds densely-linked cores inside one
+    component).
+
+    Deterministic variant: every node starts labeled with itself; each
+    round every node adopts the majority label among its neighbors
+    (parallel edges count as weight) with the frozen total order
+    ``(count DESC, label ASC)`` — the classic random tie-break and
+    asynchronous schedule are replaced so the DuckDB mirror replays
+    rounds exactly. Synchronous LPA can oscillate on bipartite
+    structures; ``n_iter`` bounds the rounds (the standard remedy) and
+    the output is the round-``n`` labeling.
+
+    Scale shape per round: ONE label-keyed join (messages = undirected
+    edges × current labels), one (node, label)-keyed count with
+    map-side partials, and a node-keyed ``min(struct(-count, label))``
+    argmax — no windows, no global sort. State is one (node, label) row
+    per node, ``localCheckpoint``ed per round (the CC/PageRank lineage
+    contract)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be ≥1: {n_iter}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("s").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "s"), on="s"
+        ).select(F.col("d").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        pick = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, on="node", how="left")
+            .select("node",
+                    F.coalesce("new_label", "label").alias("label"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_sql(edges_rel: str, n_iter: int = 5,
+                          src: str = "src", dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`label_propagation` — identical rounds,
+    majority rule, and tie order, unrolled as MATERIALIZED CTEs (each
+    round's labeling is referenced twice)."""
+    parts = [
+        f"e AS (SELECT {src} AS s, {dst} AS d FROM ({edges_rel}))",
+        "und AS MATERIALIZED (SELECT s, d FROM e "
+        "UNION ALL SELECT d, s FROM e)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM "
+        "(SELECT DISTINCT s AS node FROM und))",
+    ]
+    for k in range(n_iter):
+        parts.append(f"""c{k + 1} AS (
+      SELECT u.d AS node, l.label, count(*) AS cnt
+      FROM und u JOIN l{k} l ON u.s = l.node GROUP BY 1, 2
+    )""")
+        parts.append(f"""p{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{k + 1}
+      ) WHERE rn = 1
+    )""")
+        parts.append(
+            f"l{k + 1} AS MATERIALIZED (SELECT l.node, "
+            f"coalesce(p.label, l.label) AS label "
+            f"FROM l{k} l LEFT JOIN p{k + 1} p USING (node))"
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node, label FROM l{n_iter}
+    """

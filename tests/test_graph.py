@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import random
 
+import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -393,3 +394,76 @@ class TestOpic:
         total = sum(r["cash_fp"] for r in out.values()) + stats["virt"]
         assert total == PR_SCALE
         assert out["a"]["cash_fp"] > 0  # replenished by the virtual node
+
+
+class TestLabelPropagation:
+    @pytest.fixture(scope="class")
+    def cliques(self, spark):
+        # two 4-cliques {a0..a3}, {b0..b3} joined by ONE bridge a0-b0:
+        # within-clique majority must dominate the single bridge vote
+        import itertools
+        rows = []
+        for prefix in ("a", "b"):
+            for x, y in itertools.combinations(range(4), 2):
+                rows.append((f"{prefix}{x}", f"{prefix}{y}"))
+        rows.append(("a0", "b0"))
+        return spark.createDataFrame(rows, "src string, dst string").cache()
+
+    @staticmethod
+    def _reference(rows, n_iter):
+        """Python replay of the frozen synchronous rule."""
+        from collections import Counter, defaultdict
+        und = defaultdict(list)
+        for s, d in rows:
+            und[s].append(d)
+            und[d].append(s)
+        labels = {n: n for n in und}
+        for _ in range(n_iter):
+            new = {}
+            for n in und:
+                c = Counter(labels[x] for x in und[n])
+                new[n] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            labels = new
+        return labels
+
+    def test_cliques_converge(self, cliques):
+        from spider_spark.operators.graph import label_propagation
+
+        got = dict(
+            map(tuple, label_propagation(cliques, n_iter=5).collect()))
+        assert len({got[f"a{i}"] for i in range(4)}) == 1
+        assert len({got[f"b{i}"] for i in range(4)}) == 1
+        assert got["a0"] != got["b1"]  # bridge does not merge the cliques
+
+    def test_matches_reference(self, cliques):
+        from spider_spark.operators.graph import label_propagation
+
+        rows = [(r["src"], r["dst"]) for r in cliques.collect()]
+        for it in (1, 3):
+            ref = self._reference(rows, it)
+            got = dict(map(tuple,
+                           label_propagation(cliques, n_iter=it).collect()))
+            assert got == ref, it
+
+    def test_sql_mirror_bit_exact(self, cliques):
+        from spider_spark.operators.graph import (
+            label_propagation, label_propagation_sql)
+
+        spark_rows = sorted(
+            map(tuple, label_propagation(cliques, n_iter=3).collect()))
+        con = duckdb.connect()
+        con.register("edges", cliques.toPandas())
+        duck_rows = sorted(con.execute(
+            label_propagation_sql("SELECT * FROM edges", n_iter=3)
+        ).fetchall())
+        assert spark_rows == duck_rows
+
+    def test_parallel_edges_are_weight(self, spark):
+        from spider_spark.operators.graph import label_propagation
+
+        # x's single neighbor-set vote is y,y,z: doubled edge wins
+        e = spark.createDataFrame(
+            [("x", "y"), ("x", "y"), ("x", "z"), ("y", "q"), ("z", "q")],
+            "src string, dst string")
+        got = dict(map(tuple, label_propagation(e, n_iter=1).collect()))
+        assert got["x"] == "y"
