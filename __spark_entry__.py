@@ -2174,6 +2174,59 @@ def _sql_host_hits() -> str:
             "SELECT node AS host, auth_fp, hub_fp FROM ht")
 
 
+TRI_SEEDS_MOD = 7
+
+
+def _q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts + local clustering coefficient
+    (operators/graph.py triangle_counts) over the same host graph the
+    rank queries use — the link-farm density signal (Becchetti et al.
+    2008): spam cliques and mirror rings are triangle-dense where
+    editorial neighborhoods are sparse. Degree-ordered orientation
+    bounds wedge fan-out by O(√m) per node (hub edges all point IN),
+    so the three-shuffle plan survives hub skew; the coefficient is
+    exact integer ppm, mirrored bit-for-bit."""
+    from spider_spark.operators.graph import triangle_counts
+
+    out = triangle_counts(_host_edges_df(spark, sf_dir))
+    return out.select(F.col("node").alias("host"), "degree", "triangles",
+                      "cc_ppm")
+
+
+def _sql_host_triangles() -> str:
+    from spider_spark.operators.graph import triangle_counts_sql
+
+    return (f"WITH tc AS ({triangle_counts_sql(_HOST_EDGES_SQL)}) "
+            "SELECT node AS host, degree, triangles, cc_ppm FROM tc")
+
+
+def _q_seed_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed BFS hop distance from the trusted seed hosts
+    (operators/graph.py bfs_distance) over the host graph — the raw
+    "link distance from the vetted set" that host_trustrank smooths
+    into a score; frontier schedulers tier admission on exactly this
+    (seeds share host_trustrank's doc_id ≡ 3 mod 7 set, so the two
+    relations compose). Frontier BFS: per round one keyed join + one
+    anti-join against the visited set, early exit on an empty
+    frontier; UNION-recursive-CTE mirror."""
+    from spider_spark.operators.graph import bfs_distance
+
+    seeds = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % TRI_SEEDS_MOD == 3).select(
+        host_expr(F.col("doc_id")).alias("node")).distinct()
+    out = bfs_distance(_host_edges_df(spark, sf_dir), seeds, max_hops=6)
+    return out.select(F.col("node").alias("host"), "hops")
+
+
+def _sql_seed_hop_distance() -> str:
+    from spider_spark.operators.graph import bfs_distance_sql
+
+    seeds = (f"SELECT DISTINCT {_host_sql('doc_id')} AS node "
+             f"FROM documents WHERE doc_id % {TRI_SEEDS_MOD} = 3")
+    inner = bfs_distance_sql(_HOST_EDGES_SQL, seeds, max_hops=6)
+    return f"WITH bd AS ({inner}) SELECT node AS host, hops FROM bd"
+
+
 def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host-level link graph extracted from the PAGES' ACTUAL
     HTML through the engine's parse pipeline (Arrow-batched kernel, same
@@ -5183,6 +5236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         "host_communities": _q_host_communities,  # LPA site clusters
         "host_hits": _q_host_hits,                # hubs & authorities
+        "host_triangles": _q_host_triangles,      # clustering coefficient
+        "seed_hop_distance": _q_seed_hop_distance,  # BFS from vetted set
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
         "host_opic": _q_host_opic,                # online crawl-time importance
@@ -5346,6 +5401,8 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_communities": _sql_host_communities(),
         "host_hits": _sql_host_hits(),
+        "host_triangles": _sql_host_triangles(),
+        "seed_hop_distance": _sql_seed_hop_distance(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "host_trustrank": _sql_host_trustrank(),
         "host_opic": _sql_host_opic(),

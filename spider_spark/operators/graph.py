@@ -803,3 +803,219 @@ def label_propagation_sql(edges_rel: str, n_iter: int = 5,
     WITH {ctes}
     SELECT node, label FROM l{n_iter}
     """
+
+
+# -- triangle counting / local clustering coefficient ------------------------
+
+CC_PPM = 1_000_000
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    checkpoint: bool = True) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over the
+    undirected simple graph induced by ``edges`` — the link-farm /
+    mirror-ring signal rank alone misses: spam cliques and boilerplate
+    blogrolls are triangle-dense, genuine editorial link neighborhoods are
+    sparse (Becchetti et al. 2008 use exactly this feature for web-spam
+    demotion, alongside the Ntoulas content half in
+    operators/anchors.py link_spam_features).
+
+    Output: ``(node, degree, triangles, cc_ppm)`` where ``degree`` counts
+    the node's distinct neighbors, ``triangles`` the triangles through it,
+    and ``cc_ppm = (2·triangles·10^6) div (degree·(degree−1))`` — the
+    local clustering coefficient in exact integer parts-per-million
+    (0 when degree < 2), so the DuckDB mirror hash-matches.
+
+    Scale shape — the degree-ordered orientation formulation (Cohen 2009
+    MapReduce triangle counting; the standard answer to hub skew): every
+    undirected edge is oriented from its lower endpoint to its higher
+    endpoint under the total order ``(degree, node)``, which bounds every
+    node's OUT-degree by O(√m) regardless of how large its real degree is
+    (a hub's edges all point *into* it). Wedges are then one self-join of
+    the oriented edge list on the source node — fan-out per node is
+    out-degree², i.e. O(m·arboricity) total, never hub-degree² — and a
+    triangle closes iff the (order-directed) third edge exists: one more
+    keyed join. No iteration; three shuffles total (degree, wedge,
+    closure). The oriented list is ``localCheckpoint``ed because the plan
+    references it three times."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
+    nodes = und.select(F.col("lo").alias("node")).unionAll(
+        und.select(F.col("hi").alias("node")))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
+    g = (
+        und.join(deg.select(F.col("node").alias("lo"),
+                            F.col("degree").alias("dlo")), on="lo")
+        .join(deg.select(F.col("node").alias("hi"),
+                         F.col("degree").alias("dhi")), on="hi")
+    )
+    lo_first = F.struct(F.col("dlo"), F.col("lo")) < F.struct(F.col("dhi"), F.col("hi"))
+    o = g.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
+    )
+    if checkpoint:
+        o = o.localCheckpoint(eager=True)
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = o1.join(o2, on="u").filter(
+        F.struct(F.col("dv1"), F.col("v1")) < F.struct(F.col("dv2"), F.col("v2"))
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        on=["v1", "v2"],
+    ).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(per_node, on="node", how="left").select(
+        "node", "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.expr(f"(2 * triangles * {CC_PPM}) div (degree * (degree - 1))"),
+    ).otherwise(F.lit(0))
+    return out.withColumn("cc_ppm", cc.cast("long"))
+
+
+def triangle_counts_sql(edges_rel: str, src: str = "src",
+                        dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`triangle_counts` — identical orientation
+    order, wedge/closure joins, and integer coefficient."""
+    return f"""
+    WITH te AS (SELECT {src} AS a, {dst} AS b FROM ({edges_rel})
+                WHERE {src} <> {dst}),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM te
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT lo AS node FROM und UNION ALL SELECT hi FROM und
+      ) GROUP BY 1
+    ),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (dl.degree, u.lo) < (dh.degree, u.hi)
+                  THEN u.lo ELSE u.hi END AS u,
+             CASE WHEN (dl.degree, u.lo) < (dh.degree, u.hi)
+                  THEN u.hi ELSE u.lo END AS v,
+             CASE WHEN (dl.degree, u.lo) < (dh.degree, u.hi)
+                  THEN dh.degree ELSE dl.degree END AS dv
+      FROM und u
+      JOIN deg dl ON u.lo = dl.node
+      JOIN deg dh ON u.hi = dh.node
+    ),
+    tri AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM o o1
+      JOIN o o2 ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+      JOIN o oc ON oc.u = o1.v AND oc.v = o2.v
+    ),
+    cnt AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           coalesce(c.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN (2 * coalesce(c.triangles, 0) * {CC_PPM})
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS cc_ppm
+    FROM deg d LEFT JOIN cnt c USING (node)
+    """
+
+
+# -- multi-source BFS hop distance -------------------------------------------
+
+
+def bfs_distance(edges: DataFrame, seeds: DataFrame, max_hops: int = 8,
+                 src: str = "src", dst: str = "dst", node: str = "node",
+                 directed: bool = True, checkpoint: bool = True) -> DataFrame:
+    """``(node, hops)`` — the minimum link distance from the ``seeds`` set
+    to every node reachable within ``max_hops`` over ``edges``. The
+    materialized form of "trust decays with link distance from the vetted
+    set" (Gyöngyi et al.'s seed-distance intuition that
+    :func:`trustrank` smooths into a score): frontier schedulers gate or
+    tier admission on hop distance from a whitelist, and the crawl's own
+    depth bound is exactly this quantity over the page graph.
+
+    Frontier BFS, the textbook distributed form: the visited set carries
+    final distances (first visit over an unweighted graph IS the
+    shortest path), each round expands only the previous round's
+    frontier (ONE keyed join) and anti-joins the visited set, so total
+    work is O(edges-touched), not O(rounds·edges). Early exit when the
+    frontier empties — ``max_hops`` is a defensive bound. Both the
+    frontier and visited set are ``localCheckpoint``ed per round (the
+    iterative-lineage contract shared with :func:`connected_components`).
+
+    Seeds outside the edge set still report ``hops = 0`` (they are
+    members of the vetted set by definition)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be ≥0: {max_hops}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.filter(F.col("s") != F.col("d")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    dist = seeds.select(F.col(node).alias("node")).distinct().withColumn(
+        "hops", F.lit(0))
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node")).distinct()
+            .join(dist.select("node"), on="node", how="left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
+
+
+def bfs_distance_sql(edges_rel: str, seeds_rel: str, max_hops: int = 8,
+                     src: str = "src", dst: str = "dst",
+                     node: str = "node", directed: bool = True) -> str:
+    """DuckDB mirror of :func:`bfs_distance` — a UNION-recursive CTE
+    (recursive-term dedup keeps the working set ≤ nodes·hops rows even on
+    cyclic graphs; UNION ALL would walk every path) bounded by the same
+    ``max_hops``, collapsed with ``min(hops)``."""
+    rev = (f" UNION SELECT {dst}, {src} FROM ({edges_rel}) "
+           f"WHERE {src} <> {dst}" if not directed else "")
+    return f"""
+    WITH RECURSIVE be AS (
+      SELECT {src} AS s, {dst} AS d FROM ({edges_rel})
+      WHERE {src} <> {dst}{rev}
+    ),
+    walk(wnode, hops) AS (
+      SELECT DISTINCT {node}, 0 FROM ({seeds_rel})
+      UNION
+      SELECT be.d, w.hops + 1
+      FROM walk w JOIN be ON be.s = w.wnode
+      WHERE w.hops < {max_hops}
+    )
+    SELECT wnode AS node, min(hops) AS hops FROM walk GROUP BY 1
+    """

@@ -467,3 +467,150 @@ class TestLabelPropagation:
             "src string, dst string")
         got = dict(map(tuple, label_propagation(e, n_iter=1).collect()))
         assert got["x"] == "y"
+
+
+class TestTriangleCounts:
+    @staticmethod
+    def _reference(pairs):
+        """Brute-force: adjacency sets over the simple undirected graph."""
+        adj = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = {}
+        for n, nbrs in adj.items():
+            t = 0
+            for x in nbrs:
+                t += len(adj[x] & nbrs)
+            t //= 2  # each triangle's other edge counted twice
+            deg = len(nbrs)
+            cc = (2 * t * 1_000_000) // (deg * (deg - 1)) if deg >= 2 else 0
+            out[n] = (deg, t, cc)
+        return out
+
+    def test_random_graph_matches_brute_force(self, spark):
+        from spider_spark.operators.graph import triangle_counts
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r["node"]: (r["degree"], r["triangles"], r["cc_ppm"])
+               for r in triangle_counts(e).collect()}
+        assert got == self._reference(pairs)
+
+    def test_clique_and_path(self, spark):
+        from spider_spark.operators.graph import triangle_counts
+
+        # K4 plus a pendant path: clique nodes have cc 10^6, path has 0
+        pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        pairs += [(3, 4), (4, 5)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r["node"]: r for r in triangle_counts(e).collect()}
+        for n in range(3):
+            assert got[n]["triangles"] == 3 and got[n]["cc_ppm"] == 1_000_000
+        assert got[4]["triangles"] == 0 and got[4]["cc_ppm"] == 0
+        assert got[5]["cc_ppm"] == 0  # degree 1
+
+    def test_parallel_and_reversed_edges_collapse(self, spark):
+        from spider_spark.operators.graph import triangle_counts
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (2, 2)],
+            "src long, dst long")
+        got = {r["node"]: (r["degree"], r["triangles"])
+               for r in triangle_counts(e).collect()}
+        assert got == {0: (2, 1), 1: (2, 1), 2: (2, 1)}
+
+    def test_sql_mirror_bit_exact(self, spark):
+        from spider_spark.operators.graph import (
+            triangle_counts, triangle_counts_sql)
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        spark_rows = sorted(map(tuple, triangle_counts(e).collect()))
+        con = duckdb.connect()
+        con.register("tedges", e.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(
+            triangle_counts_sql("SELECT * FROM tedges")).fetchall()))
+        assert spark_rows == duck_rows
+
+
+class TestBfsDistance:
+    @staticmethod
+    def _reference(pairs, seeds, max_hops, directed=True):
+        adj = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            if not directed:
+                adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj.get(n, set())
+            nxt -= dist.keys()
+            if not nxt:
+                break
+            for n in nxt:
+                dist[n] = h
+            frontier = nxt
+        return dist
+
+    def test_random_graph_matches_reference(self, spark):
+        from spider_spark.operators.graph import bfs_distance
+
+        rng = random.Random(3)
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(90)]
+        seeds = [1, 5, 9]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+        for directed in (True, False):
+            got = dict(map(tuple,
+                           bfs_distance(e, sd, max_hops=6,
+                                        directed=directed).collect()))
+            assert got == self._reference(pairs, seeds, 6, directed), directed
+
+    def test_hop_bound_and_isolated_seed(self, spark):
+        from spider_spark.operators.graph import bfs_distance
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long")
+        sd = spark.createDataFrame([(0,), (99,)], "node long")
+        got = dict(map(tuple, bfs_distance(e, sd, max_hops=2).collect()))
+        assert got == {0: 0, 99: 0, 1: 1, 2: 2}
+
+    def test_direction_matters(self, spark):
+        from spider_spark.operators.graph import bfs_distance
+
+        e = spark.createDataFrame([(1, 0), (2, 1)], "src long, dst long")
+        sd = spark.createDataFrame([(0,)], "node long")
+        got = dict(map(tuple, bfs_distance(e, sd, max_hops=4).collect()))
+        assert got == {0: 0}
+        got = dict(map(tuple,
+                       bfs_distance(e, sd, max_hops=4,
+                                    directed=False).collect()))
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_sql_mirror_bit_exact(self, spark):
+        from spider_spark.operators.graph import bfs_distance, bfs_distance_sql
+
+        rng = random.Random(13)
+        pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(70)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        sd = spark.createDataFrame([(2,), (8,)], "node long")
+        con = duckdb.connect()
+        con.register("bedges", e.toPandas())
+        con.register("bseeds", sd.toPandas())
+        for directed in (True, False):
+            spark_rows = sorted(map(tuple, bfs_distance(
+                e, sd, max_hops=5, directed=directed).collect()))
+            duck_rows = sorted(map(tuple, con.execute(bfs_distance_sql(
+                "SELECT * FROM bedges", "SELECT * FROM bseeds",
+                max_hops=5, directed=directed)).fetchall()))
+            assert spark_rows == duck_rows, directed
