@@ -1845,6 +1845,49 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_BM25 = bm25_topk_sql(BM25_QUERY, k=BM25_K)
 
+FUZZY_QUERY_MOD = 29
+
+
+def _q_fuzzy_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell delete-neighborhood spell correction (operators/fuzzy.py
+    fuzzy_match): best edit-distance-≤1 vocabulary term per query under
+    (dist ASC, freq DESC, term ASC). Queries are deterministic
+    misspellings minted relationally from the corpus itself — the 3rd
+    word of every mod-29 document with its middle character deleted —
+    so real corrections exist at any sf and the oracle replays the
+    minting arithmetic. The vocab side explodes delete keys inside the
+    scan and joins a BROADCAST query neighborhood: the corpus-sized
+    relation never shuffles."""
+    from spider_spark.operators.fuzzy import fuzzy_match, vocab_counts
+    from spider_spark.functions.text import normalized_text
+
+    docs = _docs(spark, sf_dir)
+    w = F.element_at(F.split(normalized_text(F.col("text")), " "), 3)
+    qs = (
+        docs.filter(F.col("doc_id") % FUZZY_QUERY_MOD == 0)
+        .select(w.alias("w")).filter(F.length("w") >= 5)
+        .select(F.expr(
+            "concat(substring(w, 1, length(w) div 2), "
+            "substring(w, length(w) div 2 + 2))").alias("query"))
+    )
+    return fuzzy_match(qs, vocab_counts(docs))
+
+
+def _sql_fuzzy_term_match() -> str:
+    from spider_spark.operators.dedupe import NORM_SQL
+    from spider_spark.operators.fuzzy import fuzzy_match_sql
+
+    norm = NORM_SQL.format(x="text")
+    queries_rel = f"""
+      SELECT substr(w, 1, length(w) // 2) || substr(w, length(w) // 2 + 2)
+             AS query
+      FROM (SELECT list_extract(string_split({norm}, ' '), 3) AS w
+            FROM documents WHERE doc_id % {FUZZY_QUERY_MOD} = 0)
+      WHERE length(w) >= 5
+    """
+    return fuzzy_match_sql(queries_rel, "SELECT * FROM documents")
+
+
 PHRASE_QUERY = ["table", "part"]
 PHRASE_K = 15
 
@@ -5340,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
+        "fuzzy_term_match": _q_fuzzy_term_match,  # SymSpell spell correction
         "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
         "phrase_snippets": _q_phrase_snippets,    # KWIC context windows
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -5506,6 +5550,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
+        "fuzzy_term_match": _sql_fuzzy_term_match(),
         "phrase_search": _SQL_PHRASE,
         "phrase_snippets": _sql_phrase_snippets(),
         "bm25_index_search": _SQL_BM25,

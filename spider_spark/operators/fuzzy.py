@@ -1,0 +1,159 @@
+"""Fuzzy vocabulary matching via the delete-neighborhood (SymSpell) join.
+
+Typo-tolerant term lookup is the retrieval-side complement of the
+lexical search stack (operators/search.py, operators/lexindex.py): a
+query term that matches nothing ("recieve") should still find its
+corpus spelling ("receive"). The classic answers are Norvig's
+generate-all-edits (≈ 54·len+25 candidates per query — substitutions
+and insertions explode with alphabet size, and are unicode-hostile) and
+a levenshtein cross-join (O(|queries|·|vocab|) — a scale-killer).
+SymSpell (Garbe 2012) observes that **deletes alone close the
+edit-distance-1 relation**: if ``levenshtein(q, t) ≤ 1`` then ``q`` and
+``t`` share a member of each other's delete neighborhood (the string
+itself plus every single-character deletion) — a substitution is a
+delete on both sides at the same position, an insertion/deletion a
+delete on one side. So matching is an equi-join on delete keys, with a
+cheap ``levenshtein`` confirm to drop the neighborhood's false
+positives (e.g. "cat" and "cart" share key "cat" at distance 1 — kept;
+"act" and "cat" share NO delete key — correctly out of reach at d=1).
+
+Scale shape: the vocab side explodes its ≤ ``len+1``-element delete
+array inside the scan (a per-row transform, no join fan-out before the
+key exists); the query side — spell-check batches are small by nature —
+is **broadcast**, so the candidate join never shuffles the vocab.
+Candidates per key are vocab terms one delete apart, a tiny set for
+natural language; the confirm + per-query argmin run on that small
+relation. The argmin is a ``min(struct(dist, -freq, term))`` — the
+frozen total order ``(dist ASC, freq DESC, term ASC)``, no window, no
+skew. Edit distance is fixed at 1: distance-2 needs deletes-of-deletes
+(O(len²) keys per term) and is better served by composing this operator
+with itself on the miss set.
+
+Tokenization for :func:`vocab_counts` is the pipeline's shared one
+(functions/text.py ``normalized_text`` split on single spaces —
+identical to the BM25 / span-dedup / n-gram word streams, so the vocab
+joins against those tables).
+
+Reference parity: no analog in the reference (an asyncio crawler);
+training-data / retrieval extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_spark.functions.text import normalized_text
+from spider_spark.operators.dedupe import NORM_SQL
+
+__all__ = [
+    "vocab_counts",
+    "delete_neighborhood",
+    "delete_neighborhood_sql",
+    "fuzzy_match",
+    "fuzzy_match_sql",
+]
+
+
+def vocab_counts(docs: DataFrame, text_col: str = "text",
+                 min_len: int = 3) -> DataFrame:
+    """``(term, freq)`` word counts over the shared tokenization; terms
+    shorter than ``min_len`` are dropped (their delete keys are near-empty
+    strings shared by half the alphabet — all noise, no signal)."""
+    if min_len < 2:
+        raise ValueError(f"min_len must be ≥2: {min_len}")
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    return (
+        docs.select(F.explode(words).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def delete_neighborhood(col: str) -> F.Column:
+    """Array of ``col`` itself plus every single-character deletion —
+    the SymSpell distance-1 key set, built inside the scan."""
+    return F.expr(
+        f"transform(sequence(0, length({col})), i -> "
+        f"CASE WHEN i = 0 THEN {col} "
+        f"ELSE concat(substring({col}, 1, i - 1), substring({col}, i + 1)) "
+        f"END)"
+    )
+
+
+def delete_neighborhood_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`delete_neighborhood` (identical per-index
+    string surgery; ``range`` upper bound is exclusive)."""
+    return (
+        f"list_transform(range(0, length({expr}) + 1), i -> "
+        f"CASE WHEN i = 0 THEN {expr} "
+        f"ELSE substr({expr}, 1, i - 1) || substr({expr}, i + 1) END)"
+    )
+
+
+def fuzzy_match(queries: DataFrame, vocab: DataFrame,
+                query_col: str = "query") -> DataFrame:
+    """Best edit-distance-≤1 vocabulary term per query string:
+    ``(query, term, freq, dist)`` under the frozen preference order
+    ``(dist ASC, freq DESC, term ASC)`` — an exact match always wins,
+    otherwise the most frequent correction. Queries with no term within
+    one edit are absent from the output (the caller's miss set).
+
+    ``vocab`` is ``(term, freq)`` — :func:`vocab_counts` or any
+    frequency table (a persisted LexicalIndex postings rollup works).
+    The query side is broadcast; see the module docstring for why the
+    vocab never shuffles."""
+    q = queries.select(F.col(query_col).alias("query")).distinct()
+    qd = q.select(
+        "query", F.explode(delete_neighborhood("query")).alias("dkey"))
+    vd = vocab.select(
+        F.col("term"), F.col("freq"),
+        F.explode(delete_neighborhood("term")).alias("dkey"))
+    cand = (
+        vd.join(F.broadcast(qd), on="dkey")
+        .select("query", "term", "freq").distinct()
+        .withColumn("dist", F.levenshtein("query", "term"))
+        .filter(F.col("dist") <= 1)
+    )
+    best = cand.groupBy("query").agg(
+        F.min(F.struct(F.col("dist"), (-F.col("freq")).alias("nf"),
+                       F.col("term"))).alias("m"))
+    return best.select(
+        "query", F.col("m.term").alias("term"),
+        (-F.col("m.nf")).alias("freq"), F.col("m.dist").alias("dist"))
+
+
+def fuzzy_match_sql(queries_rel: str,
+                    docs_rel: str = "SELECT * FROM documents",
+                    text_col: str = "text", min_len: int = 3,
+                    query_col: str = "query") -> str:
+    """DuckDB mirror of ``fuzzy_match(queries, vocab_counts(docs))`` —
+    identical tokenization, delete keys, confirm, and preference order."""
+    norm = NORM_SQL.format(x=text_col)
+    return f"""
+    WITH fvocab AS (
+      SELECT term, count(*) AS freq FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS term FROM ({docs_rel})
+      ) WHERE length(term) >= {min_len} GROUP BY 1
+    ),
+    fq AS (SELECT DISTINCT {query_col} AS query FROM ({queries_rel})),
+    qd AS (
+      SELECT query, unnest({delete_neighborhood_sql('query')}) AS dkey
+      FROM fq
+    ),
+    vd AS (
+      SELECT term, freq, unnest({delete_neighborhood_sql('term')}) AS dkey
+      FROM fvocab
+    ),
+    cand AS (
+      SELECT DISTINCT query, term, freq,
+             levenshtein(query, term) AS dist
+      FROM vd JOIN qd USING (dkey)
+      WHERE levenshtein(query, term) <= 1
+    )
+    SELECT query, term, freq, dist FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query ORDER BY dist ASC, freq DESC, term ASC) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """

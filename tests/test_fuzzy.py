@@ -1,0 +1,102 @@
+"""SymSpell delete-neighborhood fuzzy matching (operators/fuzzy.py).
+
+Pinned against a brute-force levenshtein reference (shares no code with
+the operator) and the DuckDB mirror; the driver's `fuzzy_term_match`
+oracle adds the cross-engine check on real corpus text.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from spider_spark.operators.fuzzy import (
+    fuzzy_match,
+    fuzzy_match_sql,
+    vocab_counts,
+)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _reference_best(queries, vocab):
+    """Brute-force scan: best (dist ASC, freq DESC, term ASC) within 1."""
+    out = {}
+    for q in queries:
+        cands = [(1 if _lev(q, t) == 1 else 0 if q == t else 9, -f, t)
+                 for t, f in vocab.items() if _lev(q, t) <= 1]
+        if cands:
+            d, nf, t = min(cands)
+            out[q] = (t, -nf, d)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the crawler fetches the remote page"),
+        (1, "the crawler parses every remote link"),
+        (2, "remote pages link the crawler onward"),
+        (3, "politeness budget gates the crawler"),
+        (4, "budget politeness budget budget"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestFuzzyMatch:
+    def test_matches_brute_force(self, spark, corpus):
+        vocab_rows = dict(map(tuple, vocab_counts(corpus).collect()))
+        queries = ["crawler", "crawlr", "crawlers", "budgret", "xyzzy",
+                   "remot", "bremote", "pxge", "zzzz"]
+        qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+        got = {r["query"]: (r["term"], r["freq"], r["dist"])
+               for r in fuzzy_match(qdf, vocab_counts(corpus)).collect()}
+        assert got == _reference_best(queries, vocab_rows)
+        # sanity on the fixture itself: typo corrected, exact kept, miss absent
+        assert got["crawlr"] == ("crawler", 4, 1)
+        assert got["crawler"][2] == 0
+        assert got["pxge"] == ("page", 1, 1)  # substitution reaches "page"
+        assert "xyzzy" not in got and "zzzz" not in got
+
+    def test_frequency_breaks_ties(self, spark):
+        vocab = spark.createDataFrame(
+            [("cat", 3), ("car", 10), ("cap", 10)], "term string, freq long")
+        qdf = spark.createDataFrame([("caq",)], "query string")
+        row = fuzzy_match(qdf, vocab).collect()[0]
+        # all three are distance 1; freq 10 beats 3, "cap" < "car"
+        assert (row["term"], row["freq"], row["dist"]) == ("cap", 10, 1)
+
+    def test_transposition_out_of_reach(self, spark):
+        # "act"/"cat" is Damerau distance 1 but Levenshtein 2: no match
+        vocab = spark.createDataFrame([("cat", 5)], "term string, freq long")
+        qdf = spark.createDataFrame([("act",)], "query string")
+        assert fuzzy_match(qdf, vocab).count() == 0
+
+    def test_min_len_guard(self, spark, corpus):
+        assert vocab_counts(corpus, min_len=8).filter(
+            "length(term) < 8").count() == 0
+        with pytest.raises(ValueError):
+            vocab_counts(corpus, min_len=1)
+
+    def test_sql_mirror_bit_exact(self, spark, corpus):
+        queries = ["crawlr", "crawler", "budgret", "remot", "qqq",
+                   "politness", "gatez"]
+        qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+        spark_rows = sorted(map(tuple, fuzzy_match(
+            qdf, vocab_counts(corpus)).collect()))
+        con = duckdb.connect()
+        con.register("fdocs", corpus.toPandas())
+        con.register("fqueries", pd.DataFrame({"query": queries}))
+        duck_rows = sorted(map(tuple, con.execute(fuzzy_match_sql(
+            "SELECT * FROM fqueries", "SELECT * FROM fdocs")).fetchall()))
+        assert spark_rows == duck_rows
