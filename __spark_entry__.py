@@ -4992,6 +4992,46 @@ def _sql_kmv_distinct() -> str:
                             "events", group_name="event_type")
 
 
+THETA_K = 64
+
+
+def _q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (operators/sketches.py theta_overlap):
+    per-language token-vocabulary overlap between the even- and
+    odd-numbered sources — the datacard question a union-only distinct
+    counter cannot answer (how much vocabulary do two corpus slices
+    SHARE?), from two bounded KMV synopses instead of a corpus-wide
+    INTERSECT. Below the combined threshold both sketches retain every
+    hash they saw, so the retained rows are a fair sample of both sets;
+    estimates scale by 2^60/θ in exact decimal arithmetic."""
+    from spider_spark.functions.text import normalized_text
+    from spider_spark.operators.sketches import theta_overlap
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        F.expr("CAST(substring(source, 4) AS INT)").alias("src_n"),
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("tok"),
+    )
+    even = toks.filter(F.col("src_n") % 2 == 0)
+    odd = toks.filter(F.col("src_n") % 2 == 1)
+    return theta_overlap(even, odd, "lang", "tok", k=THETA_K)
+
+
+def _sql_vocab_overlap() -> str:
+    from spider_spark.operators.dedupe import NORM_SQL
+    from spider_spark.operators.sketches import theta_overlap_sql
+
+    norm = NORM_SQL.format(x="text")
+
+    def side(par: int) -> str:
+        return (f"SELECT lang, unnest(string_split({norm}, ' ')) AS tok "
+                f"FROM documents WHERE substr(source, 4)::INT % 2 = {par}")
+
+    return theta_overlap_sql(side(0), side(1), "lang", "tok", THETA_K,
+                             group_name="lang")
+
+
 def _q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency sketch (operators/sketches.py): the corpus
     token stream folds into a ≤ depth×width counter table (fixed size
@@ -5379,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_flags": _q_soft404_flags,        # 200-OK error-page verdict
         "opengraph_meta": _q_opengraph_meta,      # og:* head properties
         "kmv_distinct_users": _q_kmv_distinct,    # mergeable distinct sketch
+        "vocab_overlap": _q_vocab_overlap,        # theta-sketch set algebra
         "hll_distinct_users": _q_hll_distinct,    # fixed-register HLL sketch
         "cms_token_freq": _q_cms_token_freq,      # count-min heavy hitters
         "dsir_selection": _q_dsir_selection,      # importance resampling
@@ -5546,6 +5587,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404_flags": _sql_soft404_flags(),
         "opengraph_meta": _SQL_OPENGRAPH,
         "kmv_distinct_users": _sql_kmv_distinct(),
+        "vocab_overlap": _sql_vocab_overlap(),
         "hll_distinct_users": _sql_hll_distinct(),
         "cms_token_freq": _sql_cms_token_freq(),
         "dsir_selection": _sql_dsir_selection(),

@@ -57,6 +57,7 @@ __all__ = [
     "cms_build", "cms_merge", "cms_estimate", "cms_estimate_sql",
     "hll_sketch", "hll_merge", "hll_estimate", "hll_distinct",
     "hll_distinct_sql",
+    "theta_overlap", "theta_overlap_sketches", "theta_overlap_sql",
 ]
 
 HASH_SPACE = 1 << 60  # md5_60 values are uniform in [0, 2^60)
@@ -406,4 +407,177 @@ def hll_distinct_sql(group_expr: str, key_expr: str, p: int,
                 ELSE round(num::DOUBLE / ({10000 * m + 10790}::HUGEINT * s)::DOUBLE, 6)
            END AS est
     FROM terms
+    """
+
+
+# ---------------------------------------------------------------------------
+# theta set operations over KMV sketches
+# ---------------------------------------------------------------------------
+
+JACCARD_PPM = 1_000_000
+
+
+def _theta_est(count: str, theta: str) -> Column:
+    """``count · 2^60 div theta``, exact, via decimal(38,0) — unlike
+    :func:`kmv_estimate`'s q/r int64 decomposition (valid there because
+    its count is tied to ITS theta), the combined theta can be far larger
+    than either sketch's own threshold, so ``count · (2^60 mod θ)``
+    overflows int64; the 128-bit product cannot (count ≤ 2k)."""
+    return F.expr(
+        f"CAST({count} AS DECIMAL(38, 0)) * {HASH_SPACE} "
+        f"div greatest({theta}, 1)"
+    )
+
+
+def theta_overlap_sketches(sketch_a: DataFrame, sketch_b: DataFrame,
+                           group_col: str, k: int = 64) -> DataFrame:
+    """Theta-sketch set operations (Dasgupta et al. 2016, the
+    DataSketches theta framework) over two per-group KMV synopses built
+    with the same ``k``: distinct-count estimates for A∩B, A∪B, A∖B,
+    B∖A — the questions a union-only distinct counter (KMV/HLL alone)
+    cannot answer, and the exact forms (``INTERSECT``/``EXCEPT`` over
+    raw keys) answer only with a corpus-wide shuffle per question.
+
+    The theta trick: each sketch is a uniform sample of its key-hash
+    set below a per-sketch threshold ``θ_X`` (``2^60`` while the sketch
+    holds everything — estimates are then EXACT — else its k-th
+    smallest hash). Below ``θ = min(θ_A, θ_B)`` BOTH sketches retain
+    every hash they saw, so set algebra on the retained rows is set
+    algebra on a fair sample of the true sets, and each count scales by
+    ``2^60/θ`` — an exact decimal(38,0)/HUGEINT quotient (see
+    :func:`_theta_est`), so everything stays exact-integer and the
+    DuckDB mirror hash-matches.
+
+    Output per group: ``(group, theta, n_inter, n_union, est_intersect,
+    est_union, est_a_only, est_b_only, jaccard_ppm)`` where
+    ``jaccard_ppm = n_inter·10^6 div n_union`` (the sample's exact
+    rational). Groups present in only one input get ``θ_other = 2^60``
+    and zero intersection. Scale shape: sketches are ≤ ``k`` rows per
+    group by construction, so everything here — the flag union, the
+    per-(group, hash) max, the threshold join, the final agg — runs on
+    bounded-size relations; the corpus was touched only by
+    ``kmv_sketch``'s one narrow distinct."""
+    if k < 2:
+        raise ValueError(f"k must be ≥2: {k}")
+    g = group_col
+
+    def thresholds(s: DataFrame, n_name: str, t_name: str) -> DataFrame:
+        agg = s.groupBy(g).agg(F.count(F.lit(1)).alias(n_name),
+                               F.max("_h").alias("_kth"))
+        theta = F.when(F.col(n_name) < k, F.lit(HASH_SPACE)).otherwise(
+            F.col("_kth"))
+        return agg.select(g, theta.alias(t_name))
+
+    th = (
+        thresholds(sketch_a, "_na", "theta_a")
+        .join(thresholds(sketch_b, "_nb", "theta_b"), on=g, how="full_outer")
+        .select(g,
+                F.coalesce("theta_a", F.lit(HASH_SPACE)).alias("theta_a"),
+                F.coalesce("theta_b", F.lit(HASH_SPACE)).alias("theta_b"))
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+    )
+    flags = (
+        sketch_a.select(g, "_h", F.lit(1).alias("a"), F.lit(0).alias("b"))
+        .unionByName(
+            sketch_b.select(g, "_h", F.lit(0).alias("a"), F.lit(1).alias("b")))
+        .groupBy(g, "_h").agg(F.max("a").alias("a"), F.max("b").alias("b"))
+    )
+    below = flags.join(th.select(g, "theta"), on=g).filter(
+        F.col("_h") < F.col("theta"))
+    counts = below.groupBy(g).agg(
+        F.sum(F.col("a") * F.col("b")).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n_a_only"),
+        F.sum(F.col("b") * (1 - F.col("a"))).alias("n_b_only"),
+    )
+    out = th.join(counts, on=g, how="left").select(
+        g, "theta",
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        F.coalesce("n_union", F.lit(0)).alias("n_union"),
+        F.coalesce("n_a_only", F.lit(0)).alias("n_a_only"),
+        F.coalesce("n_b_only", F.lit(0)).alias("n_b_only"),
+    )
+    jac = F.expr(f"(n_inter * {JACCARD_PPM}) div greatest(n_union, 1)")
+    return out.select(
+        g, "theta", "n_inter", "n_union",
+        _theta_est("n_inter", "theta").cast("long").alias("est_intersect"),
+        _theta_est("n_union", "theta").cast("long").alias("est_union"),
+        _theta_est("n_a_only", "theta").cast("long").alias("est_a_only"),
+        _theta_est("n_b_only", "theta").cast("long").alias("est_b_only"),
+        jac.cast("long").alias("jaccard_ppm"),
+    )
+
+
+def theta_overlap(a: DataFrame, b: DataFrame, group_col: str,
+                  key_col: str | Column, k: int = 64,
+                  salt: int = 8) -> DataFrame:
+    """One-call form: sketch both inputs, then set algebra."""
+    return theta_overlap_sketches(
+        kmv_sketch(a, group_col, key_col, k, salt),
+        kmv_sketch(b, group_col, key_col, k, salt),
+        group_col, k)
+
+
+def theta_overlap_sql(a_rel: str, b_rel: str, group_expr: str,
+                      key_expr: str, k: int,
+                      group_name: str = "grp") -> str:
+    """DuckDB mirror of :func:`theta_overlap` — identical sketches,
+    thresholds, flag algebra, and q/r estimates."""
+    h = md5_60_sql(f"CAST({key_expr} AS VARCHAR)")
+
+    def sk(rel: str, name: str) -> str:
+        return f"""{name}_h AS (
+      SELECT DISTINCT {group_expr} AS {group_name}, {h} AS _h FROM ({rel})
+    ), {name} AS (
+      SELECT {group_name}, _h FROM (
+        SELECT {group_name}, _h,
+               row_number() OVER (PARTITION BY {group_name}
+                                  ORDER BY _h) AS _rn
+        FROM {name}_h
+      ) WHERE _rn <= {k}
+    ), {name}_t AS (
+      SELECT {group_name},
+             CASE WHEN count(*) < {k} THEN {HASH_SPACE}
+                  ELSE max(_h) END AS theta_{name}
+      FROM {name} GROUP BY {group_name}
+    )"""
+
+    def est(n: str) -> str:
+        return (f"(({n}::HUGEINT * {HASH_SPACE}) "
+                f"// greatest(theta, 1))::BIGINT")
+
+    return f"""
+    WITH {sk(a_rel, 'tha')}, {sk(b_rel, 'thb')},
+    th AS (
+      SELECT coalesce(a.{group_name}, b.{group_name}) AS {group_name},
+             least(coalesce(theta_tha, {HASH_SPACE}),
+                   coalesce(theta_thb, {HASH_SPACE})) AS theta
+      FROM tha_t a FULL OUTER JOIN thb_t b USING ({group_name})
+    ),
+    fl AS (
+      SELECT {group_name}, _h, max(a) AS a, max(b) AS b FROM (
+        SELECT {group_name}, _h, 1 AS a, 0 AS b FROM tha
+        UNION ALL
+        SELECT {group_name}, _h, 0, 1 FROM thb
+      ) GROUP BY 1, 2
+    ),
+    cnt AS (
+      SELECT fl.{group_name},
+             sum(a * b)::BIGINT AS n_inter,
+             count(*)::BIGINT AS n_union,
+             sum(a * (1 - b))::BIGINT AS n_a_only,
+             sum(b * (1 - a))::BIGINT AS n_b_only
+      FROM fl JOIN th USING ({group_name})
+      WHERE _h < theta GROUP BY 1
+    )
+    SELECT th.{group_name}, theta,
+           coalesce(n_inter, 0) AS n_inter,
+           coalesce(n_union, 0) AS n_union,
+           {est('coalesce(n_inter, 0)')} AS est_intersect,
+           {est('coalesce(n_union, 0)')} AS est_union,
+           {est('coalesce(n_a_only, 0)')} AS est_a_only,
+           {est('coalesce(n_b_only, 0)')} AS est_b_only,
+           (coalesce(n_inter, 0) * {JACCARD_PPM})
+             // greatest(coalesce(n_union, 0), 1) AS jaccard_ppm
+    FROM th LEFT JOIN cnt USING ({group_name})
     """

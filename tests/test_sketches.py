@@ -262,3 +262,81 @@ class TestHLL:
             hll_sketch(keyed, "grp", "k", p=3)
         with pytest.raises(ValueError):
             hll_sketch(keyed, "grp", "k", p=17)
+
+
+class TestThetaOverlap:
+    def test_exact_when_sketches_hold_everything(self, spark):
+        from spider_spark.operators.sketches import theta_overlap
+
+        # per group: A = {0..29}, B = {20..49} → inter 10, union 50
+        a = spark.createDataFrame(
+            [("g", i) for i in range(30)] + [("h", i) for i in range(5)],
+            "grp string, k long")
+        b = spark.createDataFrame(
+            [("g", i) for i in range(20, 50)], "grp string, k long")
+        got = {r["grp"]: r for r in
+               theta_overlap(a, b, "grp", "k", k=64).collect()}
+        g = got["g"]
+        assert (g["est_intersect"], g["est_union"],
+                g["est_a_only"], g["est_b_only"]) == (10, 50, 20, 20)
+        assert g["theta"] == 1 << 60
+        assert g["jaccard_ppm"] == 10 * 1_000_000 // 50
+        h = got["h"]  # group absent from B: clean difference
+        assert (h["est_intersect"], h["est_union"], h["est_a_only"],
+                h["est_b_only"]) == (0, 5, 5, 0)
+
+    def test_estimates_track_truth_when_sampled(self, spark):
+        from spider_spark.operators.sketches import theta_overlap
+
+        # A = 0..999, B = 500..1999 → inter 500, union 2000, jacc 0.25
+        a = spark.createDataFrame([("g", i) for i in range(1000)],
+                                  "grp string, k long")
+        b = spark.createDataFrame([("g", i) for i in range(500, 2000)],
+                                  "grp string, k long")
+        r = theta_overlap(a, b, "grp", "k", k=256).collect()[0]
+        assert abs(r["est_union"] - 2000) / 2000 < 0.2
+        assert abs(r["est_intersect"] - 500) / 500 < 0.35
+        assert abs(r["jaccard_ppm"] - 250_000) / 250_000 < 0.3
+        # identical inputs: jaccard is exactly 1 regardless of sampling
+        r2 = theta_overlap(a, a, "grp", "k", k=64).collect()[0]
+        assert r2["jaccard_ppm"] == 1_000_000
+        assert r2["est_a_only"] == 0 and r2["est_b_only"] == 0
+
+    def test_disjoint_inputs(self, spark):
+        from spider_spark.operators.sketches import theta_overlap
+
+        a = spark.createDataFrame([("g", i) for i in range(500)],
+                                  "grp string, k long")
+        b = spark.createDataFrame([("g", i) for i in range(1000, 1500)],
+                                  "grp string, k long")
+        r = theta_overlap(a, b, "grp", "k", k=64).collect()[0]
+        assert r["n_inter"] == 0 and r["jaccard_ppm"] == 0
+        assert r["est_intersect"] == 0
+
+    def test_sql_mirror_bit_exact(self, spark):
+        from spider_spark.operators.sketches import (
+            theta_overlap, theta_overlap_sql)
+
+        a = spark.createDataFrame(
+            [("g", i) for i in range(400)] + [("h", i) for i in range(10)],
+            "grp string, k long")
+        b = spark.createDataFrame(
+            [("g", i) for i in range(200, 700)] + [("z", 1)],
+            "grp string, k long")
+        for k in (16, 64):
+            spark_rows = sorted(map(tuple, theta_overlap(
+                a, b, "grp", "k", k=k).collect()))
+            con = duckdb.connect()
+            con.register("ta", a.toPandas())
+            con.register("tb", b.toPandas())
+            duck_rows = sorted(map(tuple, con.execute(theta_overlap_sql(
+                "SELECT * FROM ta", "SELECT * FROM tb",
+                "grp", "k", k, group_name="grp")).fetchall()))
+            assert spark_rows == duck_rows, k
+
+    def test_rejects_bad_k(self, spark):
+        from spider_spark.operators.sketches import theta_overlap_sketches
+
+        df = spark.createDataFrame([("g", 1)], "grp string, _h long")
+        with pytest.raises(ValueError):
+            theta_overlap_sketches(df, df, "grp", k=1)
