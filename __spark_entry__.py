@@ -3467,6 +3467,58 @@ def _q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SITEMAP_EXPORT_MAX_URLS = 50
+
+
+def _q_sitemap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap export round-trip (sources/sitemap.py write_sitemap /
+    read_sitemap_files / sitemap_entries): the write side of the
+    protocol — per-host <urlset> files split at the 50 k limit (50 here
+    so multi-file splitting is exercised at any sf), lastmod from the
+    page timestamps, changefreq/priority from deterministic arithmetic
+    (with nulls, so tag omission is exercised). The result is what the
+    engine's own PARSER reads back out of the files, and the oracle
+    replays the generation arithmetic — a hash match pins W3C datetime
+    format→parse inversion, milli-priority print→parse, XML escaping,
+    and the per-host split, byte-for-byte."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.sources.sitemap import (
+        read_sitemap_files, sitemap_entries, write_sitemap)
+
+    _ensure_shipped(spark)
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    sm_in = docs.select(
+        url_expr(i).alias("url"),
+        (F.lit(PAGES_EPOCH) + i).alias("lastmod_epoch"),
+        F.when(i % 4 != 0, F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (i % 3 + 1).cast("int"))).alias("changefreq"),
+        F.when(i % 2 == 1, (i % 11) * 100).cast("int").alias("priority_milli"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sitemap_export_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_sitemap(sm_in, tmp, max_urls=SITEMAP_EXPORT_MAX_URLS).collect()
+    return sitemap_entries(
+        read_sitemap_files(spark, tmp), xml_col="xml"
+    ).select("loc", "lastmod_epoch", "changefreq", "priority_milli")
+
+
+_SQL_SITEMAP_EXPORT = f"""
+SELECT {_url_sql('doc_id')} AS loc,
+       {PAGES_EPOCH} + doc_id AS lastmod_epoch,
+       CASE WHEN doc_id % 4 != 0
+            THEN ['daily', 'weekly', 'monthly'][(doc_id % 3 + 1)::INT]
+            END AS changefreq,
+       (CASE WHEN doc_id % 2 = 1 THEN (doc_id % 11) * 100 END)::INT
+         AS priority_milli
+FROM documents
+"""
+
+
 def _q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed WET export round-trip (sources/warc.py write_wet /
     read_wet): the text-extract companion of the WARC dump — conversion
@@ -5435,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "warc_export": _q_warc_export,            # distributed WARC sink
         "wet_export": _q_wet_export,              # WET text-extract sink
+        "sitemap_export": _q_sitemap_export,      # urlset publish round-trip
         "wat_export": _q_wat_export,              # WAT metadata sink
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
         "main_content": _q_main_content,          # boilerplate removal
@@ -5605,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "warc_export": _SQL_WARC_INGEST,
         "wet_export": _SQL_WET_EXPORT,
+        "sitemap_export": _SQL_SITEMAP_EXPORT,
         "wat_export": _SQL_WAT_EXPORT,
         "repetition_stats": repetition_stats_sql(),
         "main_content": _SQL_MAIN_CONTENT,

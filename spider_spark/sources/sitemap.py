@@ -57,6 +57,10 @@ __all__ = [
     "sitemap_entries",
     "sitemap_refresh_plan",
     "sitemap_refresh_sql",
+    "sitemap_xml",
+    "sitemap_index_xml",
+    "write_sitemap",
+    "read_sitemap_files",
 ]
 
 SITEMAP_ENTRIES_SCHEMA = ArrayType(
@@ -308,3 +312,160 @@ def sitemap_refresh_sql(entries_rel: str, fetched_rel: str, now_epoch: int,
     SELECT loc, reason, lastmod_epoch, priority_milli
     FROM v WHERE reason IS NOT NULL
     """
+
+
+# ---------------------------------------------------------------------------
+# sitemap export (the write side of the protocol)
+# ---------------------------------------------------------------------------
+
+SITEMAP_MAX_URLS = 50_000  # the protocol's per-file limit
+
+SITEMAP_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("file_no", IntegerType(), False),
+        StructField("path", StringType(), False),
+        StructField("n_urls", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+    ]
+)
+
+
+def _w3c_utc(epoch: int) -> str:
+    return datetime.fromtimestamp(int(epoch), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ")
+
+
+def sitemap_xml(entries: list[dict]) -> bytes:
+    """One ``<urlset>`` document from ``(loc, lastmod_epoch, changefreq,
+    priority_milli)`` dicts (None fields omitted) — the inverse of
+    :func:`parse_sitemap`, which round-trips it exactly: W3C UTC
+    lastmod back to the same epoch, ``priority`` printed at exact milli
+    precision. Deterministic: no timestamps-of-now, fixed formatting."""
+    from xml.sax.saxutils import escape
+
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
+    ]
+    for e in entries:
+        parts.append(f"<url><loc>{escape(str(e['loc']))}</loc>")
+        if e.get("lastmod_epoch") is not None:
+            parts.append(f"<lastmod>{_w3c_utc(e['lastmod_epoch'])}</lastmod>")
+        if e.get("changefreq") is not None:
+            parts.append(f"<changefreq>{e['changefreq']}</changefreq>")
+        if e.get("priority_milli") is not None:
+            parts.append(
+                f"<priority>{int(e['priority_milli']) / 1000:.3f}</priority>")
+        parts.append("</url>\n")
+    parts.append("</urlset>\n")
+    return "".join(parts).encode("utf-8")
+
+
+def sitemap_index_xml(locs: list[tuple[str, int | None]]) -> bytes:
+    """A ``<sitemapindex>`` document from ``(loc, lastmod_epoch)`` pairs
+    — what a host serves at its sitemap root to point crawlers at the
+    per-shard files. :func:`parse_sitemap` reads it back with
+    ``is_index = true``."""
+    from xml.sax.saxutils import escape
+
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
+    ]
+    for loc, lastmod in sorted(locs):
+        parts.append(f"<sitemap><loc>{escape(str(loc))}</loc>")
+        if lastmod is not None:
+            parts.append(f"<lastmod>{_w3c_utc(lastmod)}</lastmod>")
+        parts.append("</sitemap>\n")
+    parts.append("</sitemapindex>\n")
+    return "".join(parts).encode("utf-8")
+
+
+def write_sitemap(df: DataFrame, out_dir: str,
+                  max_urls: int = SITEMAP_MAX_URLS) -> DataFrame:
+    """Distributed sitemap export: URL rows → per-host ``<urlset>`` XML
+    files under ``out_dir``, each holding ≤ ``max_urls`` URLs (the
+    protocol's 50 k limit), named ``sitemap-{host}-{file_no:05d}.xml``.
+    Returns the manifest ``(host, file_no, path, n_urls, n_bytes,
+    sha256)`` — feed it to :func:`sitemap_index_xml` for the index
+    document. The write side of this module: what the engine's own
+    store publishes so OTHER crawlers (and the recrawl planner's tests)
+    can consume the corpus through the same protocol the read side
+    speaks; round-trips through :func:`sitemap_entries` byte-exactly.
+
+    Input columns: ``url`` (required), optional ``lastmod_epoch``
+    (long, UTC seconds), ``changefreq``, ``priority_milli`` — absent
+    columns are treated as all-null and their tags omitted.
+
+    Deterministic by construction (the write_warc contract): file
+    membership and order come from sorting URLs within a host — no
+    partition-layout dependence — files are placed atomically, and the
+    manifest carries the sha256 of each file's bytes. Scale shape: one
+    window rank within each host (a host's sitemap is inherently a
+    per-host artifact; the protocol's own 50 k split keeps files small,
+    and a mega-host ranks once, not per file) and ONE shuffle to the
+    (host, file_no) writer groups, each streaming its ≤ ``max_urls``
+    rows to its own file."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Window
+
+    from spider_spark.functions.urlkit import make_host_udf
+
+    if max_urls < 1:
+        raise ValueError(f"max_urls must be ≥1: {max_urls}")
+    os.makedirs(out_dir, exist_ok=True)
+    host_udf = make_host_udf()
+    cols = set(df.columns)
+    sel = [F.col("url").cast("string").alias("url"),
+           host_udf(F.col("url")).alias("host")]
+    for c, typ in (("lastmod_epoch", "long"), ("changefreq", "string"),
+                   ("priority_milli", "int")):
+        sel.append((F.col(c) if c in cols else F.lit(None)).cast(typ).alias(c))
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = df.select(*sel).withColumn(
+        "file_no",
+        ((F.row_number().over(w) - 1) / max_urls).cast("int"),
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        host = str(pdf["host"].iloc[0])
+        file_no = int(pdf["file_no"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        entries = [
+            {
+                "loc": u,
+                "lastmod_epoch": None if pd.isna(lm) else int(lm),
+                "changefreq": None if (cf is None or pd.isna(cf)) else str(cf),
+                "priority_milli": None if pd.isna(pr) else int(pr),
+            }
+            for u, lm, cf, pr in zip(pdf["url"], pdf["lastmod_epoch"],
+                                     pdf["changefreq"], pdf["priority_milli"])
+        ]
+        data = sitemap_xml(entries)
+        safe_host = host.replace(":", "_")
+        path = os.path.join(out_dir, f"sitemap-{safe_host}-{file_no:05d}.xml")
+        tmp = f"{path}.inprogress"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pd.DataFrame([{
+            "host": host, "file_no": file_no, "path": path,
+            "n_urls": len(pdf), "n_bytes": len(data),
+            "sha256": hashlib.sha256(data).hexdigest(),
+        }])
+
+    return ranked.groupBy("host", "file_no").applyInPandas(
+        write_group, SITEMAP_MANIFEST_SCHEMA)
+
+
+def read_sitemap_files(spark, path_glob: str) -> DataFrame:
+    """Exported sitemap files back as ``(url, xml)`` rows — feed to
+    :func:`sitemap_entries`. (``binaryFile`` source: each sitemap file
+    is one row, exactly the shape the parse kernel wants.)"""
+    raw = spark.read.format("binaryFile").load(path_glob)
+    return raw.select(F.col("path").alias("url"),
+                      F.col("content").alias("xml"))

@@ -220,3 +220,75 @@ class TestRefreshPlan:
         assert CHANGEFREQ_TTL_SEC["always"] == 0
         assert CHANGEFREQ_TTL_SEC["hourly"] == 3600
         assert "never" not in CHANGEFREQ_TTL_SEC  # NULL TTL, handled apart
+
+
+class TestWriteSitemap:
+    @staticmethod
+    def _rows(spark, n=7):
+        rows = [
+            (f"https://h{i % 2}.example/p/{i}",
+             1_700_000_000 + i if i % 3 else None,
+             ["daily", "weekly", None][i % 3],
+             (i * 100) if i % 2 else None)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "url string, lastmod_epoch long, changefreq string, "
+                  "priority_milli int")
+
+    def test_round_trips_through_the_parser(self, spark, tmp_path):
+        from spider_spark.sources.sitemap import (
+            read_sitemap_files, sitemap_entries, write_sitemap)
+
+        df = self._rows(spark)
+        man = write_sitemap(df, str(tmp_path / "sm")).collect()
+        assert sum(m["n_urls"] for m in man) == 7
+        back = sitemap_entries(
+            read_sitemap_files(spark, str(tmp_path / "sm")),
+            xml_col="xml").collect()
+        got = sorted((r["loc"], r["lastmod_epoch"], r["changefreq"],
+                      r["priority_milli"], r["is_index"]) for r in back)
+        want = sorted((u, lm, cf, pr, False)
+                      for u, lm, cf, pr in map(tuple, df.collect()))
+        assert got == want
+
+    def test_split_at_max_urls_and_determinism(self, spark, tmp_path):
+        from spider_spark.sources.sitemap import write_sitemap
+
+        df = self._rows(spark, n=11)
+        m1 = {(r["host"], r["file_no"]): (r["n_urls"], r["sha256"])
+              for r in write_sitemap(df, str(tmp_path / "a"),
+                                     max_urls=4).collect()}
+        # h0 gets urls 0,2,4,6,8,10 (6 → files of 4+2); h1 gets 5 → 4+1
+        assert {k: v[0] for k, v in m1.items()} == {
+            ("h0.example", 0): 4, ("h0.example", 1): 2,
+            ("h1.example", 0): 4, ("h1.example", 1): 1,
+        }
+        # byte-determinism: a re-export from a different partitioning
+        m2 = {(r["host"], r["file_no"]): (r["n_urls"], r["sha256"])
+              for r in write_sitemap(df.repartition(7),
+                                     str(tmp_path / "b"),
+                                     max_urls=4).collect()}
+        assert m1 == m2
+
+    def test_index_document(self, spark, tmp_path):
+        from spider_spark.sources.sitemap import (
+            parse_sitemap, sitemap_index_xml, write_sitemap)
+
+        man = write_sitemap(self._rows(spark), str(tmp_path / "sm")).collect()
+        idx = sitemap_index_xml(
+            [(f"https://pub.example/{m['path'].rsplit('/', 1)[1]}", None)
+             for m in man])
+        parsed = parse_sitemap(idx)
+        assert len(parsed) == len(man)
+        assert all(e["is_index"] for e in parsed)
+
+    def test_escaping_and_epoch_parity(self, spark, tmp_path):
+        from spider_spark.sources.sitemap import parse_sitemap, sitemap_xml
+
+        e = {"loc": "https://h.example/a?x=1&y=<2>", "lastmod_epoch": 0,
+             "changefreq": None, "priority_milli": 1000}
+        parsed = parse_sitemap(sitemap_xml([e]))
+        assert parsed == [{"loc": e["loc"], "lastmod_epoch": 0,
+                           "changefreq": None, "priority_milli": 1000,
+                           "is_index": False}]
