@@ -2327,6 +2327,30 @@ GROUP BY 1, 2
 """
 
 
+CSF_N_POPULAR = 100
+
+
+def _q_content_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content half of the Ntoulas web-spam feature set
+    (operators/contentspam.py): per-doc word count, exact-integer
+    average word length, popular-word concentration against the
+    corpus's deterministic top-100, lexical diversity (the relational
+    compression-ratio proxy), and 6 dp word entropy (the PMI
+    determinism recipe). Joins link_spam_features on the page key to
+    complete the classifier's feature vector. Two keyed shuffles + one
+    broadcast; no windows, no Python."""
+    from spider_spark.operators.contentspam import content_spam_features
+
+    return content_spam_features(_docs(spark, sf_dir),
+                                 n_popular=CSF_N_POPULAR)
+
+
+def _sql_content_spam_features() -> str:
+    from spider_spark.operators.contentspam import content_spam_features_sql
+
+    return content_spam_features_sql(n_popular=CSF_N_POPULAR)
+
+
 def _q_link_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page outlink-structure spam features (operators/anchors.py
     link_spam_features; Ntoulas et al. 2006 link half): admitted-link
@@ -5379,6 +5403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": _q_anchor_text_index,  # web-IR anchor signal
         "focused_frontier": _q_focused_frontier,  # topical crawl priority
         "link_spam_features": _q_link_spam_features,  # outlink spam features
+        "content_spam_features": _q_content_spam_features,  # text spam half
         "sitemap_entries": _q_sitemap_entries,    # sitemaps.org XML ingestion
         "feed_entries": _q_feed_entries,          # RSS/Atom feed ingestion
         "feed_refresh": _q_feed_refresh,          # feed-driven refetch plan
@@ -5547,6 +5572,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": anchor_text_index_sql(_ANCHOR_EDGES_SQL),
         "focused_frontier": _sql_focused_frontier(),
         "link_spam_features": _sql_link_spam_features(),
+        "content_spam_features": _sql_content_spam_features(),
         "sitemap_entries": _SITEMAP_ENTRIES_SQL,
         "feed_entries": _SQL_FEED_ENTRIES,
         "feed_refresh": _sql_feed_refresh(),
