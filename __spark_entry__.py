@@ -1692,6 +1692,40 @@ def _sql_doc_chunks() -> str:
     return chunk_documents_sql(chunk_words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
 
 
+EPOCH_SEED = 42
+
+
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/packing.py epoch_order):
+    the reproducible training-order permutation — a pure function of
+    (seed, epoch, doc_id), bit-identical across runs and partitionings,
+    decorrelated across epochs (salting the id before the hash is the
+    whole trick). Two epochs emitted so the oracle pins both the dense
+    permutation and the decorrelation. Two-stage bucket rank: no global
+    sort, no sampling pass, one shuffle per epoch."""
+    from spider_spark.operators.packing import epoch_order
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    parts = [
+        epoch_order(docs, seed=EPOCH_SEED, epoch=ep)
+        .withColumn("epoch", F.lit(ep).cast("int"))
+        for ep in (0, 1)
+    ]
+    return parts[0].unionByName(parts[1]).select("doc_id", "epoch",
+                                                 "position")
+
+
+def _sql_epoch_shuffle() -> str:
+    from spider_spark.operators.packing import epoch_order_sql
+
+    halves = [
+        f"SELECT doc_id, {ep}::INT AS epoch, position FROM "
+        f"({epoch_order_sql(seed=EPOCH_SEED, epoch=ep)})"
+        for ep in (0, 1)
+    ]
+    return " UNION ALL ".join(halves)
+
+
 def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic concat-and-chop sequence packing (training-batch
     assembly): per-source documents concatenated in the pipeline's shared
@@ -5453,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,        # exact datacard stats
         "event_time_qdigest": _q_event_time_qdigest,    # mergeable q-digest sketch
         "packed_sequences": _q_packed_sequences,        # concat-and-chop packing
+        "epoch_shuffle": _q_epoch_shuffle,              # per-epoch training order
         "doc_chunks": _q_doc_chunks,                    # overlapping RAG windows
         "corpus_datacard": _q_corpus_datacard,          # release rollup stats
         "release_diff": _q_release_diff,                # cross-release audit
@@ -5623,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": _sql_length_quantiles(),
         "event_time_qdigest": _sql_event_time_qdigest(),
         "packed_sequences": _SQL_PACKED,
+        "epoch_shuffle": _sql_epoch_shuffle(),
         "doc_chunks": _sql_doc_chunks(),
         "corpus_datacard": _SQL_DATACARD,
         "release_diff": _sql_release_diff(),

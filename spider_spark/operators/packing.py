@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from spider_spark.operators.dedupe import md5_60, md5_60_sql
 
 __all__ = ["pack_sequences", "pack_sequences_sql",
-           "chunk_documents", "chunk_documents_sql"]
+           "chunk_documents", "chunk_documents_sql",
+           "epoch_order", "epoch_order_sql"]
 
 
 def pack_sequences(df: DataFrame, group_col: str, key_col: str,
@@ -179,4 +180,67 @@ def chunk_documents_sql(chunk_words: int = 128, overlap: int = 16,
            array_to_string(list_slice(words, s, s + {chunk_words - 1}), ' ')
              AS chunk_text
     FROM expanded
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle (training-order permutation)
+# ---------------------------------------------------------------------------
+
+
+def epoch_order(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
+                epoch: int = 0, n_buckets: int = 64) -> DataFrame:
+    """Input rows + ``position``: a dense 0-based training-order
+    permutation that is a pure function of ``(seed, epoch, id)`` — the
+    reproducible epoch shuffle every training run needs (bit-identical
+    across runs, cluster sizes, and restarts; a different epoch value
+    yields an unrelated permutation, so data order varies across epochs
+    without any mutable shuffle state). The id is salted with
+    ``seed:epoch:`` BEFORE hashing — reusing the corpus's unsalted hash
+    order would train every epoch in the same order as the dedup/packing
+    stream.
+
+    Scale shape: the same two-stage bucket rank as
+    :func:`pack_sequences` — ``md5_60``'s top bits are monotone in the
+    hash, so per-bucket ``row_number`` + broadcast exclusive bucket
+    offsets compose into the exact global rank with no global sort and
+    no sampling pass. One shuffle (the bucket partition)."""
+    if n_buckets & (n_buckets - 1) or n_buckets < 1:
+        raise ValueError(f"n_buckets must be a power of two: {n_buckets}")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    key = F.concat(F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string"))
+    rows = df.withColumn("_h", md5_60(key)).withColumn(
+        "_b", F.shiftrightunsigned(F.col("_h"), shift))
+    win = Window.partitionBy("_b").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc())
+    rows = rows.withColumn("_r", F.row_number().over(win))
+    # exclusive prefix over the ≤ n_buckets bucket totals as a keyed
+    # self-join (n_buckets² tiny rows) — an unpartitioned window would
+    # drag the whole relation to one task and WARN for nothing
+    totals = rows.groupBy("_b").agg(F.count(F.lit(1)).alias("_tot"))
+    lower = totals.select(F.col("_b").alias("_lb"),
+                          F.col("_tot").alias("_lt"))
+    offsets = (
+        totals.join(lower, F.col("_lb") < F.col("_b"), how="left")
+        .groupBy("_b")
+        .agg(F.coalesce(F.sum("_lt"), F.lit(0)).alias("_off"))
+    )
+    return (
+        rows.join(F.broadcast(offsets), on="_b")
+        .withColumn("position", (F.col("_off") + F.col("_r") - 1).cast("long"))
+        .drop("_h", "_b", "_r", "_off")
+    )
+
+
+def epoch_order_sql(id_col: str = "doc_id", seed: int = 0, epoch: int = 0,
+                    select_cols: str = "doc_id",
+                    table: str = "documents") -> str:
+    """DuckDB mirror: one global ``row_number`` over the identical salted
+    hash order (the bucketing is a physical-plan detail)."""
+    h = md5_60_sql(f"'{seed}:{epoch}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT {select_cols},
+           (row_number() OVER (ORDER BY {h}, {id_col}) - 1)::BIGINT
+             AS position
+    FROM {table}
     """

@@ -158,3 +158,56 @@ class TestChunkDocuments:
 
         with pytest.raises(ValueError):
             chunk_documents(docs, chunk_words=4, overlap=4)
+
+
+class TestEpochOrder:
+    def test_dense_permutation_and_determinism(self, spark):
+        from spider_spark.operators.packing import epoch_order
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        out = epoch_order(df, seed=7, epoch=0)
+        pos = [r["position"] for r in out.collect()]
+        assert sorted(pos) == list(range(500))
+        # pure function of (seed, epoch, id): repartitioning changes nothing
+        again = {r["doc_id"]: r["position"]
+                 for r in epoch_order(df.repartition(13), seed=7,
+                                      epoch=0).collect()}
+        assert again == {r["doc_id"]: r["position"] for r in out.collect()}
+
+    def test_epochs_and_seeds_decorrelate(self, spark):
+        from spider_spark.operators.packing import epoch_order
+
+        df = spark.range(300).withColumnRenamed("id", "doc_id")
+
+        def perm(seed, epoch):
+            return {r["doc_id"]: r["position"] for r in
+                    epoch_order(df, seed=seed, epoch=epoch).collect()}
+
+        p00, p01, p10 = perm(0, 0), perm(0, 1), perm(1, 0)
+        same01 = sum(p00[i] == p01[i] for i in range(300))
+        same10 = sum(p00[i] == p10[i] for i in range(300))
+        # unrelated permutations agree on ~1 fixed point in expectation
+        assert same01 < 10 and same10 < 10
+        assert sorted(p01.values()) == list(range(300))
+
+    def test_sql_mirror_bit_exact(self, spark):
+        from spider_spark.operators.packing import epoch_order, epoch_order_sql
+
+        import duckdb
+
+        df = spark.range(200).withColumnRenamed("id", "doc_id")
+        spark_rows = sorted(
+            (r["doc_id"], r["position"])
+            for r in epoch_order(df, seed=3, epoch=2).collect())
+        con = duckdb.connect()
+        con.register("eo", df.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(epoch_order_sql(
+            seed=3, epoch=2, table="eo")).fetchall()))
+        assert spark_rows == duck_rows
+
+    def test_rejects_bad_buckets(self, spark):
+        from spider_spark.operators.packing import epoch_order
+
+        df = spark.range(5).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            epoch_order(df, n_buckets=48)
