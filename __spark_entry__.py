@@ -939,6 +939,31 @@ JOIN (SELECT cluster_id, count(*)::BIGINT AS cluster_size
       FROM comp GROUP BY 1) s USING (cluster_id)
 """
 
+def _q_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup clustering (operators/graph.py cc_add_pairs):
+    the LSH pair list is split into a base corpus (pairs among the
+    ~90% of docs with doc_id % 10 != 7) and an ingest wave (every pair
+    touching the rest), the base is clustered once, and the wave folds
+    in through the star-compressed labeling — O(nodes + batch) edges,
+    O(1)-ish rounds, never re-walking the original pair list. Because
+    canonical labels stay the min node id, the grown clustering is
+    bit-identical to a one-shot recompute, so the oracle is simply the
+    full transitive-closure mirror over ALL pairs — the strongest
+    possible check that the delta path loses nothing."""
+    from spider_spark.operators.graph import cc_add_pairs
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir)).localCheckpoint(
+        eager=False)
+    wave_a = F.col("id_a") % 10 == 7
+    wave_b = F.col("id_b") % 10 == 7
+    base = connected_components(pairs.filter(~wave_a & ~wave_b))
+    grown = cc_add_pairs(base, pairs.filter(wave_a | wave_b))
+    sizes = grown.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return grown.join(sizes, on="cluster_id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+
+
 def _q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep-one-per-duplicate pipeline: documents minus (a) exact
     duplicates that aren't their group's min-id keeper and (b) near-dup
@@ -5424,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "simhash_near_pairs": _q_simhash_pairs,
         "dup_clusters": _q_dup_clusters,          # pairs → components → keep-one
+        "dup_clusters_incremental": _q_dup_clusters_incremental,
         "corpus_survivors": _q_corpus_survivors,  # composed exact+near dedup
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
@@ -5595,6 +5621,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": simhash_sql(),
         "simhash_near_pairs": simhash_near_pairs_sql(max_hamming=SIMHASH_MAX_HAMMING),
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "dup_clusters_incremental": _SQL_DUP_CLUSTERS,
         "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_communities": _sql_host_communities(),

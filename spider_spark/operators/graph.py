@@ -1019,3 +1019,40 @@ def bfs_distance_sql(edges_rel: str, seeds_rel: str, max_hops: int = 8,
     )
     SELECT wnode AS node, min(hops) AS hops FROM walk GROUP BY 1
     """
+
+
+# -- incremental connected components ----------------------------------------
+
+
+def cc_add_pairs(labels: DataFrame, new_pairs: DataFrame,
+                 id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 50, stats: dict | None = None) -> DataFrame:
+    """Update an existing ``(id, cluster_id)`` labeling with a batch of
+    new near-dup pairs WITHOUT re-walking the original edge list — the
+    connected-components member of the engine's O(batch) delta-add
+    family (ExactIndex / MinHashIndex / LexicalIndex / IVFIndex all
+    grow this way; the cluster table they feed now does too, so an
+    ingest wave's new pairs fold into the corpus dedup clusters at
+    wave cost, not corpus cost).
+
+    The compression trick: a finished labeling IS its own connectivity
+    certificate — the star edges ``id — cluster_id`` have exactly the
+    original components (with diameter ≤ 2), so hash-min over
+    ``stars ∪ new_pairs`` equals hash-min over ``original ∪ new_pairs``
+    while touching only O(nodes + batch) edges, and converges in
+    O(log diameter(batch)) rounds because the old structure is already
+    flat. Canonical labels stay the min node id, so
+    **incremental ≡ one-shot recompute, bit-for-bit** (tested) — the
+    DuckDB oracle for the grown clustering is simply the full closure
+    mirror over the union pair list.
+
+    Nodes whose cluster is untouched by the batch keep their row (the
+    output covers ``labels ∪ nodes(new_pairs)``, including singleton
+    clusters, which the star form alone would drop)."""
+    stars = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_a), F.col("cluster_id").alias(id_b))
+    delta = new_pairs.select(id_a, id_b)
+    grown = connected_components(stars.unionByName(delta), id_a, id_b,
+                                 max_iter=max_iter, stats=stats)
+    untouched = labels.join(grown.select("id"), on="id", how="left_anti")
+    return grown.unionByName(untouched)

@@ -614,3 +614,52 @@ class TestBfsDistance:
                 "SELECT * FROM bedges", "SELECT * FROM bseeds",
                 max_hops=5, directed=directed)).fetchall()))
             assert spark_rows == duck_rows, directed
+
+
+class TestCcAddPairs:
+    def test_incremental_equals_one_shot(self, spark):
+        from spider_spark.operators.graph import cc_add_pairs, connected_components
+
+        rng = random.Random(23)
+        all_pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        for cut in (10, 40, 79):
+            old = spark.createDataFrame(all_pairs[:cut], "id_a long, id_b long")
+            new = spark.createDataFrame(all_pairs[cut:], "id_a long, id_b long")
+            base = connected_components(old)
+            grown = dict(map(tuple, cc_add_pairs(base, new).collect()))
+            full = dict(map(tuple, connected_components(
+                spark.createDataFrame(all_pairs, "id_a long, id_b long")
+            ).collect()))
+            assert grown == full, cut
+
+    def test_singletons_survive_and_can_merge(self, spark):
+        from spider_spark.operators.graph import cc_add_pairs
+
+        # labeling with a singleton cluster (7,7) and a pair cluster
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (7, 7)], "id long, cluster_id long")
+        # batch touches nothing: everything survives verbatim
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert dict(map(tuple, cc_add_pairs(labels, empty).collect())) == {
+            1: 1, 2: 1, 7: 7}
+        # batch merges the singleton into the pair cluster + a new node
+        batch = spark.createDataFrame([(7, 2), (9, 7)], "id_a long, id_b long")
+        assert dict(map(tuple, cc_add_pairs(labels, batch).collect())) == {
+            1: 1, 2: 1, 7: 1, 9: 1}
+
+    def test_flat_base_converges_fast(self, spark):
+        from spider_spark.operators.graph import (
+            cc_add_pairs, connected_components)
+
+        # a path graph needs ~log(n) rounds from scratch; grown from its
+        # own labeling plus one edge, the star form converges in O(1)
+        path = [(i, i + 1) for i in range(32)]
+        full_stats: dict = {}
+        base = connected_components(
+            spark.createDataFrame(path, "id_a long, id_b long"),
+            stats=full_stats)
+        inc_stats: dict = {}
+        cc_add_pairs(base, spark.createDataFrame(
+            [(32, 33)], "id_a long, id_b long"), stats=inc_stats).collect()
+        assert inc_stats["rounds"] < full_stats["rounds"]
+        assert inc_stats["rounds"] <= 3
