@@ -332,6 +332,25 @@ def main() -> None:
     from spider_spark.operators.graph import opic
 
     timed("graph_opic_1m", lambda: force(opic(gedges, n_iter=10)))
+
+    # triangle counting on the same graph: the non-iterative heavyweight —
+    # wedge volume is sum of oriented out-degree^2 (~45M here), bounded by
+    # the degree-ordered orientation regardless of hubs; three shuffles
+    from spider_spark.operators.graph import bfs_distance, triangle_counts
+
+    timed("graph_triangles_1m", lambda: force(triangle_counts(gedges)))
+
+    # multi-source BFS from one seed per block: every offset < 1000 is a
+    # sum of ≤9 powers of two, so 10 frontier rounds cover the graph —
+    # asserted, which also pins the early-exit/anti-join bookkeeping
+    bfs_out: dict = {}
+
+    def bfs_run():
+        bfs_out["d"] = bfs_distance(
+            gedges, gseeds, max_hops=10).localCheckpoint(eager=True)
+
+    timed("graph_bfs_1m", bfs_run)
+    assert bfs_out["d"].count() == g_nodes
     timed("dup_spans", lambda: force(span_dup_stats(docs, width=8, stride=2)))
 
     # anchor-text index: a second full-corpus HTML parse pass (the anchor
