@@ -2984,6 +2984,25 @@ def _sql_winnow() -> str:
     )
 
 
+def _q_script_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-script profile (functions/script.py script_profile):
+    exact codepoint-class composition per document in integer ppm +
+    the frozen-order dominant script — the upstream-of-language-ID
+    signal multilingual curation gates on (mixed-script spam, mojibake
+    contradictions, unseen scripts). Explicit codepoint ranges rendered
+    per-engine (Java u-escapes vs RE2 hex-brace escapes), so the
+    version-proof; all WholeStageCodegen, zero UDFs."""
+    from spider_spark.functions.script import script_profile
+
+    return script_profile(_docs(spark, sf_dir))
+
+
+def _sql_script_profiles() -> str:
+    from spider_spark.functions.script import script_profile_sql
+
+    return script_profile_sql()
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (marker-profile heuristic, Arrow UDF). Oracle-checked:
     per document the argmax over ``hits/sqrt(n_tokens)`` reduces to an
@@ -5478,6 +5497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow,
         "registrable_domains": _q_registrable_domains,
         "lang_id_counts": _q_lang_id,
+        "script_profiles": _q_script_profiles,  # codepoint-class composition
         "ccnet_perplexity_buckets": _q_ccnet_buckets,  # LM quality terciles
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -5648,6 +5668,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _sql_winnow(),
         "registrable_domains": _sql_registrable_domains(),
         "lang_id_counts": lang_id_sql(),
+        "script_profiles": _sql_script_profiles(),
         "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
         "ivf_index_incremental": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES,
