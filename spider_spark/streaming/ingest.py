@@ -470,3 +470,56 @@ def run_to_memory(stream_df: DataFrame, checkpoint: str, name: str,
         .start()
     )
     q.awaitTermination()
+
+
+def kmv_stream(events: DataFrame, io, group_col: str, key_col: str,
+               checkpoint: str, k: int = 64, salt: int = 8,
+               table: str = "kmv_sketch") -> dict:
+    """Continuously-maintained distinct-count synopsis over a stream —
+    the Structured-Streaming twin of the batch KMV sketch
+    (operators/sketches.py): each micro-batch is sketched and
+    re-minimized into the persisted sketch through ``io`` (a
+    :class:`~spider_spark.sources.tableio.TableIO`; versioned
+    commit-overwrite, so a killed run leaves the previous snapshot).
+    Because ``KMV(A ∪ B) ≡ re-minimize(KMV(A) ∪ KMV(B))`` — the
+    sketch's defining property — the maintained state is EXACTLY the
+    sketch of everything ever streamed, at ≤ ``k`` rows per group
+    forever, and at-least-once batch replay is absorbed for free:
+    re-merging hashes already present is a set-min no-op, so the
+    estimator needs no exactly-once sink. (The same shape extends to
+    any union-mergeable synopsis: HLL registers merge by max, CMS
+    counters by sum — sum is NOT replay-idempotent, which is why the
+    streaming member of the family is the KMV/theta one.)
+
+    Per batch: one narrow ``(group, hash)`` distinct over the BATCH
+    (never the history), a union with the ≤ k-per-group prior sketch,
+    the salted two-stage bottom-k, one tiny commit. Query the estimate
+    any time via ``kmv_estimate(io.read(table), group_col, k)`` — or
+    feed two maintained sketches to ``theta_overlap_sketches``.
+
+    Returns driver-side counters: ``batches`` / ``in_rows``.
+    """
+    from spider_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    stats = {"batches": 0, "in_rows": 0}
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        bs = kmv_sketch(b, group_col, key_col, k, salt)
+        if io.exists(table):
+            merged = kmv_merge([io.read(table), bs], group_col, k, salt)
+        else:
+            merged = bs
+        io.commit_overwrite(table, merged,
+                            meta={"k": k, "group_col": group_col})
+        stats["batches"] += 1
+        stats["in_rows"] += b.count()
+
+    q = (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats
