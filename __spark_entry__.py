@@ -1947,6 +1947,22 @@ def _sql_fuzzy_term_match() -> str:
     return fuzzy_match_sql(queries_rel, "SELECT * FROM documents")
 
 
+BOOL_QUERY = ["scan", "window", "sort"]
+
+
+def _q_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (boolean-AND) BM25 retrieval (operators/search.py
+    bm25_topk(require_all=True)): only documents containing every
+    distinct query term rank — the high-precision search mode. Same
+    scoring plan as bm25_search; the AND is one n_matched filter ahead
+    of the top-k heap."""
+    return bm25_topk(_docs(spark, sf_dir), BOOL_QUERY, k=BM25_K,
+                     require_all=True)
+
+
+_SQL_BOOL_AND = bm25_topk_sql(BOOL_QUERY, k=BM25_K, require_all=True)
+
+
 PHRASE_QUERY = ["table", "part"]
 PHRASE_K = 15
 
@@ -5583,6 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "fuzzy_term_match": _q_fuzzy_term_match,  # SymSpell spell correction
+        "boolean_and_search": _q_boolean_and_search,  # conjunctive retrieval
         "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
         "phrase_snippets": _q_phrase_snippets,    # KWIC context windows
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -5756,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
         "fuzzy_term_match": _sql_fuzzy_term_match(),
+        "boolean_and_search": _SQL_BOOL_AND,
         "phrase_search": _SQL_PHRASE,
         "phrase_snippets": _sql_phrase_snippets(),
         "bm25_index_search": _SQL_BM25,

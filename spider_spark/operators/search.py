@@ -42,10 +42,18 @@ B = 0.75
 
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+              id_col: str = "doc_id", text_col: str = "text",
+              require_all: bool = False) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` by BM25 (k1=1.2, b=0.75):
     ``(id, n_matched, score)``, score rounded to 6 decimals, ties broken
-    by ascending id."""
+    by ascending id.
+
+    ``require_all=True`` switches to conjunctive (boolean-AND) retrieval:
+    only documents containing EVERY distinct query term rank — the
+    high-precision mode intersection-heavy search UIs default to. Free
+    at plan level: ``n_matched`` already counts distinct matched terms,
+    so the AND is one filter before the top-k heap (scoring unchanged —
+    an AND result ranks identically in both modes)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = docs.select(
@@ -87,15 +95,20 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched"), F.round(F.sum("part"), 6).alias("score"))
     )
+    if require_all:
+        scored = scored.filter(F.col("n_matched") == len({t.lower() for t in query_terms}))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def bm25_topk_sql(query_terms: list[str], k: int = 10, id_col: str = "doc_id",
-                  text_col: str = "text", table: str = "documents") -> str:
+                  text_col: str = "text", table: str = "documents",
+                  require_all: bool = False) -> str:
     """DuckDB mirror of :func:`bm25_topk` — same constants, same expression
     order, same 6-decimal rounding and (score desc, id asc) tie-break."""
     norm = NORM_SQL.format(x=text_col)
     qlist = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    having = (f"HAVING count(*) = {len({t.lower() for t in query_terms})}"
+              if require_all else "")
     return f"""
     WITH terms AS (
       SELECT {id_col}, unnest(string_split({norm}, ' ')) AS term FROM {table}
@@ -121,6 +134,7 @@ def bm25_topk_sql(query_terms: list[str], k: int = 10, id_col: str = "doc_id",
       JOIN dl USING ({id_col})
       CROSS JOIN scalars
       GROUP BY qtf.{id_col}
+      {having}
     )
     SELECT {id_col}, n_matched::BIGINT AS n_matched, score
     FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {k}

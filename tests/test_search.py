@@ -255,3 +255,46 @@ class TestGroupKeywords:
         # row_number filter as a Partial WindowGroupLimit pre-shuffle
         assert "WindowGroupLimit" in plan and "Partial" in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBooleanAnd:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(0, "spark join window"), (1, "spark join"), (2, "join window"),
+             (3, "spark spark spark"), (4, "window dressing")],
+            "doc_id long, text string")
+
+    def test_and_is_a_filter_of_or(self, spark, corpus):
+        from spider_spark.operators.search import bm25_topk
+
+        q = ["spark", "window"]
+        union = {r["doc_id"]: r for r in bm25_topk(corpus, q, k=10).collect()}
+        conj = {r["doc_id"]: r for r in
+                bm25_topk(corpus, q, k=10, require_all=True).collect()}
+        assert set(conj) == {0}  # only doc 0 has both terms
+        assert set(union) == {0, 1, 2, 3, 4}
+        # scoring identical in both modes
+        assert conj[0]["score"] == union[0]["score"]
+        assert conj[0]["n_matched"] == 2
+
+    def test_duplicate_query_terms_collapse(self, spark, corpus):
+        from spider_spark.operators.search import bm25_topk
+
+        got = bm25_topk(corpus, ["spark", "SPARK", "join"], k=10,
+                        require_all=True).collect()
+        assert {r["doc_id"] for r in got} == {0, 1}
+
+    def test_sql_mirror(self, spark, corpus):
+        import duckdb
+
+        from spider_spark.operators.search import bm25_topk, bm25_topk_sql
+
+        q = ["spark", "window"]
+        spark_rows = sorted(map(tuple, bm25_topk(
+            corpus, q, k=10, require_all=True).collect()))
+        con = duckdb.connect()
+        con.register("bdocs", corpus.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(bm25_topk_sql(
+            q, k=10, table="bdocs", require_all=True)).fetchall()))
+        assert spark_rows == duck_rows
