@@ -3148,6 +3148,31 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                               threshold=NEAR_DUP_THRESHOLD)
 
 
+def _q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality harness (operators/search.py retrieval_eval):
+    per-query recall@k and MRR of the IVF ANN path against exact
+    brute-force truth — the measure-don't-guess relation behind every
+    approximate index ("recall<1 by design" becomes a number per
+    query). Integer rationals only; the oracle replays BOTH retrieval
+    sides (ivf_topk_sql, cosine_topk_sql) and the eval arithmetic."""
+    from spider_spark.operators.search import retrieval_eval
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    approx = ivf_topk(emb, queries, k=ANN_K)
+    truth = cosine_topk(emb, queries, k=ANN_K).select("qid", "nid")
+    return retrieval_eval(approx, truth)
+
+
+def _sql_ann_recall_eval() -> str:
+    from spider_spark.operators.search import retrieval_eval_sql
+
+    approx = ivf_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM)
+    brute = cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM)
+    truth = f"SELECT qid, nid FROM ({brute})"
+    return retrieval_eval_sql(approx, truth)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) per-document verdicts: cosine-cluster
     the embeddings, near-dup pairs form only WITHIN a cluster, the pair
@@ -5518,6 +5543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_recall_eval": _q_ann_recall_eval,  # recall@k / MRR harness
         "embed_near_dups": _q_embed_near_dups,
         "ann_lsh_near_dups": _q_ann_lsh,
         "semdedup_flags": _q_semdedup,            # embedding-cluster dedup
@@ -5688,6 +5714,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profiles": _sql_script_profiles(),
         "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
+        "ann_recall_eval": _sql_ann_recall_eval(),
         "ivf_index_incremental": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES,
                                                  dim=EMBED_DIM),
         "ann_ivf_topk": ivf_topk_sql(

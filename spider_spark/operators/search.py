@@ -467,3 +467,85 @@ def hybrid_topk_sql(query_terms: list[str], query_vec_id: int,
            sem_rank::BIGINT AS sem_rank
     FROM fused ORDER BY rrf DESC, {id_col} LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality evaluation (recall@k / MRR)
+# ---------------------------------------------------------------------------
+
+EVAL_PPM = 1_000_000
+
+
+def retrieval_eval(results: DataFrame, truth: DataFrame,
+                   query_col: str = "qid", id_col: str = "nid",
+                   rank_col: str = "rank") -> DataFrame:
+    """Per-query retrieval quality of ``results`` against ``truth``:
+    ``(query, n_results, n_truth, n_hits, recall_ppm, mrr_micro)`` —
+    the measure-don't-guess harness for the ANN stack (an approximate
+    index without a recall number is a guess; the pinned-recall tests
+    in tests/test_similarity.py are point checks, this is the
+    per-query relation a dashboard tracks). ``recall_ppm =
+    n_hits·10^6 div n_truth``; ``mrr_micro = 10^6 div r`` where ``r``
+    is the rank of the first relevant result (0 when none) — both
+    exact integer rationals, so the oracle replays them bit-for-bit.
+
+    ``truth`` is any ground-truth relation ``(query, id)`` — exact
+    brute-force top-k for ANN evaluation, judgment lists for search.
+    Queries missing from ``results`` (or with zero hits) still report,
+    zero-filled: silent query dropout is exactly what an eval harness
+    must surface. Scale shape: two query-keyed aggs + one
+    (query, id)-keyed join at result-list grain (k rows per query —
+    tiny next to the corpus the lists came from)."""
+    r = results.select(F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+                       F.col(rank_col).cast("long").alias("r"))
+    t = truth.select(F.col(query_col).alias("q"), F.col(id_col).alias("d"))
+    n_res = r.groupBy("q").agg(F.count(F.lit(1)).alias("n_results"))
+    n_tru = t.groupBy("q").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = r.join(t, on=["q", "d"]).groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("r").alias("_first"),
+    )
+    return (
+        n_tru.join(n_res, on="q", how="full_outer")
+        .join(hits, on="q", how="left")
+        .select(
+            F.col("q").alias(query_col),
+            F.coalesce("n_results", F.lit(0)).alias("n_results"),
+            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(f"(coalesce(n_hits, 0) * {EVAL_PPM}) "
+                   f"div greatest(coalesce(n_truth, 0), 1)")
+            .alias("recall_ppm"),
+            F.coalesce(F.expr(f"{EVAL_PPM} div _first"), F.lit(0))
+            .alias("mrr_micro"),
+        )
+    )
+
+
+def retrieval_eval_sql(results_rel: str, truth_rel: str,
+                       query_col: str = "qid", id_col: str = "nid",
+                       rank_col: str = "rank") -> str:
+    """DuckDB mirror of :func:`retrieval_eval` — identical joins,
+    zero-fills, and integer rationals."""
+    return f"""
+    WITH ev_r AS (SELECT {query_col} AS q, {id_col} AS d,
+                         {rank_col}::BIGINT AS r FROM ({results_rel})),
+    ev_t AS (SELECT {query_col} AS q, {id_col} AS d FROM ({truth_rel})),
+    ev_nr AS (SELECT q, count(*)::BIGINT AS n_results FROM ev_r GROUP BY 1),
+    ev_nt AS (SELECT q, count(*)::BIGINT AS n_truth FROM ev_t GROUP BY 1),
+    ev_h AS (
+      SELECT ev_r.q, count(*)::BIGINT AS n_hits, min(r) AS _first
+      FROM ev_r JOIN ev_t ON ev_r.q = ev_t.q AND ev_r.d = ev_t.d
+      GROUP BY 1
+    )
+    SELECT coalesce(ev_nt.q, ev_nr.q) AS {query_col},
+           coalesce(n_results, 0) AS n_results,
+           coalesce(n_truth, 0) AS n_truth,
+           coalesce(n_hits, 0) AS n_hits,
+           (coalesce(n_hits, 0) * {EVAL_PPM})
+             // greatest(coalesce(n_truth, 0), 1) AS recall_ppm,
+           coalesce({EVAL_PPM} // _first, 0) AS mrr_micro
+    FROM ev_nt
+    FULL OUTER JOIN ev_nr ON ev_nt.q = ev_nr.q
+    LEFT JOIN ev_h ON coalesce(ev_nt.q, ev_nr.q) = ev_h.q
+    """

@@ -298,3 +298,68 @@ class TestBooleanAnd:
         duck_rows = sorted(map(tuple, con.execute(bm25_topk_sql(
             q, k=10, table="bdocs", require_all=True)).fetchall()))
         assert spark_rows == duck_rows
+
+
+class TestRetrievalEval:
+    def test_matches_hand_computed(self, spark):
+        from spider_spark.operators.search import retrieval_eval
+
+        # q1: hits at ranks 2,3 of truth {a,b,c} → recall 2/3, mrr 1/2
+        # q2: no hits → zeros; q3: truth-only; q4: results-only
+        results = spark.createDataFrame(
+            [("q1", "x", 1), ("q1", "a", 2), ("q1", "b", 3),
+             ("q2", "y", 1), ("q4", "z", 1)],
+            "qid string, nid string, rank long")
+        truth = spark.createDataFrame(
+            [("q1", "a"), ("q1", "b"), ("q1", "c"),
+             ("q2", "m"), ("q3", "n")], "qid string, nid string")
+        got = {r["qid"]: (r["n_results"], r["n_truth"], r["n_hits"],
+                          r["recall_ppm"], r["mrr_micro"])
+               for r in retrieval_eval(results, truth).collect()}
+        assert got == {
+            "q1": (3, 3, 2, 666666, 500000),
+            "q2": (1, 1, 0, 0, 0),
+            "q3": (0, 1, 0, 0, 0),
+            "q4": (1, 0, 0, 0, 0),
+        }
+
+    def test_perfect_retrieval(self, spark):
+        from spider_spark.operators.search import retrieval_eval
+
+        rows = [("q", f"d{i}", i + 1) for i in range(5)]
+        results = spark.createDataFrame(rows, "qid string, nid string, rank long")
+        truth = results.select("qid", "nid")
+        r = retrieval_eval(results, truth).collect()[0]
+        assert (r["recall_ppm"], r["mrr_micro"]) == (1_000_000, 1_000_000)
+
+    def test_sql_mirror(self, spark):
+        import duckdb
+
+        from spider_spark.operators.search import (
+            retrieval_eval, retrieval_eval_sql)
+
+        results = spark.createDataFrame(
+            [("q1", "a", 1), ("q1", "b", 2), ("q2", "c", 1), ("q5", "d", 4)],
+            "qid string, nid string, rank long")
+        truth = spark.createDataFrame(
+            [("q1", "b"), ("q2", "z"), ("q3", "a")], "qid string, nid string")
+        spark_rows = sorted(map(tuple, retrieval_eval(results, truth).collect()))
+        con = duckdb.connect()
+        con.register("ev_results", results.toPandas())
+        con.register("ev_truth", truth.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(retrieval_eval_sql(
+            "SELECT * FROM ev_results", "SELECT * FROM ev_truth")).fetchall()))
+        assert spark_rows == duck_rows
+
+    def test_evaluates_the_real_ann_stack(self, spark):
+        from spider_spark.operators.search import retrieval_eval
+        from spider_spark.operators.similarity import cosine_topk, ivf_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.filter("vec_id < 8")
+        truth = cosine_topk(emb, queries, k=5).select("qid", "nid")
+        approx = ivf_topk(emb, queries, k=5, nprobe=2)
+        ev = retrieval_eval(approx, truth).collect()
+        assert len(ev) == 8
+        mean_recall = sum(r["recall_ppm"] for r in ev) / len(ev)
+        assert 200_000 < mean_recall <= 1_000_000  # nprobe=2/16 loses recall
