@@ -3700,6 +3700,62 @@ FROM documents
 """
 
 
+def _q_wet_revisit_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-deduplicated archive export (sources/warc.py
+    write_wet(dedupe=True) + read_warc_records): Common Crawl's
+    ``revisit`` semantics — only the minimum-url holder of each payload
+    digest carries bytes; every other identical-payload URL becomes a
+    zero-length revisit record pointing at it. The fixture shares one
+    payload across each doc_id-div-5 block (minted relationally — a
+    self-join on the block head), so keeper election, revisit linkage,
+    and the record-level reader are all exercised; the oracle replays
+    the block arithmetic. Keeper = min(url), not stream order, so the
+    export is partition-invariant (tested byte-level in
+    tests/test_warc.py)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.sources.warc import read_warc_records, write_wet
+
+    _ensure_shipped(spark)
+    docs = _docs(spark, sf_dir)
+    shared = docs.select(F.col("doc_id").alias("_src"),
+                         F.col("text").alias("_shared"))
+    pages = (
+        docs.select("doc_id")
+        .withColumn("_src", F.col("doc_id") - F.col("doc_id") % 5)
+        .join(shared, on="_src")
+        .select(
+            url_expr(F.col("doc_id")).alias("url"),
+            F.timestamp_seconds(F.lit(PAGES_EPOCH) + F.col("doc_id"))
+            .alias("warc_ts"),
+            F.col("_shared").alias("text"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="wet_revisit_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_wet(pages, tmp, n_shards=8, dedupe=True).collect()
+    return read_warc_records(spark, tmp).select(
+        "url", "record_type", "refers_to",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"))
+
+
+_SQL_WET_REVISIT = f"""
+WITH rp AS (
+  SELECT doc_id, {_url_sql('doc_id')} AS url,
+         min({_url_sql('doc_id')}) OVER (PARTITION BY doc_id // 5) AS keeper
+  FROM documents
+)
+SELECT url,
+       CASE WHEN url = keeper THEN 'conversion' ELSE 'revisit' END
+         AS record_type,
+       CASE WHEN url = keeper THEN NULL ELSE keeper END AS refers_to,
+       {PAGES_EPOCH} + doc_id AS ts_epoch
+FROM rp
+"""
+
+
 def _q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed WAT export round-trip (sources/warc.py write_wat /
     read_wat): the metadata companion completing the Common Crawl format
@@ -5636,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,            # WARC source digest parity
         "warc_export": _q_warc_export,            # distributed WARC sink
         "wet_export": _q_wet_export,              # WET text-extract sink
+        "wet_revisit_export": _q_wet_revisit_export,  # storage-dedup revisits
         "sitemap_export": _q_sitemap_export,      # urlset publish round-trip
         "wat_export": _q_wat_export,              # WAT metadata sink
         "repetition_stats": _q_repetition_stats,  # Gopher-style repetition
@@ -5814,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_export": _SQL_WARC_INGEST,
         "wet_export": _SQL_WET_EXPORT,
         "sitemap_export": _SQL_SITEMAP_EXPORT,
+        "wet_revisit_export": _SQL_WET_REVISIT,
         "wat_export": _SQL_WAT_EXPORT,
         "repetition_stats": repetition_stats_sql(),
         "main_content": _SQL_MAIN_CONTENT,

@@ -61,11 +61,9 @@ def _skip_forward(buf, n: int) -> None:
         n -= len(chunk)
 
 
-def _parse_warc_stream(data: bytes, record_type: str = "response",
-                       ) -> Iterator[tuple[str, datetime | None, bytes]]:
-    """Yield (target_uri, warc_date, http_body) for each ``record_type``
-    record (``response`` for WARC page dumps, ``conversion`` for WET
-    text extracts — same framing, different payload).
+def _iter_warc_frames(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, block)`` for every well-framed record in the
+    archive — the shared framing layer under every WARC consumer.
 
     Gzip archives (including multi-member Common-Crawl layout) are inflated
     *streamingly* via GzipFile: only the current record's payload (capped at
@@ -104,20 +102,32 @@ def _parse_warc_stream(data: bytes, record_type: str = "response",
             # (content-injection vector from untrusted dumps)
             _skip_forward(buf, length)
             continue
-        block = buf.read(length)
+        yield headers, buf.read(length)
+
+
+def _warc_date(headers: dict) -> datetime | None:
+    raw_date = headers.get("warc-date")
+    if not raw_date:
+        return None
+    try:
+        ts = datetime.fromisoformat(raw_date.replace("Z", "+00:00"))
+        return ts.astimezone(timezone.utc).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def _parse_warc_stream(data: bytes, record_type: str = "response",
+                       ) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """Yield (target_uri, warc_date, http_body) for each ``record_type``
+    record (``response`` for WARC page dumps, ``conversion`` for WET
+    text extracts — same framing, different payload)."""
+    for headers, block in _iter_warc_frames(data):
         if headers.get("warc-type") != record_type:
             continue
         uri = headers.get("warc-target-uri")
         if not uri:
             continue
-        ts: datetime | None = None
-        raw_date = headers.get("warc-date")
-        if raw_date:
-            try:
-                ts = datetime.fromisoformat(raw_date.replace("Z", "+00:00"))
-                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-            except ValueError:
-                ts = None
+        ts = _warc_date(headers)
         # payload = HTTP response body (after the HTTP header block); a
         # bare payload (no HTTP envelope) passes through unchanged.
         # Only response records carry an envelope — a conversion (WET)
@@ -194,6 +204,33 @@ def wet_record(url: str, ts: datetime | None, text: bytes) -> bytes:
     )
 
 
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def revisit_record(url: str, ts: datetime | None, refers_to: str,
+                   digest_hex: str) -> bytes:
+    """One conforming ``revisit`` record (the identical-payload-digest
+    profile Common Crawl uses for URLs whose content was already
+    archived): zero-length payload, ``WARC-Refers-To-Target-URI``
+    naming the record that holds the bytes, ``WARC-Payload-Digest``
+    carrying the shared digest (``sha1:`` + hex here — CC ships base32;
+    the digest's role is equality, not transport parity). Pure function
+    of its inputs, like :func:`warc_record`."""
+    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"WARC-Profile: {REVISIT_PROFILE}\r\n".encode()
+        + f"WARC-Payload-Digest: sha1:{digest_hex}\r\n".encode()
+        + f"WARC-Refers-To-Target-URI: {refers_to}\r\n".encode()
+        + b"Content-Length: 0\r\n"
+        b"\r\n"
+        b"\r\n\r\n"
+    )
+
+
 def write_warc_file(path: str, pages: list[tuple[str, datetime, bytes]],
                     compress: bool = False) -> None:
     """Minimal conforming WARC writer for fixtures: one ``response``
@@ -221,7 +258,7 @@ WARC_MANIFEST_SCHEMA = (
 
 
 def write_warc(df: DataFrame, out_dir: str, n_shards: int = 16,
-               compress: bool = True) -> DataFrame:
+               compress: bool = True, dedupe: bool = False) -> DataFrame:
     """Distributed WARC export: pages rows → ``n_shards`` archive files
     under ``out_dir`` (a shared filesystem, the same assumption the
     filter shardstore makes). Returns the manifest — one row per
@@ -243,27 +280,46 @@ def write_warc(df: DataFrame, out_dir: str, n_shards: int = 16,
     exactly what :func:`read_warc`'s streaming multi-member inflate
     consumes — round-trip tested. Writes are tmp-file + atomic
     ``os.replace`` so a killed export never leaves a torn archive."""
+    from pyspark.sql import functions as F
+
     return _write_archive(df, out_dir, "html", warc_record,
                           lambda b: bytes(b),
-                          ".warc", n_shards, compress)
+                          ".warc", n_shards, compress,
+                          dedupe=dedupe, payload_bin=F.col("html"))
 
 
 def write_wet(df: DataFrame, out_dir: str, n_shards: int = 16,
-              compress: bool = True) -> DataFrame:
+              compress: bool = True, dedupe: bool = False) -> DataFrame:
     """Distributed WET export: the text-extract companion Common Crawl
     ships next to every WARC dump — one ``conversion`` record per page,
     text/plain payload (UTF-8), no HTTP envelope. Same determinism,
     sharding, atomic-placement, and manifest contract as
     :func:`write_warc` (shared writer); consumes the pages table's
     ``text`` column. Round-trips through :func:`read_wet`."""
+    from pyspark.sql import functions as F
+
     return _write_archive(df, out_dir, "text", wet_record,
                           lambda t: str(t).encode("utf-8"),
-                          ".warc.wet", n_shards, compress)
+                          ".warc.wet", n_shards, compress,
+                          dedupe=dedupe,
+                          payload_bin=F.encode(F.col("text"), "UTF-8"))
 
 
 def _write_archive(df: DataFrame, out_dir: str, payload_col: str,
                    record_fn, payload_bytes, ext_base: str,
-                   n_shards: int, compress: bool) -> DataFrame:
+                   n_shards: int, compress: bool,
+                   dedupe: bool = False, payload_bin=None) -> DataFrame:
+    """Shared sharded writer (see :func:`write_warc` for the contract).
+
+    ``dedupe=True`` adds Common Crawl's storage-dedup semantics: only
+    the FIRST holder of each payload digest (deterministically the
+    minimum url — not stream order, so the choice survives
+    re-partitioning) gets a full record; every other URL with identical
+    bytes becomes a zero-payload ``revisit`` record pointing at it
+    (:func:`revisit_record`). Digesting (``sha1`` over the payload
+    bytes) and keeper election run JVM-side — one narrow
+    ``(digest, url)`` aggregation plus one digest-keyed join back —
+    before the usual url-hash shard shuffle."""
     import hashlib
     import os
 
@@ -273,6 +329,21 @@ def _write_archive(df: DataFrame, out_dir: str, payload_col: str,
     from spider_spark.operators.dedupe import md5_60
     from pyspark.sql import functions as F
 
+    if dedupe:
+        base = df.select("url", "warc_ts", payload_col).withColumn(
+            "_digest", F.sha1(payload_bin))
+        keep = base.groupBy("_digest").agg(F.min("url").alias("_keeper"))
+        df = (
+            base.join(keep, on="_digest")
+            .withColumn("_refers_to",
+                        F.when(F.col("url") != F.col("_keeper"),
+                               F.col("_keeper")))
+            .drop("_keeper")
+        )
+        extra = ["_digest", "_refers_to"]
+    else:
+        extra = []
+
     shard = F.pmod(md5_60(F.col("url")), F.lit(n_shards)).cast("int")
     ext = ext_base + ".gz" if compress else ext_base
 
@@ -281,13 +352,18 @@ def _write_archive(df: DataFrame, out_dir: str, payload_col: str,
         pdf = pdf.sort_values("url", kind="mergesort")
         digest = hashlib.sha256()
         out = io.BytesIO()
-        for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
-                                    pdf[payload_col]):
+        refers = pdf["_refers_to"] if dedupe else [None] * len(pdf)
+        digs = pdf["_digest"] if dedupe else [None] * len(pdf)
+        for url, ts, payload, ref, dg in zip(pdf["url"], pdf["warc_ts"],
+                                             pdf[payload_col], refers, digs):
             if pd.isna(ts):
                 ts = None  # NaT is truthy — normalize so the epoch fallback fires
             elif hasattr(ts, "to_pydatetime"):
                 ts = ts.to_pydatetime()
-            rec = record_fn(str(url), ts, payload_bytes(payload))
+            if ref is not None and not pd.isna(ref):
+                rec = revisit_record(str(url), ts, str(ref), str(dg))
+            else:
+                rec = record_fn(str(url), ts, payload_bytes(payload))
             digest.update(rec)
             out.write(_gzip_member(rec) if compress else rec)
         data = out.getvalue()
@@ -302,7 +378,7 @@ def _write_archive(df: DataFrame, out_dir: str, payload_col: str,
         }])
 
     return (
-        df.select("url", "warc_ts", payload_col)
+        df.select("url", "warc_ts", payload_col, *extra)
         .withColumn("_shard", shard)
         .groupBy("_shard")
         .applyInPandas(write_shard, WARC_MANIFEST_SCHEMA)
@@ -409,3 +485,38 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
                                     "wat_json": bodies})
 
     return files.mapInPandas(parse, WAT_PAGES_SCHEMA)
+
+
+WARC_RECORDS_SCHEMA = (
+    "url string, warc_ts timestamp, record_type string, refers_to string"
+)
+
+
+def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
+    """Record-level view of an archive: ``(url, warc_ts, record_type,
+    refers_to)`` for EVERY well-framed record regardless of type — the
+    reader a dedup-aware consumer needs (a ``revisit`` row tells it to
+    fetch the bytes from ``refers_to``'s record instead). Same
+    streaming-inflate framing layer as :func:`read_warc`."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, types, refs = [], [], [], []
+            for blob in pdf["content"]:
+                for headers, _block in _iter_warc_frames(bytes(blob)):
+                    uri = headers.get("warc-target-uri")
+                    rtype = headers.get("warc-type")
+                    if not uri or not rtype:
+                        continue
+                    urls.append(uri)
+                    tss.append(_warc_date(headers))
+                    types.append(rtype)
+                    refs.append(headers.get("warc-refers-to-target-uri"))
+            if urls:
+                yield pd.DataFrame({
+                    "url": urls, "warc_ts": tss,
+                    "record_type": types, "refers_to": refs,
+                })
+
+    return files.mapInPandas(parse, WARC_RECORDS_SCHEMA)

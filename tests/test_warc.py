@@ -134,3 +134,77 @@ class TestWarcRoundTrip:
             for r in res.results.collect()
         }
         assert key(via_warc) == key(direct)
+
+
+class TestRevisitDedupe:
+    @staticmethod
+    def _pages(spark):
+        # urls u0..u5; payloads shared within {u0,u1,u2} and {u3,u4}; u5 unique
+        rows = [("https://h.example/u0", "alpha body"),
+                ("https://h.example/u1", "alpha body"),
+                ("https://h.example/u2", "alpha body"),
+                ("https://h.example/u3", "beta body"),
+                ("https://h.example/u4", "beta body"),
+                ("https://h.example/u5", "gamma body")]
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(rows, "url string, text string") \
+            .withColumn("warc_ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+
+    def test_wet_dedupe_emits_revisits(self, spark, tmp_path):
+        from spider_spark.sources.warc import (
+            read_warc_records, read_wet, write_wet)
+
+        out = str(tmp_path / "wet")
+        write_wet(self._pages(spark), out, n_shards=4, dedupe=True).collect()
+        recs = {r["url"]: (r["record_type"], r["refers_to"])
+                for r in read_warc_records(spark, out).collect()}
+        assert recs == {
+            "https://h.example/u0": ("conversion", None),
+            "https://h.example/u1": ("revisit", "https://h.example/u0"),
+            "https://h.example/u2": ("revisit", "https://h.example/u0"),
+            "https://h.example/u3": ("conversion", None),
+            "https://h.example/u4": ("revisit", "https://h.example/u3"),
+            "https://h.example/u5": ("conversion", None),
+        }
+        # payload-bearing records still round-trip through the WET reader
+        texts = {r["url"]: r["text"] for r in read_wet(spark, out).collect()}
+        assert texts == {"https://h.example/u0": "alpha body",
+                         "https://h.example/u3": "beta body",
+                         "https://h.example/u5": "gamma body"}
+
+    def test_dedupe_is_partition_invariant(self, spark, tmp_path):
+        from spider_spark.sources.warc import write_wet
+
+        pages = self._pages(spark)
+        m1 = {r["shard"]: r["sha256"] for r in write_wet(
+            pages, str(tmp_path / "a"), n_shards=4, dedupe=True).collect()}
+        m2 = {r["shard"]: r["sha256"] for r in write_wet(
+            pages.repartition(5), str(tmp_path / "b"), n_shards=4,
+            dedupe=True).collect()}
+        assert m1 == m2
+
+    def test_warc_dedupe_on_binary_payload(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from spider_spark.sources.warc import read_warc_records, write_warc
+
+        pages = self._pages(spark).select(
+            "url", "warc_ts", F.encode("text", "UTF-8").alias("html"))
+        out = str(tmp_path / "warc")
+        write_warc(pages, out, n_shards=2, dedupe=True).collect()
+        recs = read_warc_records(spark, out).collect()
+        by_type = {}
+        for r in recs:
+            by_type.setdefault(r["record_type"], []).append(r["url"])
+        assert len(by_type["response"]) == 3
+        assert len(by_type["revisit"]) == 3
+
+    def test_plain_mode_unchanged(self, spark, tmp_path):
+        from spider_spark.sources.warc import read_warc_records, write_wet
+
+        out = str(tmp_path / "plain")
+        write_wet(self._pages(spark), out, n_shards=2).collect()
+        recs = read_warc_records(spark, out).collect()
+        assert all(r["record_type"] == "conversion" for r in recs)
+        assert len(recs) == 6
