@@ -2143,6 +2143,38 @@ def _sql_host_communities() -> str:
     return (f"SELECT node AS host, label AS community FROM ({inner})")
 
 
+def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the MinHash-LSH
+    near-dup pair graph (operators/graph.py modularity_contributions ∘
+    label_propagation ∘ lsh_candidate_pairs) — partition quality
+    MEASURED, not asserted: per-community intra-edge/degree-mass
+    contributions with the exact decimal numerator (4·m·m_c − d_c²);
+    Q is Σ contrib / (4m²), never divided so nothing floats. The pair
+    graph has many non-trivial communities at any sf (unlike the dense
+    arithmetic host graph, which LPA rightly collapses). The oracle
+    replays the banding, the unrolled LPA rounds, AND the modularity
+    joins — three operator mirrors composed."""
+    from spider_spark.operators.graph import (
+        label_propagation, modularity_contributions)
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir)).localCheckpoint(
+        eager=False)
+    lab = label_propagation(pairs, n_iter=LPA_ITERS,
+                            src="id_a", dst="id_b")
+    return modularity_contributions(pairs, lab, src="id_a", dst="id_b")
+
+
+def _sql_community_modularity() -> str:
+    from spider_spark.operators.graph import (
+        label_propagation_sql, modularity_contributions_sql)
+
+    pairs = lsh_candidate_pairs_sql()
+    lpa = label_propagation_sql(pairs, n_iter=LPA_ITERS,
+                                src="id_a", dst="id_b")
+    return modularity_contributions_sql(pairs, lpa,
+                                        src="id_a", dst="id_b")
+
+
 TRUST_ITERS = 8
 
 
@@ -5570,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph analytics
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         "host_communities": _q_host_communities,  # LPA site clusters
+        "community_modularity": _q_community_modularity,  # partition quality
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_triangles": _q_host_triangles,      # clustering coefficient
         "seed_hop_distance": _q_seed_hop_distance,  # BFS from vetted set
@@ -5745,6 +5778,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_survivors": _SQL_CORPUS_SURVIVORS,
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_communities": _sql_host_communities(),
+        "community_modularity": _sql_community_modularity(),
         "host_hits": _sql_host_hits(),
         "host_triangles": _sql_host_triangles(),
         "seed_hop_distance": _sql_seed_hop_distance(),

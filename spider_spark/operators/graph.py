@@ -1056,3 +1056,98 @@ def cc_add_pairs(labels: DataFrame, new_pairs: DataFrame,
                                  max_iter=max_iter, stats=stats)
     untouched = labels.join(grown.select("id"), on="id", how="left_anti")
     return grown.unionByName(untouched)
+
+
+# -- community modularity ----------------------------------------------------
+
+
+def modularity_contributions(edges: DataFrame, labels: DataFrame,
+                             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-community Newman modularity contributions over the undirected
+    multigraph ``edges`` under the ``(node, label)`` assignment
+    ``labels`` — the number that says whether label_propagation's
+    clusters (or any partition) are real structure or noise, so the
+    "densely-linked site families" claim is measured, not asserted.
+
+    Newman's Q = Σ_c [ m_c/m − (d_c/2m)² ] where ``m`` is the edge
+    count, ``m_c`` the intra-community edges, ``d_c`` the community's
+    degree mass (multiplicities counted throughout — LPA votes with
+    parallel edges, so its quality metric must too). To stay
+    hash-checkable the division is never performed: each community
+    reports ``contrib_num = 4·m·m_c − d_c²`` as decimal(38,0)
+    (``4·m·m_c`` overflows int64 on a 10^10-edge graph) and
+    ``Q = Σ contrib_num / (4m²)`` is the caller's exact rational —
+    no floats, no floor-semantics drift between engines. Self-loops
+    are dropped (the simple-graph convention the rest of the module
+    uses).
+
+    Output: ``(label, n_nodes, intra_edges, degree_sum, contrib_num)``
+    including zero-edge communities (isolated labels score negative —
+    exactly what a quality metric must surface). Scale shape: one
+    label join per endpoint (node-keyed), one label-keyed agg, one
+    1-row edge count — no windows, no collects beyond the scalar."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b"))
+    lab = labels.select(F.col("node"), F.col("label"))
+    m = e.count()
+    la = lab.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    tagged = e.join(la, on="a").join(lb, on="b")
+    intra = tagged.filter(F.col("la") == F.col("lb")).groupBy(
+        F.col("la").alias("label")).agg(
+        F.count(F.lit(1)).alias("intra_edges"))
+    ends = tagged.select(F.col("la").alias("label")).unionAll(
+        tagged.select(F.col("lb").alias("label")))
+    dsum = ends.groupBy("label").agg(F.count(F.lit(1)).alias("degree_sum"))
+    nodes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    out = (
+        nodes.join(dsum, on="label", how="left")
+        .join(intra, on="label", how="left")
+        .select(
+            "label", "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            F.coalesce("degree_sum", F.lit(0)).alias("degree_sum"),
+        )
+    )
+    return out.withColumn(
+        "contrib_num",
+        F.expr(f"CAST(4 AS DECIMAL(38,0)) * {m} * intra_edges "
+               f"- CAST(degree_sum AS DECIMAL(38,0)) * degree_sum"),
+    )
+
+
+def modularity_contributions_sql(edges_rel: str, labels_rel: str,
+                                 src: str = "src", dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`modularity_contributions` — identical
+    joins, zero-fills, and HUGEINT-exact numerators (cast back to
+    decimal(38,0) to match Spark's type hash)."""
+    return f"""
+    WITH me AS (SELECT {src} AS a, {dst} AS b FROM ({edges_rel})
+                WHERE {src} <> {dst}),
+    mm AS (SELECT count(*)::BIGINT AS m FROM me),
+    ml AS (SELECT node, label FROM ({labels_rel})),
+    tagged AS (
+      SELECT la.label AS la, lb.label AS lb
+      FROM me JOIN ml la ON me.a = la.node JOIN ml lb ON me.b = lb.node
+    ),
+    intra AS (
+      SELECT la AS label, count(*)::BIGINT AS intra_edges
+      FROM tagged WHERE la = lb GROUP BY 1
+    ),
+    dsum AS (
+      SELECT label, count(*)::BIGINT AS degree_sum FROM (
+        SELECT la AS label FROM tagged UNION ALL SELECT lb FROM tagged
+      ) GROUP BY 1
+    ),
+    mn AS (SELECT label, count(*)::BIGINT AS n_nodes FROM ml GROUP BY 1)
+    SELECT mn.label, mn.n_nodes,
+           coalesce(intra.intra_edges, 0) AS intra_edges,
+           coalesce(dsum.degree_sum, 0) AS degree_sum,
+           (4::HUGEINT * mm.m * coalesce(intra.intra_edges, 0)
+            - coalesce(dsum.degree_sum, 0)::HUGEINT
+              * coalesce(dsum.degree_sum, 0))::DECIMAL(38,0) AS contrib_num
+    FROM mn
+    LEFT JOIN dsum USING (label)
+    LEFT JOIN intra USING (label)
+    CROSS JOIN mm
+    """

@@ -663,3 +663,83 @@ class TestCcAddPairs:
             [(32, 33)], "id_a long, id_b long"), stats=inc_stats).collect()
         assert inc_stats["rounds"] < full_stats["rounds"]
         assert inc_stats["rounds"] <= 3
+
+
+class TestModularity:
+    @staticmethod
+    def _reference_q(pairs, labels):
+        """Float Newman modularity over the undirected multigraph."""
+        edges = [(a, b) for a, b in pairs if a != b]
+        m = len(edges)
+        intra, dsum = {}, {}
+        for a, b in edges:
+            la, lb = labels[a], labels[b]
+            dsum[la] = dsum.get(la, 0) + 1
+            dsum[lb] = dsum.get(lb, 0) + 1
+            if la == lb:
+                intra[la] = intra.get(la, 0) + 1
+        return sum(
+            intra.get(c, 0) / m - (dsum.get(c, 0) / (2 * m)) ** 2
+            for c in set(labels.values()))
+
+    def test_matches_reference_on_cliques(self, spark):
+        from spider_spark.operators.graph import modularity_contributions
+
+        # two K4 cliques + one bridge: strong community structure
+        pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        pairs += [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+        pairs += [(0, 4)]
+        labels = {n: (0 if n < 4 else 4) for n in range(8)}
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        lab = spark.createDataFrame(list(labels.items()),
+                                    "node long, label long")
+        rows = modularity_contributions(e, lab).collect()
+        m = len(pairs)
+        q = sum(int(r["contrib_num"]) for r in rows) / (4 * m * m)
+        assert abs(q - self._reference_q(pairs, labels)) < 1e-12
+        assert q > 0.3  # real structure scores well clear of zero
+        # degenerate one-community partition scores exactly 0
+        lab1 = spark.createDataFrame([(n, 0) for n in range(8)],
+                                     "node long, label long")
+        rows1 = modularity_contributions(e, lab1).collect()
+        assert sum(int(r["contrib_num"]) for r in rows1) == 0
+
+    def test_random_partition_scores_near_zero(self, spark):
+        from spider_spark.operators.graph import modularity_contributions
+
+        rng = random.Random(5)
+        pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+        labels = {n: n % 3 for n in range(30)}  # structure-blind partition
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        lab = spark.createDataFrame(list(labels.items()),
+                                    "node long, label long")
+        rows = modularity_contributions(e, lab).collect()
+        m = len([p for p in pairs if p[0] != p[1]])
+        q = sum(int(r["contrib_num"]) for r in rows) / (4 * m * m)
+        assert abs(q - self._reference_q(pairs, labels)) < 1e-12
+        assert abs(q) < 0.12
+
+    def test_sql_mirror_bit_exact(self, spark):
+        import duckdb
+
+        from spider_spark.operators.graph import (
+            modularity_contributions, modularity_contributions_sql)
+
+        rng = random.Random(9)
+        pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+        labels = [(n, n % 4) for n in range(20)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        lab = spark.createDataFrame(labels, "node long, label long")
+        spark_rows = sorted(
+            (r["label"], r["n_nodes"], r["intra_edges"], r["degree_sum"],
+             int(r["contrib_num"]))
+            for r in modularity_contributions(e, lab).collect())
+        con = duckdb.connect()
+        con.register("qedges", e.toPandas())
+        con.register("qlabels", lab.toPandas())
+        duck_rows = sorted(
+            (a, b, c, d, int(n)) for a, b, c, d, n in con.execute(
+                modularity_contributions_sql(
+                    "SELECT * FROM qedges",
+                    "SELECT * FROM qlabels")).fetchall())
+        assert spark_rows == duck_rows
