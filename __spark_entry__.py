@@ -3205,6 +3205,33 @@ def _sql_ann_recall_eval() -> str:
     return retrieval_eval_sql(approx, truth)
 
 
+def _q_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance retrieval quality (operators/search.py
+    ndcg_eval): nDCG of the IVF ANN path against brute-force truth
+    graded by true rank (grade = k+1−rank) — position-aware where
+    ann_recall_eval's recall is set-based: an approximate index that
+    finds the right set in the wrong order now loses score. 6 dp
+    determinism (grades and ranks exact; one log2 per term); both
+    retrieval sides replayed in the oracle."""
+    from spider_spark.operators.search import ndcg_eval
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES)
+    approx = ivf_topk(emb, queries, k=ANN_K)
+    truth = cosine_topk(emb, queries, k=ANN_K).select(
+        "qid", "nid", (F.lit(ANN_K + 1) - F.col("rank")).alias("grade"))
+    return ndcg_eval(approx, truth)
+
+
+def _sql_ann_ndcg_eval() -> str:
+    from spider_spark.operators.search import ndcg_eval_sql
+
+    approx = ivf_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM)
+    brute = cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM)
+    truth = (f"SELECT qid, nid, {ANN_K + 1} - rank AS grade FROM ({brute})")
+    return ndcg_eval_sql(approx, truth)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) per-document verdicts: cosine-cluster
     the embeddings, near-dup pairs form only WITHIN a cluster, the pair
@@ -5633,6 +5660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_recall_eval": _q_ann_recall_eval,  # recall@k / MRR harness
+        "ann_ndcg_eval": _q_ann_ndcg_eval,      # graded nDCG harness
         "embed_near_dups": _q_embed_near_dups,
         "ann_lsh_near_dups": _q_ann_lsh,
         "semdedup_flags": _q_semdedup,            # embedding-cluster dedup
@@ -5806,6 +5834,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_perplexity_buckets": perplexity_buckets_sql(),
         "ann_topk": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES, dim=EMBED_DIM),
         "ann_recall_eval": _sql_ann_recall_eval(),
+        "ann_ndcg_eval": _sql_ann_ndcg_eval(),
         "ivf_index_incremental": cosine_topk_sql(k=ANN_K, n_queries=ANN_N_QUERIES,
                                                  dim=EMBED_DIM),
         "ann_ivf_topk": ivf_topk_sql(

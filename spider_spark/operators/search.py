@@ -549,3 +549,86 @@ def retrieval_eval_sql(results_rel: str, truth_rel: str,
     FULL OUTER JOIN ev_nr ON ev_nt.q = ev_nr.q
     LEFT JOIN ev_h ON coalesce(ev_nt.q, ev_nr.q) = ev_h.q
     """
+
+
+def ndcg_eval(results: DataFrame, truth: DataFrame,
+              query_col: str = "qid", id_col: str = "nid",
+              rank_col: str = "rank", grade_col: str = "grade") -> DataFrame:
+    """Graded-relevance companion to :func:`retrieval_eval`:
+    ``(query, dcg, idcg, ndcg)`` with ``dcg = Σ grade/log2(rank+1)``
+    over the results' hit positions and ``idcg`` the same sum over the
+    truth's grades in ideal order (grade DESC, id ASC — a total order,
+    so the ideal ranking is deterministic). All three are rounded to 6
+    decimals (the PMI float-determinism recipe: exact integer grades
+    and ranks in, one ``log2`` per term, 6 dp out), ``ndcg = 0`` when
+    the query has no graded truth. Queries present only in ``results``
+    report zeros — same no-silent-dropout contract as
+    :func:`retrieval_eval`.
+
+    Scale shape: one (query, id)-keyed join at result-list grain plus
+    one per-query window over the truth list (k rows per query by
+    construction — the window partition is bounded, never corpus-sized).
+    """
+    r = results.select(F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+                       F.col(rank_col).cast("long").alias("r"))
+    t = truth.select(F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+                     F.col(grade_col).cast("long").alias("g"))
+    from pyspark.sql import Window
+
+    gain = F.col("g").cast("double") / F.log2(F.col("r") + 1)
+    dcg = (
+        r.join(t, on=["q", "d"])
+        .groupBy("q").agg(F.round(F.sum(gain), 6).alias("dcg"))
+    )
+    iw = Window.partitionBy("q").orderBy(F.col("g").desc(), F.col("d").asc())
+    ideal = t.withColumn("r", F.row_number().over(iw).cast("long"))
+    idcg = ideal.groupBy("q").agg(F.round(F.sum(gain), 6).alias("idcg"))
+    qs = r.select("q").unionByName(t.select("q")).distinct()
+    return (
+        qs.join(idcg, on="q", how="left").join(dcg, on="q", how="left")
+        .select(
+            F.col("q").alias(query_col),
+            F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+            F.coalesce("idcg", F.lit(0.0)).alias("idcg"),
+            F.when(F.coalesce("idcg", F.lit(0.0)) > 0,
+                   F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 6))
+            .otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+    )
+
+
+def ndcg_eval_sql(results_rel: str, truth_rel: str,
+                  query_col: str = "qid", id_col: str = "nid",
+                  rank_col: str = "rank", grade_col: str = "grade") -> str:
+    """DuckDB mirror of :func:`ndcg_eval` — identical ideal order,
+    gains, and 6 dp rounding."""
+    return f"""
+    WITH nd_r AS (SELECT {query_col} AS q, {id_col} AS d,
+                         {rank_col}::BIGINT AS r FROM ({results_rel})),
+    nd_t AS (SELECT {query_col} AS q, {id_col} AS d,
+                    {grade_col}::BIGINT AS g FROM ({truth_rel})),
+    nd_dcg AS (
+      SELECT nd_r.q, round(sum(g / log2(r + 1)), 6) AS dcg
+      FROM nd_r JOIN nd_t ON nd_r.q = nd_t.q AND nd_r.d = nd_t.d
+      GROUP BY 1
+    ),
+    nd_ideal AS (
+      SELECT q, g, row_number() OVER (
+        PARTITION BY q ORDER BY g DESC, d ASC) AS r
+      FROM nd_t
+    ),
+    nd_idcg AS (
+      SELECT q, round(sum(g / log2(r + 1)), 6) AS idcg
+      FROM nd_ideal GROUP BY 1
+    ),
+    nd_q AS (SELECT q FROM nd_r UNION SELECT q FROM nd_t)
+    SELECT nd_q.q AS {query_col},
+           coalesce(dcg, 0.0) AS dcg,
+           coalesce(idcg, 0.0) AS idcg,
+           CASE WHEN coalesce(idcg, 0.0) > 0
+                THEN round(coalesce(dcg, 0.0) / idcg, 6)
+                ELSE 0.0 END AS ndcg
+    FROM nd_q
+    LEFT JOIN nd_idcg USING (q)
+    LEFT JOIN nd_dcg USING (q)
+    """

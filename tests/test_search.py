@@ -363,3 +363,60 @@ class TestRetrievalEval:
         assert len(ev) == 8
         mean_recall = sum(r["recall_ppm"] for r in ev) / len(ev)
         assert 200_000 < mean_recall <= 1_000_000  # nprobe=2/16 loses recall
+
+
+class TestNdcgEval:
+    def test_matches_hand_computed(self, spark):
+        import math
+
+        from spider_spark.operators.search import ndcg_eval
+
+        # truth grades: a=3, b=2, c=1; results rank a@2, c@1 (b missed)
+        results = spark.createDataFrame(
+            [("q", "c", 1), ("q", "a", 2), ("q", "x", 3)],
+            "qid string, nid string, rank long")
+        truth = spark.createDataFrame(
+            [("q", "a", 3), ("q", "b", 2), ("q", "c", 1)],
+            "qid string, nid string, grade long")
+        r = ndcg_eval(results, truth).collect()[0]
+        dcg = 1 / math.log2(2) + 3 / math.log2(3)
+        idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+        assert r["dcg"] == round(dcg, 6)
+        assert r["idcg"] == round(idcg, 6)
+        assert r["ndcg"] == round(round(dcg, 6) / round(idcg, 6), 6)
+
+    def test_perfect_and_empty(self, spark):
+        from spider_spark.operators.search import ndcg_eval
+
+        truth = spark.createDataFrame(
+            [("q", "a", 2), ("q", "b", 1), ("z", "m", 3)],
+            "qid string, nid string, grade long")
+        perfect = spark.createDataFrame(
+            [("q", "a", 1), ("q", "b", 2)], "qid string, nid string, rank long")
+        got = {r["qid"]: r for r in ndcg_eval(perfect, truth).collect()}
+        assert got["q"]["ndcg"] == 1.0
+        assert got["z"]["dcg"] == 0.0 and got["z"]["ndcg"] == 0.0
+        # results-only query reports zeros, not dropout
+        only = spark.createDataFrame([("w", "y", 1)],
+                                     "qid string, nid string, rank long")
+        got2 = {r["qid"]: r for r in ndcg_eval(only, truth).collect()}
+        assert got2["w"]["ndcg"] == 0.0
+
+    def test_sql_mirror(self, spark):
+        import duckdb
+
+        from spider_spark.operators.search import ndcg_eval, ndcg_eval_sql
+
+        results = spark.createDataFrame(
+            [("q1", "a", 1), ("q1", "b", 2), ("q2", "c", 1)],
+            "qid string, nid string, rank long")
+        truth = spark.createDataFrame(
+            [("q1", "b", 3), ("q1", "a", 3), ("q1", "d", 1), ("q3", "e", 2)],
+            "qid string, nid string, grade long")
+        spark_rows = sorted(map(tuple, ndcg_eval(results, truth).collect()))
+        con = duckdb.connect()
+        con.register("nd_results", results.toPandas())
+        con.register("nd_truth", truth.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(ndcg_eval_sql(
+            "SELECT * FROM nd_results", "SELECT * FROM nd_truth")).fetchall()))
+        assert spark_rows == duck_rows
