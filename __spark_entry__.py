@@ -2175,6 +2175,33 @@ def _sql_community_modularity() -> str:
                                         src="id_a", dst="id_b")
 
 
+KCORE_K = 2
+KCORE_ITERS = 8
+
+
+def _q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MinHash-LSH near-dup pair graph (operators/graph.py
+    k_core): pendant chains of borderline pairs peel away, what
+    survives is the densely-interlinked near-dup families — the
+    cohesion cut between "a pair of similar docs" and "a templated
+    cluster". Synchronous peeling, fixed rounds, unrolled-CTE mirror;
+    per round one degree agg + two semi-joins."""
+    from spider_spark.operators.graph import k_core
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir))
+    out = k_core(pairs, k=KCORE_K, n_iter=KCORE_ITERS,
+                 src="id_a", dst="id_b")
+    return out.select(F.col("node").alias("doc_id"), "degree")
+
+
+def _sql_dup_graph_kcore() -> str:
+    from spider_spark.operators.graph import k_core_sql
+
+    inner = k_core_sql(lsh_candidate_pairs_sql(), k=KCORE_K,
+                       n_iter=KCORE_ITERS, src="id_a", dst="id_b")
+    return f"SELECT node AS doc_id, degree FROM ({inner})"
+
+
 TRUST_ITERS = 8
 
 
@@ -5630,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,        # frontier priority scores
         "host_communities": _q_host_communities,  # LPA site clusters
         "community_modularity": _q_community_modularity,  # partition quality
+        "dup_graph_kcore": _q_dup_graph_kcore,    # cohesion cut of pair graph
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_triangles": _q_host_triangles,      # clustering coefficient
         "seed_hop_distance": _q_seed_hop_distance,  # BFS from vetted set
@@ -5807,6 +5835,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _SQL_HOST_PAGERANK,
         "host_communities": _sql_host_communities(),
         "community_modularity": _sql_community_modularity(),
+        "dup_graph_kcore": _sql_dup_graph_kcore(),
         "host_hits": _sql_host_hits(),
         "host_triangles": _sql_host_triangles(),
         "seed_hop_distance": _sql_seed_hop_distance(),

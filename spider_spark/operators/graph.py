@@ -1151,3 +1151,94 @@ def modularity_contributions_sql(edges_rel: str, labels_rel: str,
     LEFT JOIN intra USING (label)
     CROSS JOIN mm
     """
+
+
+# -- k-core extraction -------------------------------------------------------
+
+
+def k_core(edges: DataFrame, k: int = 2, n_iter: int = 10,
+           src: str = "src", dst: str = "dst",
+           checkpoint: bool = True) -> DataFrame:
+    """Nodes of the ``k``-core of the undirected simple graph — the
+    maximal subgraph where every member keeps ≥ ``k`` neighbors INSIDE
+    the subgraph. The classic cohesion filter: pendant chains and
+    loosely-attached tendrils peel away no matter how large, so what
+    survives is the densely-woven center (link farms concentrate in
+    high cores — Becchetti et al. 2008 use core membership beside the
+    triangle signal; for dedup-cluster graphs the 2-core separates
+    genuinely interlinked near-dup families from chains of borderline
+    pairs).
+
+    Synchronous peeling, ``n_iter`` fixed rounds (the LPA contract: a
+    fixed round count keeps the DuckDB mirror an exact unrolled
+    replay; peeling converges when a round removes nothing, and each
+    effective round removes ≥1 node, so ``n_iter`` ≥ the true peel
+    depth gives the exact k-core — the peel depth is the number of
+    peel WAVES, typically ≪ nodes; the output is the round-``n`` state
+    either way). Per round: one degree aggregation over the surviving
+    edge set + two semi-joins — node-keyed, no windows. Output:
+    ``(node, degree)`` with the within-core degree."""
+    if k < 1:
+        raise ValueError(f"k must be ≥1: {k}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b"))
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        deg = (
+            und.select(F.col("a").alias("node")).unionAll(
+                und.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        und = (
+            und.join(keep.withColumnRenamed("node", "a"), on="a",
+                     how="left_semi")
+            .join(keep.withColumnRenamed("node", "b"), on="b",
+                  how="left_semi")
+        )
+        if checkpoint:
+            und = und.localCheckpoint(eager=True)
+    return (
+        und.select(F.col("a").alias("node")).unionAll(
+            und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def k_core_sql(edges_rel: str, k: int = 2, n_iter: int = 10,
+               src: str = "src", dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`k_core` — identical rounds unrolled as
+    MATERIALIZED CTEs."""
+    parts = [
+        f"kc_e AS (SELECT {src} AS a, {dst} AS b FROM ({edges_rel}) "
+        f"WHERE {src} <> {dst})",
+        "u0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, "
+        "greatest(a, b) AS b FROM kc_e)",
+    ]
+    for r in range(n_iter):
+        parts.append(f"""d{r} AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM u{r} UNION ALL SELECT b FROM u{r}
+      ) GROUP BY 1
+    )""")
+        parts.append(f"""kp{r} AS (SELECT node FROM d{r} WHERE degree >= {k})""")
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT u.a, u.b FROM u{r} u "
+            f"WHERE u.a IN (SELECT node FROM kp{r}) "
+            f"AND u.b IN (SELECT node FROM kp{r}))"
+        )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT node, degree FROM (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM u{n_iter} UNION ALL SELECT b FROM u{n_iter}
+      ) GROUP BY 1
+    ) WHERE degree >= {k}
+    """

@@ -743,3 +743,59 @@ class TestModularity:
                     "SELECT * FROM qedges",
                     "SELECT * FROM qlabels")).fetchall())
         assert spark_rows == duck_rows
+
+
+class TestKCore:
+    @staticmethod
+    def _reference(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(v) for n, v in adj.items() if v}
+
+    def test_matches_reference(self, spark):
+        from spider_spark.operators.graph import k_core
+
+        rng = random.Random(17)
+        pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(100)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        for k in (2, 3, 4):
+            got = dict(map(tuple, k_core(e, k=k, n_iter=15).collect()))
+            assert got == self._reference(pairs, k), k
+
+    def test_pendant_chain_peels_fully(self, spark):
+        from spider_spark.operators.graph import k_core
+
+        # triangle + a long pendant chain: the whole chain peels at k=2
+        pairs = [(0, 1), (1, 2), (2, 0)] + [(i, i + 1) for i in range(2, 12)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        got = dict(map(tuple, k_core(e, k=2, n_iter=12).collect()))
+        assert got == {0: 2, 1: 2, 2: 2}
+        # k above the densest structure: empty core
+        assert k_core(e, k=3, n_iter=12).count() == 0
+
+    def test_sql_mirror_bit_exact(self, spark):
+        import duckdb
+
+        from spider_spark.operators.graph import k_core, k_core_sql
+
+        rng = random.Random(21)
+        pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        spark_rows = sorted(map(tuple, k_core(e, k=2, n_iter=6).collect()))
+        con = duckdb.connect()
+        con.register("kcedges", e.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(k_core_sql(
+            "SELECT * FROM kcedges", k=2, n_iter=6)).fetchall()))
+        assert spark_rows == duck_rows
