@@ -1947,6 +1947,34 @@ def _sql_fuzzy_term_match() -> str:
     return fuzzy_match_sql(queries_rel, "SELECT * FROM documents")
 
 
+PERCOLATE_RULES = [
+    ("alert_scan_window", ["scan", "window"]),
+    ("alert_vector", ["vector"]),
+    ("alert_sort_merge", ["sort", "merge"]),
+]
+
+
+def _q_stored_query_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search / percolation (operators/percolate.py
+    stored_query_match): which standing rules does each document
+    trigger — the monitoring surface over the crawl's document flow
+    (content alerts, routing, watchlists). Conjunctive rule semantics
+    ≡ bm25_topk(require_all), evaluated for all rules at once; the
+    rule table is broadcast so the corpus never shuffles for the
+    match."""
+    from spider_spark.operators.percolate import stored_query_match
+
+    rules = spark.createDataFrame(PERCOLATE_RULES,
+                                  "query_id string, terms array<string>")
+    return stored_query_match(_docs(spark, sf_dir), rules)
+
+
+def _sql_stored_query_matches() -> str:
+    from spider_spark.operators.percolate import stored_query_match_sql
+
+    return stored_query_match_sql(PERCOLATE_RULES)
+
+
 BOOL_QUERY = ["scan", "window", "sort"]
 
 
@@ -5771,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "fuzzy_term_match": _q_fuzzy_term_match,  # SymSpell spell correction
         "boolean_and_search": _q_boolean_and_search,  # conjunctive retrieval
+        "stored_query_matches": _q_stored_query_matches,  # percolation alerts
         "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
         "phrase_snippets": _q_phrase_snippets,    # KWIC context windows
         "bm25_index_search": _q_bm25_index_search,  # persisted postings index
@@ -5950,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25,
         "fuzzy_term_match": _sql_fuzzy_term_match(),
         "boolean_and_search": _SQL_BOOL_AND,
+        "stored_query_matches": _sql_stored_query_matches(),
         "phrase_search": _SQL_PHRASE,
         "phrase_snippets": _sql_phrase_snippets(),
         "bm25_index_search": _SQL_BM25,
