@@ -2203,6 +2203,26 @@ def _sql_community_modularity() -> str:
                                         src="id_a", dst="id_b")
 
 
+def _q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity (operators/graph.py edge_reciprocity)
+    over the same host graph the rank queries use — organic linking is
+    asymmetric, link-exchange rings are not; rides beside
+    host_triangles and dup_graph_kcore in the structural spam set. One
+    edge-keyed self-join, exact integer ppm."""
+    from spider_spark.operators.graph import edge_reciprocity
+
+    out = edge_reciprocity(_host_edges_df(spark, sf_dir))
+    return out.select(F.col("node").alias("host"), "n_out",
+                      "n_reciprocal", "reciprocity_ppm")
+
+
+def _sql_host_reciprocity() -> str:
+    from spider_spark.operators.graph import edge_reciprocity_sql
+
+    return (f"SELECT node AS host, n_out, n_reciprocal, reciprocity_ppm "
+            f"FROM ({edge_reciprocity_sql(_HOST_EDGES_SQL)})")
+
+
 KCORE_K = 2
 KCORE_ITERS = 8
 
@@ -5688,6 +5708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_kcore": _q_dup_graph_kcore,    # cohesion cut of pair graph
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_triangles": _q_host_triangles,      # clustering coefficient
+        "host_reciprocity": _q_host_reciprocity,  # link-exchange signal
         "seed_hop_distance": _q_seed_hop_distance,  # BFS from vetted set
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
@@ -5867,6 +5888,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_graph_kcore": _sql_dup_graph_kcore(),
         "host_hits": _sql_host_hits(),
         "host_triangles": _sql_host_triangles(),
+        "host_reciprocity": _sql_host_reciprocity(),
         "seed_hop_distance": _sql_seed_hop_distance(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "host_trustrank": _sql_host_trustrank(),

@@ -799,3 +799,39 @@ class TestKCore:
         duck_rows = sorted(map(tuple, con.execute(k_core_sql(
             "SELECT * FROM kcedges", k=2, n_iter=6)).fetchall()))
         assert spark_rows == duck_rows
+
+
+class TestEdgeReciprocity:
+    def test_matches_hand_computed(self, spark):
+        from spider_spark.operators.graph import edge_reciprocity
+
+        # 0↔1 mutual; 0→2 one-way; 2→0 makes 0→2 mutual too; 3→0 one-way;
+        # duplicate and self edges ignored
+        e = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 2), (2, 0), (3, 0), (3, 0), (2, 2)],
+            "src long, dst long")
+        got = {r["node"]: (r["n_out"], r["n_reciprocal"],
+                           r["reciprocity_ppm"])
+               for r in edge_reciprocity(e).collect()}
+        assert got == {
+            0: (2, 2, 1_000_000),
+            1: (1, 1, 1_000_000),
+            2: (1, 1, 1_000_000),
+            3: (1, 0, 0),
+        }
+
+    def test_sql_mirror_bit_exact(self, spark):
+        import duckdb
+
+        from spider_spark.operators.graph import (
+            edge_reciprocity, edge_reciprocity_sql)
+
+        rng = random.Random(31)
+        pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(60)]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        spark_rows = sorted(map(tuple, edge_reciprocity(e).collect()))
+        con = duckdb.connect()
+        con.register("redges", e.toPandas())
+        duck_rows = sorted(map(tuple, con.execute(edge_reciprocity_sql(
+            "SELECT * FROM redges")).fetchall()))
+        assert spark_rows == duck_rows
