@@ -835,3 +835,51 @@ class TestEdgeReciprocity:
         duck_rows = sorted(map(tuple, con.execute(edge_reciprocity_sql(
             "SELECT * FROM redges")).fetchall()))
         assert spark_rows == duck_rows
+
+
+class TestSessionPlanShapes:
+    """The session's new operators are JVM-only join/agg plans: no
+    Python eval nodes, no cartesian products."""
+
+    def _assert_clean(self, df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        return plan
+
+    def test_graph_ops_are_jvm_only(self, spark):
+        from spider_spark.operators.graph import (
+            bfs_distance, edge_reciprocity, k_core,
+            modularity_contributions, triangle_counts)
+
+        e = spark.createDataFrame(
+            [(i, (i + 1) % 12) for i in range(12)] + [(0, 6)],
+            "src long, dst long")
+        sd = spark.createDataFrame([(0,)], "node long")
+        lab = spark.createDataFrame([(i, i % 3) for i in range(12)],
+                                    "node long, label long")
+        self._assert_clean(triangle_counts(e, checkpoint=False))
+        self._assert_clean(bfs_distance(e, sd, max_hops=2, checkpoint=False))
+        self._assert_clean(k_core(e, k=2, n_iter=2, checkpoint=False))
+        self._assert_clean(modularity_contributions(e, lab))
+        self._assert_clean(edge_reciprocity(e))
+
+    def test_text_ops_are_jvm_only(self, spark):
+        from spider_spark.functions.script import script_profile
+        from spider_spark.operators.contentspam import content_spam_features
+        from spider_spark.operators.fuzzy import fuzzy_match, vocab_counts
+        from spider_spark.operators.packing import epoch_order
+        from spider_spark.operators.percolate import stored_query_match
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "beta gamma delta")],
+            "doc_id long, text string")
+        qs = spark.createDataFrame([("betta",)], "query string")
+        rules = spark.createDataFrame([("r", ["beta"])],
+                                      "query_id string, terms array<string>")
+        self._assert_clean(script_profile(docs))
+        self._assert_clean(content_spam_features(docs, n_popular=2))
+        self._assert_clean(fuzzy_match(qs, vocab_counts(docs)))
+        self._assert_clean(epoch_order(docs))
+        self._assert_clean(stored_query_match(docs, rules))
