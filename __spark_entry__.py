@@ -2203,6 +2203,72 @@ def _sql_community_modularity() -> str:
                                         src="id_a", dst="id_b")
 
 
+def _q_host_graph_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier scheduler's full structural feature vector — one
+    host-keyed join of six oracled graph relations over the SAME edge
+    set: PageRank, TrustRank, HITS hub/authority, triangles +
+    clustering coefficient, reciprocity, LPA community, and hop
+    distance from the vetted seed set (null → unreachable within the
+    bound). What host_tiers / importance_tiered_schedule would consume
+    as one relation; the oracle joins the six mirrors identically, so
+    the hash pins the whole composition."""
+    from spider_spark.operators.graph import (
+        bfs_distance, edge_reciprocity, hits, label_propagation,
+        triangle_counts, trustrank)
+
+    edges = _host_edges_df(spark, sf_dir).localCheckpoint(eager=False)
+    seeds = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % TRI_SEEDS_MOD == 3).select(
+        host_expr(F.col("doc_id")).alias("node")).distinct()
+    pr = pagerank(edges, n_iter=PR_ITERS).select("node", "rank_fp")
+    tr = trustrank(edges, seeds, n_iter=TRUST_ITERS).select(
+        "node", "trust_fp")
+    ht = hits(edges, n_iter=HITS_ITERS).select("node", "auth_fp", "hub_fp")
+    tc = triangle_counts(edges).select("node", "degree", "triangles",
+                                       "cc_ppm")
+    rc = edge_reciprocity(edges).select("node", "reciprocity_ppm")
+    lp = label_propagation(edges, n_iter=LPA_ITERS).select(
+        "node", F.col("label").alias("community"))
+    bd = bfs_distance(edges, seeds, max_hops=6).select("node", "hops")
+    out = (
+        pr.join(tr, on="node").join(ht, on="node").join(tc, on="node")
+        .join(rc, on="node").join(lp, on="node")
+        .join(bd, on="node", how="left")
+    )
+    return out.withColumnRenamed("node", "host")
+
+
+def _sql_host_graph_features() -> str:
+    from spider_spark.operators.graph import (
+        bfs_distance_sql, edge_reciprocity_sql, hits_sql,
+        label_propagation_sql, triangle_counts_sql, trustrank_sql)
+
+    seeds = (f"SELECT DISTINCT {_host_sql('doc_id')} AS node "
+             f"FROM documents WHERE doc_id % {TRI_SEEDS_MOD} = 3")
+    return f"""
+    WITH gf_pr AS ({pagerank_sql(_HOST_EDGES_SQL, n_iter=PR_ITERS)}),
+    gf_tr AS ({trustrank_sql(_HOST_EDGES_SQL, seeds, n_iter=TRUST_ITERS)}),
+    gf_ht AS ({hits_sql(_HOST_EDGES_SQL, n_iter=HITS_ITERS)}),
+    gf_tc AS ({triangle_counts_sql(_HOST_EDGES_SQL)}),
+    gf_rc AS ({edge_reciprocity_sql(_HOST_EDGES_SQL)}),
+    gf_lp AS ({label_propagation_sql(_HOST_EDGES_SQL, n_iter=LPA_ITERS)}),
+    gf_bd AS ({bfs_distance_sql(_HOST_EDGES_SQL, seeds, max_hops=6)})
+    SELECT gf_pr.node AS host, gf_pr.rank_fp, gf_tr.trust_fp,
+           gf_ht.auth_fp, gf_ht.hub_fp,
+           gf_tc.degree, gf_tc.triangles, gf_tc.cc_ppm,
+           gf_rc.reciprocity_ppm,
+           gf_lp.label AS community,
+           gf_bd.hops
+    FROM gf_pr
+    JOIN gf_tr USING (node)
+    JOIN gf_ht USING (node)
+    JOIN gf_tc USING (node)
+    JOIN gf_rc USING (node)
+    JOIN gf_lp USING (node)
+    LEFT JOIN gf_bd USING (node)
+    """
+
+
 def _q_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host link reciprocity (operators/graph.py edge_reciprocity)
     over the same host graph the rank queries use — organic linking is
@@ -5709,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": _q_host_hits,                # hubs & authorities
         "host_triangles": _q_host_triangles,      # clustering coefficient
         "host_reciprocity": _q_host_reciprocity,  # link-exchange signal
+        "host_graph_features": _q_host_graph_features,  # composed feature vector
         "seed_hop_distance": _q_seed_hop_distance,  # BFS from vetted set
         "host_link_graph": _q_host_link_graph,    # edges parsed from real HTML
         "host_trustrank": _q_host_trustrank,      # seed-biased spam demotion
@@ -5889,6 +5956,7 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _sql_host_hits(),
         "host_triangles": _sql_host_triangles(),
         "host_reciprocity": _sql_host_reciprocity(),
+        "host_graph_features": _sql_host_graph_features(),
         "seed_hop_distance": _sql_seed_hop_distance(),
         "host_link_graph": _SQL_HOST_LINK_GRAPH,
         "host_trustrank": _sql_host_trustrank(),
