@@ -523,3 +523,46 @@ def kmv_stream(events: DataFrame, io, group_col: str, key_col: str,
     )
     q.awaitTermination()
     return stats
+
+
+def percolate_stream(docs: DataFrame, rules: DataFrame, checkpoint: str,
+                     out_path: str, mode: str = "all",
+                     text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Streaming reverse search — the monitoring loop over a document
+    stream: every micro-batch is matched against the standing-rule
+    table (operators/percolate.py stored_query_match; rules broadcast,
+    the batch never shuffles for the match) and the fired
+    ``(id, query_id, n_matched)`` alerts append to ``out_path``.
+    Batch/stream parity by construction (same operator); the usual
+    ``foreachBatch`` at-least-once contract — alert consumers dedupe on
+    ``(id, query_id)`` or sit behind a keyed upsert. Rules are fixed
+    for the stream's lifetime (they ride the closure); restart the
+    stream to change them — the checkpoint only tracks source
+    progress, so a rule change is safe across restarts.
+
+    Returns driver-side counters: ``batches`` / ``in_rows`` /
+    ``alerts``."""
+    from spider_spark.operators.percolate import stored_query_match
+
+    stats = {"batches": 0, "in_rows": 0, "alerts": 0}
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        b = batch.localCheckpoint(eager=True)
+        hits = stored_query_match(
+            b, rules, mode=mode, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        n = hits.count()
+        if n:
+            hits.write.mode("append").parquet(out_path)
+        stats["batches"] += 1
+        stats["in_rows"] += b.count()
+        stats["alerts"] += n
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

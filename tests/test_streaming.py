@@ -379,3 +379,39 @@ def test_kmv_stream_equals_batch_sketch(spark, tmp_path):
     # exact-equality assert above is the real check
     for g in ("g0", "g1", "g2"):
         assert 40 < est[g] < 700, est
+
+
+def test_percolate_stream_matches_batch(spark, tmp_path):
+    """Streaming alerts ≡ batch stored_query_match over the same docs,
+    including across a checkpoint-resumed second drop."""
+    from spider_spark.operators.percolate import stored_query_match
+    from spider_spark.streaming.ingest import percolate_stream
+
+    in_dir = str(tmp_path / "pc_in")
+    d1 = [(0, "alpha beta news"), (1, "gamma only"), (2, "alpha alone")]
+    d2 = [(3, "beta alpha again"), (4, "nothing here")]
+    spark.createDataFrame(d1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    rules = spark.createDataFrame(
+        [("r_ab", ["alpha", "beta"]), ("r_g", ["gamma"])],
+        "query_id string, terms array<string>")
+    out, ckpt = str(tmp_path / "pc_out"), str(tmp_path / "pc_ckpt")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(in_dir)
+    s1 = percolate_stream(stream, rules, ckpt, out)
+    assert s1["alerts"] == 2  # doc0→r_ab, doc1→r_g
+
+    spark.createDataFrame(d2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(in_dir)
+    s2 = percolate_stream(stream2, rules, ckpt, out)
+    assert s2["in_rows"] == 2  # only the new drop is processed
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, stored_query_match(
+        spark.createDataFrame(d1 + d2, "doc_id long, text string"),
+        rules).collect()))
+    assert got == want
