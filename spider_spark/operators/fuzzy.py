@@ -13,9 +13,11 @@ edit-distance-1 relation**: if ``levenshtein(q, t) ≤ 1`` then ``q`` and
 itself plus every single-character deletion) — a substitution is a
 delete on both sides at the same position, an insertion/deletion a
 delete on one side. So matching is an equi-join on delete keys, with a
-cheap ``levenshtein`` confirm to drop the neighborhood's false
-positives (e.g. "cat" and "cart" share key "cat" at distance 1 — kept;
-"act" and "cat" share NO delete key — correctly out of reach at d=1).
+cheap char-exact confirm (:func:`_within_one_edit` — NOT the builtin
+``levenshtein``, whose byte-vs-char semantics differ between Spark and
+DuckDB) to drop the neighborhood's false positives (e.g. "ab" and "bc"
+share key "b" at distance 2 — dropped; "act" and "cat" share NO delete
+key — correctly out of reach at d=1).
 
 Scale shape: the vocab side explodes its ≤ ``len+1``-element delete
 array inside the scan (a per-row transform, no join fan-out before the
@@ -91,6 +93,40 @@ def delete_neighborhood_sql(expr: str) -> str:
     )
 
 
+def _within_one_edit(a: str, b: str) -> str:
+    """SQL boolean: ``a`` and ``b`` are within ONE character edit
+    (equal / one substitution / one insertion-deletion). Deliberately
+    NOT ``levenshtein()``: Spark's builtin counts characters while
+    DuckDB's counts BYTES, so any multibyte candidate ('café' vs
+    'cafe' — 1 vs 2) would diverge between the engine and its oracle.
+    This rule is pure char-indexed string algebra — identical in both:
+
+    * equal length → exactly one differing position;
+    * length ±1 → with ``p`` the common-prefix length (prefix equality
+      is monotone, so counting equal-prefix indices IS ``p``), the
+      shorter equals the longer with the char at ``p+1`` removed.
+
+    Per-pair cost is O(len²) in the prefix scan — the candidate
+    relation is tiny (delete-key collisions), never the corpus."""
+    same_sub = (
+        f"size(filter(sequence(1, length({a})), "
+        f"i -> substring({a}, i, 1) != substring({b}, i, 1))) = 1"
+    )
+
+    def del_case(s: str, l: str) -> str:
+        pfx = (f"size(filter(sequence(1, length({s})), "
+               f"i -> substring({s}, 1, i) = substring({l}, 1, i)))")
+        return f"substring({s}, {pfx} + 1) = substring({l}, {pfx} + 2)"
+
+    return (
+        f"CASE WHEN {a} = {b} THEN true "
+        f"WHEN length({a}) = length({b}) THEN {same_sub} "
+        f"WHEN length({a}) = length({b}) + 1 THEN {del_case(b, a)} "
+        f"WHEN length({b}) = length({a}) + 1 THEN {del_case(a, b)} "
+        f"ELSE false END"
+    )
+
+
 def fuzzy_match(queries: DataFrame, vocab: DataFrame,
                 query_col: str = "query") -> DataFrame:
     """Best edit-distance-≤1 vocabulary term per query string:
@@ -102,7 +138,9 @@ def fuzzy_match(queries: DataFrame, vocab: DataFrame,
     ``vocab`` is ``(term, freq)`` — :func:`vocab_counts` or any
     frequency table (a persisted LexicalIndex postings rollup works).
     The query side is broadcast; see the module docstring for why the
-    vocab never shuffles."""
+    vocab never shuffles. The distance confirm is the char-exact
+    :func:`_within_one_edit` rule, not ``levenshtein`` (byte-vs-char
+    semantics differ across engines)."""
     q = queries.select(F.col(query_col).alias("query")).distinct()
     qd = q.select(
         "query", F.explode(delete_neighborhood("query")).alias("dkey"))
@@ -112,8 +150,9 @@ def fuzzy_match(queries: DataFrame, vocab: DataFrame,
     cand = (
         vd.join(F.broadcast(qd), on="dkey")
         .select("query", "term", "freq").distinct()
-        .withColumn("dist", F.levenshtein("query", "term"))
-        .filter(F.col("dist") <= 1)
+        .filter(F.expr(_within_one_edit("query", "term")))
+        .withColumn("dist",
+                    F.when(F.col("query") == F.col("term"), 0).otherwise(1))
     )
     best = cand.groupBy("query").agg(
         F.min(F.struct(F.col("dist"), (-F.col("freq")).alias("nf"),
@@ -121,6 +160,28 @@ def fuzzy_match(queries: DataFrame, vocab: DataFrame,
     return best.select(
         "query", F.col("m.term").alias("term"),
         (-F.col("m.nf")).alias("freq"), F.col("m.dist").alias("dist"))
+
+
+def _within_one_edit_sql(a: str, b: str) -> str:
+    """DuckDB rendering of :func:`_within_one_edit` (list_filter/range/
+    substr are char-indexed, like Spark's)."""
+    same_sub = (
+        f"len(list_filter(range(1, length({a}) + 1), "
+        f"i -> substr({a}, i, 1) != substr({b}, i, 1))) = 1"
+    )
+
+    def del_case(s: str, l: str) -> str:
+        pfx = (f"len(list_filter(range(1, length({s}) + 1), "
+               f"i -> substr({s}, 1, i) = substr({l}, 1, i)))")
+        return f"substr({s}, {pfx} + 1) = substr({l}, {pfx} + 2)"
+
+    return (
+        f"CASE WHEN {a} = {b} THEN true "
+        f"WHEN length({a}) = length({b}) THEN {same_sub} "
+        f"WHEN length({a}) = length({b}) + 1 THEN {del_case(b, a)} "
+        f"WHEN length({b}) = length({a}) + 1 THEN {del_case(a, b)} "
+        f"ELSE false END"
+    )
 
 
 def fuzzy_match_sql(queries_rel: str,
@@ -147,9 +208,9 @@ def fuzzy_match_sql(queries_rel: str,
     ),
     cand AS (
       SELECT DISTINCT query, term, freq,
-             levenshtein(query, term) AS dist
+             CASE WHEN query = term THEN 0 ELSE 1 END AS dist
       FROM vd JOIN qd USING (dkey)
-      WHERE levenshtein(query, term) <= 1
+      WHERE {_within_one_edit_sql('query', 'term')}
     )
     SELECT query, term, freq, dist FROM (
       SELECT *, row_number() OVER (

@@ -100,3 +100,37 @@ class TestFuzzyMatch:
         duck_rows = sorted(map(tuple, con.execute(fuzzy_match_sql(
             "SELECT * FROM fqueries", "SELECT * FROM fdocs")).fetchall()))
         assert spark_rows == duck_rows
+
+
+class TestUnicodeEdits:
+    def test_multibyte_chars_count_as_one_edit(self, spark):
+        """The confirm must be CHAR-exact in both engines: DuckDB's
+        builtin levenshtein counts bytes ('café'→'cafe' = 2), which
+        would silently diverge from Spark's char count on any accented
+        candidate — the rule here is byte-width-blind."""
+        import duckdb
+        import pandas as pd
+
+        docs = spark.createDataFrame(
+            [(0, "café straße 日本 café café straße")],
+            "doc_id long, text string")
+        queries = ["cafe", "cafés", "strase", "strasse", "日木", "日本語"]
+        qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+        vocab = vocab_counts(docs, min_len=2)
+        got = {r["query"]: (r["term"], r["dist"])
+               for r in fuzzy_match(qdf, vocab).collect()}
+        assert got["cafe"] == ("café", 1)      # substitution é→e
+        assert got["cafés"] == ("café", 1)     # deletion
+        assert got["日木"] == ("日本", 1)
+        assert got["strase"] == ("straße", 1)  # ß→s is one substitution
+        assert "strasse" not in got            # ß→ss is two char edits
+        assert got["日本語"] == ("日本", 1)     # one multibyte deletion
+        # mirror parity on the same multibyte fixture
+        con = duckdb.connect()
+        con.register("udocs", docs.toPandas())
+        con.register("uqueries", pd.DataFrame({"query": queries}))
+        duck_rows = sorted(map(tuple, con.execute(fuzzy_match_sql(
+            "SELECT * FROM uqueries", "SELECT * FROM udocs",
+            min_len=2)).fetchall()))
+        spark_rows = sorted(map(tuple, fuzzy_match(qdf, vocab).collect()))
+        assert spark_rows == duck_rows
