@@ -1991,6 +1991,39 @@ def _q_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BOOL_AND = bm25_topk_sql(BOOL_QUERY, k=BM25_K, require_all=True)
 
 
+def _q_fuzzy_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted delete-key index (operators/fuzzy.py FuzzyIndex): the
+    probe-many form of fuzzy_term_match — the exploded (dkey, term,
+    freq) relation committed once, Hive-partitioned by md5(dkey) %
+    n_buckets, searches read only their queries' buckets (driver-side
+    Python md5 mirror, parity-tested). Index search ≡ the inline
+    operator bit-for-bit, so the SAME DuckDB mirror oracles the
+    persisted path; partition pruning and grown-index identity are
+    pinned in tests/test_fuzzy.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from spider_spark.functions.text import normalized_text
+    from spider_spark.operators.fuzzy import FuzzyIndex, vocab_counts
+    from spider_spark.sources.tableio import ParquetManifestIO
+
+    docs = _docs(spark, sf_dir)
+    w = F.element_at(F.split(normalized_text(F.col("text")), " "), 3)
+    qs = (
+        docs.filter(F.col("doc_id") % FUZZY_QUERY_MOD == 0)
+        .select(w.alias("w")).filter(F.length("w") >= 5)
+        .select(F.expr(
+            "concat(substring(w, 1, length(w) div 2), "
+            "substring(w, length(w) div 2 + 2))").alias("query"))
+    )
+    tmp = tempfile.mkdtemp(prefix="fuzzy_index_q_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    idx = FuzzyIndex(ParquetManifestIO(spark, tmp), n_buckets=32)
+    idx.build(vocab_counts(docs))
+    return idx.search(qs)
+
+
 PHRASE_QUERY = ["table", "part"]
 PHRASE_K = 15
 
@@ -5886,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q_dsir_selection,      # importance resampling
         "bm25_search": _q_bm25_search,            # lexical top-k retrieval
         "fuzzy_term_match": _q_fuzzy_term_match,  # SymSpell spell correction
+        "fuzzy_index_search": _q_fuzzy_index_search,  # persisted delete-key index
         "boolean_and_search": _q_boolean_and_search,  # conjunctive retrieval
         "stored_query_matches": _q_stored_query_matches,  # percolation alerts
         "phrase_search": _q_phrase_search,        # exact-phrase positional top-k
@@ -6068,6 +6102,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection": _sql_dsir_selection(),
         "bm25_search": _SQL_BM25,
         "fuzzy_term_match": _sql_fuzzy_term_match(),
+        "fuzzy_index_search": _sql_fuzzy_term_match(),
         "boolean_and_search": _SQL_BOOL_AND,
         "stored_query_matches": _sql_stored_query_matches(),
         "phrase_search": _SQL_PHRASE,

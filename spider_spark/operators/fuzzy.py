@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spider_spark.functions.text import normalized_text
-from spider_spark.operators.dedupe import NORM_SQL
+from spider_spark.operators.dedupe import NORM_SQL, md5_60
 
 __all__ = [
     "vocab_counts",
@@ -54,6 +54,7 @@ __all__ = [
     "delete_neighborhood_sql",
     "fuzzy_match",
     "fuzzy_match_sql",
+    "FuzzyIndex",
 ]
 
 
@@ -218,3 +219,117 @@ def fuzzy_match_sql(queries_rel: str,
       FROM cand
     ) WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# persisted delete-key index (probe-many spell correction)
+# ---------------------------------------------------------------------------
+
+
+def _py_deletes(s: str) -> list[str]:
+    """Python mirror of :func:`delete_neighborhood` (char slicing — the
+    identical char-indexed surgery, parity-tested)."""
+    return [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+
+
+def _bucket_of(key: str, n_buckets: int) -> int:
+    """Python mirror of ``md5_60(key) % n_buckets`` — lets :meth:`search`
+    compute its bucket set driver-side for planning-time pruning (the
+    LexicalIndex recipe, operators/lexindex.py)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15],
+               16) % n_buckets
+
+
+class FuzzyIndex:
+    """Persisted delete-neighborhood index — the probe-many form of
+    :func:`fuzzy_match`. The inline operator re-explodes the vocabulary
+    per call; a spell-correcting ingest pipeline probes thousands of
+    query batches against the SAME corpus vocabulary, so the exploded
+    ``(dkey, term, freq)`` relation is committed once, Hive-partitioned
+    by ``dkey_bucket = md5_60(dkey) % n_buckets``, and every search
+    reads only its queries' buckets (planning-time partition pruning;
+    the bucket set is computed driver-side with a parity-tested Python
+    md5 mirror — query batches are small by nature, the documented
+    driver-collect class). ``add()`` appends O(batch) delta rows for
+    new vocabulary counts; search sums frequency partials per term, so
+    a grown index answers exactly like a one-shot rebuild (tested).
+
+    The same TableIO/versioned-manifest contract as the other persisted
+    indexes (Exact / MinHash / Lexical / IVF): killed builds leave the
+    previous snapshot."""
+
+    def __init__(self, io, name: str = "fuzzy", n_buckets: int = 64):
+        self.io = io
+        self.name = name
+        self.n_buckets = n_buckets
+
+    @property
+    def _table(self) -> str:
+        return f"{self.name}_deletes"
+
+    def exists(self) -> bool:
+        return self.io.exists(self._table)
+
+    def _rows(self, vocab: DataFrame) -> DataFrame:
+        return (
+            vocab.select(
+                F.col("term"), F.col("freq"),
+                F.explode(delete_neighborhood("term")).alias("dkey"))
+            .withColumn("dkey_bucket",
+                        F.pmod(md5_60(F.col("dkey")), F.lit(self.n_buckets)))
+        )
+
+    def build(self, vocab: DataFrame) -> None:
+        """Commit the exploded delete relation of ``vocab`` (term, freq)."""
+        self.io.commit_overwrite(
+            self._table, self._rows(vocab), partition_by="dkey_bucket",
+            meta={"n_buckets": int(self.n_buckets)})
+
+    def add(self, vocab_delta: DataFrame) -> None:
+        """Append additional counts (new terms or increments for known
+        ones) — O(batch) rows into the bucket layout; never rewrites."""
+        self.io.append(self._table, self._rows(vocab_delta),
+                       partition_by="dkey_bucket")
+
+    def search(self, queries: DataFrame,
+               query_col: str = "query") -> DataFrame:
+        """Best correction per query — same output contract and frozen
+        preference order as :func:`fuzzy_match`; reads only the probed
+        buckets."""
+        spark = queries.sparkSession
+        qs = [r["q"] for r in queries.select(
+            F.col(query_col).alias("q")).distinct().collect()]
+        if not qs:
+            return spark.createDataFrame(
+                [], "query string, term string, freq long, dist int")
+        pairs = [(q, d) for q in qs for d in dict.fromkeys(_py_deletes(q))]
+        buckets = sorted({_bucket_of(d, self.n_buckets) for _, d in pairs})
+        keys = sorted({d for _, d in pairs})
+        qd = spark.createDataFrame(pairs, "query string, dkey string")
+        scan = (
+            self.io.read(self._table)
+            .filter(F.col("dkey_bucket").isin(buckets))
+            .filter(F.col("dkey").isin(keys))
+            # collapse add() partials FIRST: after this, every dkey row of
+            # a term carries the same total frequency
+            .groupBy("term", "dkey").agg(F.sum("freq").alias("freq"))
+        )
+        cand = (
+            scan.join(F.broadcast(qd), on="dkey")
+            # a (query, term) pair matches through MULTIPLE shared keys
+            # (an exact match shares the whole neighborhood) — max, never
+            # sum, or the frequency would multiply-count per key
+            .groupBy("query", "term").agg(F.max("freq").alias("freq"))
+            .filter(F.expr(_within_one_edit("query", "term")))
+            .withColumn("dist",
+                        F.when(F.col("query") == F.col("term"), 0)
+                        .otherwise(1))
+        )
+        best = cand.groupBy("query").agg(
+            F.min(F.struct(F.col("dist"), (-F.col("freq")).alias("nf"),
+                           F.col("term"))).alias("m"))
+        return best.select(
+            "query", F.col("m.term").alias("term"),
+            (-F.col("m.nf")).alias("freq"), F.col("m.dist").alias("dist"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from spider_spark.operators.fuzzy import (
     fuzzy_match,
@@ -134,3 +135,84 @@ class TestUnicodeEdits:
             min_len=2)).fetchall()))
         spark_rows = sorted(map(tuple, fuzzy_match(qdf, vocab).collect()))
         assert spark_rows == duck_rows
+
+
+class TestFuzzyIndex:
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        from spider_spark.operators.fuzzy import FuzzyIndex
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        corpus = spark.createDataFrame(
+            [(0, "the crawler fetches the remote page"),
+             (1, "the crawler parses every remote link"),
+             (2, "remote pages link the crawler onward")],
+            "doc_id long, text string")
+        io = ParquetManifestIO(spark, str(tmp_path_factory.mktemp("fz")))
+        idx = FuzzyIndex(io, n_buckets=16)
+        idx.build(vocab_counts(corpus))
+        return corpus, io, idx
+
+    def test_search_equals_inline(self, spark, built):
+        corpus, _, idx = built
+        queries = ["crawlr", "crawler", "remot", "zzz", "pagee"]
+        qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+        want = sorted(map(tuple, fuzzy_match(
+            qdf, vocab_counts(corpus)).collect()))
+        got = sorted(map(tuple, idx.search(qdf).collect()))
+        assert got == want and len(got) > 0
+
+    def test_search_prunes_partitions(self, spark, built):
+        from spider_spark.operators.fuzzy import _bucket_of, _py_deletes
+
+        _, io, idx = built
+        keys = {d for d in _py_deletes("crawlr")}
+        buckets = sorted({_bucket_of(d, idx.n_buckets) for d in keys})
+        probed = io.read(idx._table).filter(
+            F.col("dkey_bucket").isin(buckets))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "PartitionFilters: [dkey_bucket" in scan_line, scan_line
+        assert probed.count() < io.read(idx._table).count()
+
+    def test_py_delete_mirror_matches_jvm(self, spark, built):
+        from spider_spark.operators.fuzzy import (
+            _bucket_of, _py_deletes, delete_neighborhood)
+        from spider_spark.operators.dedupe import md5_60
+
+        terms = ["crawler", "a", "café", "日本語"]
+        tdf = spark.createDataFrame([(t,) for t in terms], "t string")
+        jvm = {r["t"]: (r["d"], r["b"]) for r in tdf.select(
+            "t", delete_neighborhood("t").alias("d")).select(
+            "t", "d",
+            F.transform("d", lambda x: F.pmod(md5_60(x), F.lit(16)))
+            .alias("b")).collect()}
+        for t in terms:
+            assert _py_deletes(t) == list(jvm[t][0]), t
+            assert [_bucket_of(d, 16) for d in _py_deletes(t)] == \
+                list(jvm[t][1]), t
+
+    def test_grown_equals_one_shot(self, spark, tmp_path):
+        from spider_spark.operators.fuzzy import FuzzyIndex
+        from spider_spark.sources.tableio import ParquetManifestIO
+
+        v1 = spark.createDataFrame([("alpha", 3), ("beta", 2)],
+                                   "term string, freq long")
+        v2 = spark.createDataFrame([("alpha", 4), ("gamma", 1)],
+                                   "term string, freq long")
+        grown = FuzzyIndex(ParquetManifestIO(spark, str(tmp_path / "g")),
+                           n_buckets=8)
+        grown.build(v1)
+        grown.add(v2)
+        oneshot = FuzzyIndex(ParquetManifestIO(spark, str(tmp_path / "o")),
+                             n_buckets=8)
+        oneshot.build(spark.createDataFrame(
+            [("alpha", 7), ("beta", 2), ("gamma", 1)],
+            "term string, freq long"))
+        qdf = spark.createDataFrame(
+            [("alpa",), ("betta",), ("gama",), ("alpha",)], "query string")
+        assert sorted(map(tuple, grown.search(qdf).collect())) == \
+            sorted(map(tuple, oneshot.search(qdf).collect()))
+        # and the merged frequency actually surfaced (3+4)
+        got = {r["query"]: r["freq"] for r in grown.search(qdf).collect()}
+        assert got["alpha"] == 7
