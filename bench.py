@@ -387,6 +387,48 @@ def main() -> None:
     ).filter(F.col("token") != "")
     timed("cms_freq", lambda: force(cms_build(toks, "token", 4, 2048)))
 
+    # theta set algebra over the same 1M-page URL stream: per-host
+    # distinct-URL overlap between two overlapping 700k-row slices —
+    # sketch build (the narrow distinct + salted bottom-k) dominates,
+    # the set algebra itself runs on ≤ k rows/group
+    from spider_spark.operators.sketches import theta_overlap
+
+    ha = hosted.withColumn("_i", F.expr("conv(substring(md5(url),1,8),16,10)"))
+    a_side = ha.filter(F.col("_i").cast("long") % 10 < 7).drop("_i")
+    b_side = ha.filter(F.col("_i").cast("long") % 10 >= 3).drop("_i")
+    timed("theta_overlap_1m",
+          lambda: force(theta_overlap(a_side, b_side, "host", "url", k=64)))
+
+    # SymSpell correction against the corpus vocabulary: the delete-key
+    # explode over the vocab is the measured cost; the 200-query side is
+    # broadcast
+    from spider_spark.operators.fuzzy import fuzzy_match, vocab_counts
+
+    fvocab = vocab_counts(docs)
+    typo = F.expr("concat(substring(term, 1, length(term) div 2), "
+                  "substring(term, length(term) div 2 + 2))")
+    fqueries = (
+        fvocab.filter(F.length("term") >= 5)
+        .orderBy("term").limit(200).select(typo.alias("query"))
+    )
+    timed("fuzzy_correct",
+          lambda: force(fuzzy_match(fqueries, fvocab)))
+
+    # stored-query percolation: 20 standing conjunctive rules over the
+    # sf-corpus document flow (rules broadcast; the docs never shuffle)
+    from spider_spark.operators.percolate import stored_query_match
+
+    from spider_spark.operators.ngrams import top_ngrams
+
+    top_terms = [r["gram"] for r in top_ngrams(docs, n=1, k=40).collect()]
+    n_rules = min(20, len(top_terms) // 2)
+    rules_df = spark.createDataFrame(
+        [(f"rule{i}", [top_terms[i], top_terms[len(top_terms) - 1 - i]])
+         for i in range(n_rules)],
+        "query_id string, terms array<string>")
+    timed("percolate",
+          lambda: force(stored_query_match(docs, rules_df)))
+
     # priority sampling + exact quantiles at the 1M-row scale: the salted
     # two-stage top-(k+1) over hot host groups, and the (group, value)
     # histogram + cumulative window (state bounded by the value domain)
