@@ -61,6 +61,24 @@ PAGES_SCHEMA_DDL = (
     "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
 )
 
+_T_START = time.time()
+
+
+def _git_sha() -> str:
+    """Provenance stamp so a red driver row can be matched to the exact
+    code state (the r4 modularity ambiguity was only debuggable by
+    re-running; VERDICT r4 Next #4)."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", str(pathlib.Path(__file__).resolve().parent),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
 
 def force(df):
     """Fully materialize a DataFrame (noop sink: no collect, no disk)."""
@@ -634,6 +652,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "git_sha": _git_sha(),
+                "wall_clock_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "bench_elapsed_sec": round(time.time() - _T_START, 1),
                 "pages_per_sec": round(pages_per_sec, 1),
                 "pages_fetched": fetched,
                 "crawl_rounds": len(result.metrics),

@@ -67,7 +67,13 @@ def _re2_class(ranges: list[tuple[int, int]]) -> str:
                           for lo, hi in ranges) + "]")
 
 
-_WS = "[\\s]"
+# Whitespace pinned as explicit literals per engine: Java's \s includes
+# \x0B (vertical tab) while RE2's does not, so the engine-dependent
+# class would diverge on any text containing U+000B. Both classes below
+# name exactly { space, \t, \n, \x0B, \f, \r } — ASCII whitespace, the
+# set Java \s matches — in each engine's literal syntax.
+_WS_JAVA = "[ \\t\\n\\x0B\\f\\r]"
+_WS_RE2 = "[ \\t\\n\\x{000B}\\f\\r]"
 
 
 def _count(col, cls: str):
@@ -81,7 +87,7 @@ def script_profile(docs: DataFrame, text_col: str = "text",
     ``main_script`` is the frozen (count DESC, name ASC) argmax over
     the named classes (``'other'`` only when every class count is 0)."""
     col = F.col(text_col)
-    total = (F.length(col) - _count(col, _WS)).alias("n_chars_scored")
+    total = (F.length(col) - _count(col, _WS_JAVA)).alias("n_chars_scored")
     base = docs.select(
         F.col(id_col), total,
         *[_count(col, _java_class(rng)).alias(f"_c_{name}")
@@ -143,7 +149,7 @@ def script_profile_sql(docs_rel: str = "SELECT * FROM documents",
     return f"""
     WITH sp_base AS (
       SELECT {id_col},
-             (length({text_col}) - {cnt(_WS)})::BIGINT AS n_chars_scored,
+             (length({text_col}) - {cnt(_WS_RE2)})::BIGINT AS n_chars_scored,
              {counts}
       FROM ({docs_rel})
     ),

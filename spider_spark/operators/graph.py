@@ -59,9 +59,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ``stats`` dict is supplied, the executed round count is written to
     ``stats['rounds']`` (the measurable form of the O(log d) claim)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Undirected doubling, pre-partitioned by src and persisted: the
+    # per-round hash-min join then shuffles only the (node, label) state
+    # (O(nodes)) while the O(edges) side stays stationary across all
+    # rounds. No distinct(): hash-min is idempotent under parallel
+    # edges, so deduping would buy nothing but a full O(edges) shuffle.
+    n_part = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        .repartition(n_part, "src")
         .persist()
     )
     labels = (
@@ -70,6 +77,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -79,35 +88,44 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .groupBy(edges["dst"].alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the pre-jump label rides along as _old so the convergence
+        # check folds into the checkpoint materialization below via
+        # observe() — ONE job and ONE full-state write per round
+        # (previously a separate labels⋈jumped count job per round)
         stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
             .select(
                 F.col("id"),
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            # lazy checkpoint: the pointer-jump self-join below reads
+            # stepped on BOTH sides — without this the whole hash-min
+            # chain (the O(edges) join + agg) computes twice per round;
+            # lazy materialization keeps it one compute and one job
+            .localCheckpoint(eager=False)
         )
         # pointer jumping: label <- label(label) (path compression)
         by_id = stepped.select(
             F.col("id").alias("jid"), F.col("label").alias("jlabel")
         )
+        obs = Observation()
         jumped = (
             stepped.join(by_id, stepped["label"] == by_id["jid"], "left")
             .select(
                 F.col("id"),
+                F.col("_old"),
                 F.coalesce(F.col("jlabel"), F.col("label")).alias("label"),
             )
+            .observe(obs, F.sum(
+                (F.col("_old") != F.col("label")).cast("long")
+            ).alias("n_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(jumped, on="id")
-            .filter(F.col("old_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = obs.get["n_changed"] or 0
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     if stats is not None:
@@ -1081,18 +1099,27 @@ def modularity_contributions(edges: DataFrame, labels: DataFrame,
     are dropped (the simple-graph convention the rest of the module
     uses).
 
+    ``m`` is taken over the LABELED subgraph (both endpoints carry a
+    label), so the numerator and the 4·m normalization describe the
+    same edge set — a partial labeling yields the modularity of the
+    labeled subgraph rather than a silently inconsistent Q. With a
+    total labeling (the usual case: LPA labels every endpoint) this is
+    identical to counting all non-self-loop edges.
+
     Output: ``(label, n_nodes, intra_edges, degree_sum, contrib_num)``
     including zero-edge communities (isolated labels score negative —
     exactly what a quality metric must surface). Scale shape: one
     label join per endpoint (node-keyed), one label-keyed agg, one
-    1-row edge count — no windows, no collects beyond the scalar."""
+    1-row edge count — no windows, no collects beyond the scalar; the
+    tagged edge set is lazily checkpointed so the scalar count and the
+    downstream aggs share one compute of the joins."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b"))
     lab = labels.select(F.col("node"), F.col("label"))
-    m = e.count()
     la = lab.select(F.col("node").alias("a"), F.col("label").alias("la"))
     lb = lab.select(F.col("node").alias("b"), F.col("label").alias("lb"))
-    tagged = e.join(la, on="a").join(lb, on="b")
+    tagged = e.join(la, on="a").join(lb, on="b").localCheckpoint(eager=False)
+    m = tagged.count()
     intra = tagged.filter(F.col("la") == F.col("lb")).groupBy(
         F.col("la").alias("label")).agg(
         F.count(F.lit(1)).alias("intra_edges"))
@@ -1124,12 +1151,12 @@ def modularity_contributions_sql(edges_rel: str, labels_rel: str,
     return f"""
     WITH me AS (SELECT {src} AS a, {dst} AS b FROM ({edges_rel})
                 WHERE {src} <> {dst}),
-    mm AS (SELECT count(*)::BIGINT AS m FROM me),
     ml AS (SELECT node, label FROM ({labels_rel})),
     tagged AS (
       SELECT la.label AS la, lb.label AS lb
       FROM me JOIN ml la ON me.a = la.node JOIN ml lb ON me.b = lb.node
     ),
+    mm AS (SELECT count(*)::BIGINT AS m FROM tagged),
     intra AS (
       SELECT la AS label, count(*)::BIGINT AS intra_edges
       FROM tagged WHERE la = lb GROUP BY 1

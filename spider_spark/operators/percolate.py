@@ -40,6 +40,28 @@ from spider_spark.operators.dedupe import NORM_SQL
 __all__ = ["stored_query_match", "stored_query_match_sql"]
 
 
+def _check_terms(qid, terms) -> None:
+    """Shared rule validation: terms must be non-empty and ASCII.
+
+    Lowercasing happens in each engine (F.lower / lower() / str.lower),
+    and the engines disagree on some non-ASCII mappings (U+0130 'İ'
+    lowers to a two-codepoint sequence in Python but not everywhere),
+    so non-ASCII terms would make a rule match in one engine and miss
+    in the other — rejected loudly instead. An empty terms list would
+    silently never match even in 'all' mode (the conjunction is
+    non-vacuous: the HAVING count comes from a join that produced no
+    rows), so it is a rule-authoring error, also rejected."""
+    if not terms:
+        raise ValueError(
+            f"stored query {qid!r} has no terms: an empty rule never "
+            f"matches any document (non-vacuous conjunction)")
+    for t in terms:
+        if t is None or not t or not t.isascii():
+            raise ValueError(
+                f"stored query {qid!r} term {t!r} must be non-empty "
+                f"ASCII: engines disagree on non-ASCII lowercasing")
+
+
 def stored_query_match(docs: DataFrame, queries: DataFrame,
                        mode: str = "all", text_col: str = "text",
                        id_col: str = "doc_id",
@@ -48,9 +70,26 @@ def stored_query_match(docs: DataFrame, queries: DataFrame,
     """``(id, query_id, n_matched)`` for every (document, stored query)
     pair the ``mode`` rule accepts. ``queries`` is
     ``(query_id, terms: array<string>)``; terms are lowercased and
-    deduplicated here, so rule authors need not pre-normalize."""
+    deduplicated here, so rule authors need not pre-normalize. Rules
+    must be non-empty ASCII (see :func:`_check_terms`) — validated
+    with one loud ``limit(1)`` probe over the rule table (tiny by
+    design; the probe costs one broadcast-size scan)."""
     if mode not in ("all", "any"):
         raise ValueError(f"mode must be 'all' or 'any': {mode}")
+    bad = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(terms_col).alias("_terms"),
+    ).filter(
+        F.col("_terms").isNull() | (F.size("_terms") == 0)
+        | F.exists("_terms",
+                   lambda t: t.isNull() | (t == "")
+                   | ~t.rlike("^[\\x00-\\x7F]*$"))
+    ).limit(1).collect()
+    if bad:
+        _check_terms(bad[0]["qid"], [
+            t for t in (bad[0]["_terms"] or [])
+            if t is None or not t or not t.isascii()
+        ] or bad[0]["_terms"])
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         F.array_distinct(F.transform(F.col(terms_col), F.lower))
@@ -86,7 +125,10 @@ def stored_query_match_sql(queries: list[tuple[str, list[str]]],
         raise ValueError(f"mode must be 'all' or 'any': {mode}")
     rows = []
     for qid, terms in queries:
+        _check_terms(qid, terms)
         qesc = qid.replace("'", "''")
+        # ASCII-only (validated above), so str.lower() here agrees
+        # byte-for-byte with the Spark side's F.lower.
         lits = ", ".join(
             "'" + t.lower().replace("'", "''") + "'" for t in terms)
         rows.append(f"('{qesc}', [{lits}])")

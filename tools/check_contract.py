@@ -6,11 +6,17 @@ column names, and an order-insensitive value hash (columns sorted by
 name, rows sorted, floats kept as repr). Usage:
 
     python tools/check_contract.py [sf_dir] [query ...]
+
+Writes a provenance-stamped JSON mirror of the run (git SHA, sf,
+wall-clock, per-query status) to ``/tmp/contract_replay.json`` so a
+red driver row can be matched to the exact code state it ran against.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import subprocess
 import sys
 import time
 
@@ -63,6 +69,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -73,12 +80,15 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {"status": "spark_error", "err": str(e)[:500]}
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            report[name] = {"status": "rows_only", "rows": len(srows),
+                            "sec": round(time.time() - t0, 1)}
             n_pass += 1
             continue
         try:
@@ -117,11 +127,32 @@ def main():
                     problems.append(f"  oracle-only: {d[:200]}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            report[name] = {"status": "fail", "rows": len(srows),
+                            "problems": [p[:300] for p in problems]}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            report[name] = {"status": "pass", "rows": len(srows),
+                            "sec": round(time.time() - t0, 1)}
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    try:
+        sha = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        sha = "unknown"
+    with open("/tmp/contract_replay.json", "w") as f:
+        json.dump({
+            "git_sha": sha,
+            "sf_dir": sf_dir,
+            "wall_clock_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "queries": report,
+        }, f, indent=1)
     return 1 if n_fail else 0
 
 
