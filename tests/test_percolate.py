@@ -76,3 +76,36 @@ class TestStoredQueryMatch:
         docs, queries = fixture
         with pytest.raises(ValueError):
             stored_query_match(docs, queries, mode="phrase")
+
+
+class TestRuleValidation:
+    """Rules must be non-empty ASCII: engines disagree on some
+    non-ASCII lowercasings (e.g. U+0130 'İ'), and an empty terms list
+    silently never matches even in 'all' mode (ADVICE r4)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame([(0, "alpha beta")],
+                                     "doc_id long, text string")
+
+    def test_rejects_empty_terms_df(self, spark):
+        queries = spark.createDataFrame([("q_empty", [])],
+                                        "query_id string, terms array<string>")
+        with pytest.raises(ValueError, match="no terms"):
+            stored_query_match(self._docs(spark), queries)
+
+    def test_rejects_non_ascii_term_df(self, spark):
+        queries = spark.createDataFrame([("q_tr", ["İstanbul"])],
+                                        "query_id string, terms array<string>")
+        with pytest.raises(ValueError, match="ASCII"):
+            stored_query_match(self._docs(spark), queries)
+
+    def test_rejects_in_sql_mirror_too(self, spark):
+        with pytest.raises(ValueError, match="no terms"):
+            stored_query_match_sql([("q_empty", [])])
+        with pytest.raises(ValueError, match="ASCII"):
+            stored_query_match_sql([("q_tr", ["İstanbul"])])
+
+    def test_ascii_rules_still_match(self, spark, fixture):
+        docs, queries = fixture
+        rows = stored_query_match(docs, queries).collect()
+        assert rows  # validation must not disturb the valid-rule path

@@ -61,6 +61,9 @@ FIXTURE = [
     (7, "!!! ??? ***"),
     (8, "Ωμέγα και άλφα"),
     (9, "हिन्दी पाठ และ ไทย"),
+    # U+000B vertical tab: Java \s includes it, RE2's does not — the
+    # explicit literal whitespace classes must agree on it (ADVICE r4)
+    (10, "vertical\x0btab\x0bseparated words"),
 ]
 
 
