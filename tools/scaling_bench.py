@@ -104,7 +104,15 @@ def main() -> None:
             }
         )
 
-    print(json.dumps({"cpus": cpus, "n_pages": n_pages, "runs": runs}))
+    from bench import _git_sha
+
+    print(json.dumps({
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "runs": runs,
+        "git_sha": _git_sha(),
+        "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }))
 
 
 if __name__ == "__main__":
