@@ -643,6 +643,60 @@ def main() -> None:
         lambda: force(entry._q_training_mix(spark, sf_dir, semantic=True)),
     )
 
+    # ---- N-vs-4N scaling pair, in the artifact proper -------------------
+    # BASELINE.json's north rule demands ≥0.8 throughput scaling
+    # efficiency between N and 4N executors; the sandbox proxy is
+    # local[2] vs local[8] on the same input (the box cannot scale 8→32
+    # on any workload — see BENCH/BASELINE.md). Run the crawl-only
+    # harness as subprocesses at 8c / 2c / 8c on the production-regime
+    # 3M-page config (rounds big enough that the parallelism-flat
+    # per-round coordination amortizes), then report both adjacent pairs
+    # and best-vs-best so the artifact-of-record carries the pair, not
+    # prose. Disable with SPARK_GRAFT_SCALING=0.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        import subprocess
+
+        def _leg(leg_cpus: int):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(leg_cpus),
+                SPARK_GRAFT_CRAWL_PAGES="3000000",
+                SPARK_GRAFT_CRAWL_SEEDS="1500000",
+                SPARK_GRAFT_CRAWL_DEPTH="1",
+                SPARK_GRAFT_REPEATS="1",
+            )
+            out = subprocess.run(
+                [sys.executable,
+                 str(pathlib.Path(__file__).resolve().parent
+                     / "tools" / "scaling_bench.py")],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            return json.loads(line)
+
+        try:
+            legs = [_leg(8), _leg(2), _leg(8)]
+            t8 = [r["crawl_sec"] for leg in legs if leg["cpus"] == 8
+                  for r in leg["runs"]]
+            t2 = [r["crawl_sec"] for leg in legs if leg["cpus"] == 2
+                  for r in leg["runs"]]
+            scaling = {
+                "config": "3M pages / 1.5M seeds / depth 1 (2 rounds)",
+                "legs": [
+                    {"cpus": leg["cpus"], "runs": leg["runs"]}
+                    for leg in legs
+                ],
+                "pair_adjacent": [
+                    round(t2[0] / (4 * t8[0]), 3),
+                    round(t2[0] / (4 * t8[1]), 3),
+                ],
+                "efficiency_best": round(min(t2) / (4 * min(t8)), 3),
+            }
+        except Exception as e:  # a failed pair must not kill the artifact
+            scaling = {"error": str(e)[:300]}
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -673,6 +727,7 @@ def main() -> None:
                 "crawl_polite_all_runs": [round(s, 3) for s in polite_runs],
                 "op_all_runs": op_all_runs,
                 "phase_sec": {k: round(v, 2) for k, v in engine.phase_times.items()},
+                "scaling_2_to_8": scaling,
             }
         )
     )
