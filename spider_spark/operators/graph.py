@@ -160,6 +160,21 @@ PR_SCALE = 10**12          # total rank mass in fixed-point units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping factor 0.85 as a rational
 
 
+def _iter_edge_relation(edges: DataFrame) -> DataFrame:
+    """Materialized per-iteration edge relation ``(src, dst, w, deg)``,
+    hash-partitioned by ``src`` and persisted: every power-iteration
+    contribution join reads these cached partitions and shuffles only
+    the O(nodes) rank state. Without this the lazy ``wedges ⋈ deg``
+    plan recomputes BOTH edge aggregations and re-shuffles the
+    O(edges) relation once per iteration — the dominant cost at 10
+    iterations over a 10M-edge graph (measured: ~2× whole-op)."""
+    wedges = edges.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return wedges.join(deg, on="src").repartition(n_part, "src").persist()
+
+
 def pagerank(edges: DataFrame, n_iter: int = 10,
              scale: int = PR_SCALE) -> DataFrame:
     """``(node, rank_fp)`` after ``n_iter`` damped power iterations over the
@@ -182,9 +197,6 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     2^63`` keep everything inside int64 regardless of graph size. Per
     iteration: one contribution shuffle over the host-level
     (pre-aggregated) edge list plus a one-row dangling-sum broadcast."""
-    wedges = (
-        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
-    )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -211,7 +223,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         )
         .localCheckpoint(eager=True)
     )
-    srcs = wedges.join(deg, on="src")
+    srcs = _iter_edge_relation(edges)
     for _ in range(n_iter):
         contrib = (
             srcs.join(ranks, srcs["src"] == ranks["node"])
@@ -244,7 +256,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             )
             .localCheckpoint(eager=True)
         )
-    wedges.unpersist()
+    srcs.unpersist()
     nodes.unpersist()
     return ranks.select(F.col("node"), F.col("rank").alias("rank_fp"))
 
@@ -267,9 +279,6 @@ def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 10,
     intersected with the graph's nodes on both engines. Per-iteration
     cost is identical to a PageRank step; the seed flag rides the
     checkpointed rank state like ``__out`` does."""
-    wedges = (
-        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
-    )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -301,7 +310,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 10,
         )
         .localCheckpoint(eager=True)
     )
-    srcs = wedges.join(deg, on="src")
+    srcs = _iter_edge_relation(edges)
     for _ in range(n_iter):
         contrib = (
             srcs.join(ranks, srcs["src"] == ranks["node"])
@@ -333,7 +342,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame, n_iter: int = 10,
             )
             .localCheckpoint(eager=True)
         )
-    wedges.unpersist()
+    srcs.unpersist()
     nodes.unpersist()
     seed_nodes.unpersist()
     return ranks.select(F.col("node"), F.col("rank").alias("trust_fp"))
@@ -425,9 +434,6 @@ def opic(edges: DataFrame, n_iter: int = 10, scale: int = PR_SCALE,
     list + one 1-row aggregate (the virtual inflow — a driver scalar,
     O(1) state at any graph size). When ``stats`` is supplied, the final
     virtual-node cash and round count are written to it."""
-    wedges = (
-        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
-    )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -449,7 +455,7 @@ def opic(edges: DataFrame, n_iter: int = 10, scale: int = PR_SCALE,
         .localCheckpoint(eager=True)
     )
     virt = scale - (scale // n_nodes) * n_nodes
-    srcs = wedges.join(deg, on="src")
+    srcs = _iter_edge_relation(edges)
     for r in range(n_iter):
         vshare, vkeep = virt // n_nodes, virt % n_nodes
         # cash flowing to the virtual node: own share + floor remainders
@@ -484,7 +490,7 @@ def opic(edges: DataFrame, n_iter: int = 10, scale: int = PR_SCALE,
     if stats is not None:
         stats["virt"] = virt
         stats["rounds"] = n_iter
-    wedges.unpersist()
+    srcs.unpersist()
     nodes.unpersist()
     return state.select(
         F.col("node"), F.col("hist").alias("hist_fp"),
@@ -573,9 +579,19 @@ def hits(edges: DataFrame, n_iter: int = 10,
     two keyed shuffles over the pre-aggregated (src, dst, w) edge list
     plus two one-row broadcast sums — same cost class as a PageRank
     step. ``localCheckpoint`` truncates the iterative lineage."""
+    # two persisted layouts of the pre-aggregated edge list — the auth
+    # step joins on src, the hub step on dst; pinning each side's hash
+    # partitioning means every iteration shuffles only the O(nodes)
+    # score state, never the O(edges) relation (the _iter_edge_relation
+    # rationale, doubled because HITS alternates join keys)
+    n_part = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     wedges = (
-        edges.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+        edges.groupBy("src", "dst").agg(F.count("*").alias("w"))
+        .repartition(n_part, "src")
+        .persist()
     )
+    wedges_dst = wedges.repartition(n_part, "dst").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -610,12 +626,13 @@ def hits(edges: DataFrame, n_iter: int = 10,
         )
         auth = _normalize(araw, "auth").localCheckpoint(eager=True)
         hraw = (
-            wedges.join(auth, wedges["dst"] == auth["node"])
-            .groupBy(wedges["src"].alias("rnode"))
+            wedges_dst.join(auth, wedges_dst["dst"] == auth["node"])
+            .groupBy(wedges_dst["src"].alias("rnode"))
             .agg(F.sum(F.col("w") * F.col("auth")).alias("raw"))
         )
         hubs = _normalize(hraw, "hub").localCheckpoint(eager=True)
     wedges.unpersist()
+    wedges_dst.unpersist()
     nodes.unpersist()
     return (
         auth.join(hubs, on="node")
