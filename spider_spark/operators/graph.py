@@ -1002,12 +1002,18 @@ def bfs_distance(edges: DataFrame, seeds: DataFrame, max_hops: int = 8,
     members of the vetted set by definition)."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be ≥0: {max_hops}")
+    from pyspark.sql import Observation
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     e = e.filter(F.col("s") != F.col("d")).distinct()
     if checkpoint:
-        e = e.localCheckpoint(eager=False)
+        # source-partitioned + cached once: every round's expansion join
+        # reads these partitions in place and shuffles only the frontier
+        n_part = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        e = e.repartition(n_part, "s").localCheckpoint(eager=False)
     dist = seeds.select(F.col(node).alias("node")).distinct().withColumn(
         "hops", F.lit(0))
     if checkpoint:
@@ -1021,12 +1027,21 @@ def bfs_distance(edges: DataFrame, seeds: DataFrame, max_hops: int = 8,
             .withColumn("hops", F.lit(h))
         )
         if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+            # the frontier size rides the checkpoint job via observe()
+            # (no separate isEmpty job), and the visited set is a UNION
+            # of per-round checkpointed deltas — never re-written whole
+            # per round (the old per-round dist checkpoint cost one
+            # O(visited) write per hop; each delta is already
+            # materialized, so lineage stays shallow without it)
+            obs = Observation()
+            nxt = nxt.observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).localCheckpoint(eager=True)
+            if (obs.get["n"] or 0) == 0:
+                break
+        elif nxt.isEmpty():
             break
         dist = dist.unionByName(nxt)
-        if checkpoint:
-            dist = dist.localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
 
