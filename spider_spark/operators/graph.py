@@ -774,7 +774,12 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     if checkpoint:
-        und = und.localCheckpoint(eager=True)
+        # source-partitioned + cached once (the CC/PageRank layout
+        # contract): the per-round message join reads these partitions
+        # in place and shuffles only the O(nodes) label state
+        n_part = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        und = und.repartition(n_part, "s").localCheckpoint(eager=True)
     labels = (
         und.select(F.col("s").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
