@@ -654,7 +654,12 @@ def main() -> None:
     # and best-vs-best so the artifact-of-record carries the pair, not
     # prose. Disable with SPARK_GRAFT_SCALING=0.
     scaling = None
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+    if (os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+            and time.time() - _T_START < 2400):
+        # the elapsed guard: a main section that took >40 min means the
+        # box is heavily loaded — the legs would record window noise and
+        # risk running the artifact into a harness timeout; skip and let
+        # the standalone tools/scaling_bench.py recordings stand
         import subprocess
 
         def _leg(leg_cpus: int):
@@ -670,7 +675,7 @@ def main() -> None:
                 [sys.executable,
                  str(pathlib.Path(__file__).resolve().parent
                      / "tools" / "scaling_bench.py")],
-                capture_output=True, text=True, timeout=1800, env=env,
+                capture_output=True, text=True, timeout=1200, env=env,
             )
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
